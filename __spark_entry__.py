@@ -3,36 +3,64 @@
 The driver's verify runs ``entry(spark)`` as a smoke check, runs
 each ``queries()[name]`` at sf=0.01 and compares it against the
 matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+order-insensitive value-hash → CORRECTNESS_r{N}.json).
+
+Engine: ``mysql_binlog_spark`` — see SURVEY.md §2 for the operator
+inventory each query exercises.
 """
 
 from __future__ import annotations
 
+import os
+import sys
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
 
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from mysql_binlog_spark import driver_queries as dq  # noqa: E402
+
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship: full CDC replay at sf0.001 — derived binlog → binary
+    chunks → vectorized decode → dedup/last-writer → mini-lake MERGE
+    (schema evolution + exactly-once epochs) → final transcripts state."""
+    return dq.q_entry(spark)
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
-
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    return {
+        # CDC / incremental-ingest engine (SURVEY.md §2.3-2.7, §2.11)
+        "cdc_changelog": dq.q_cdc_changelog,
+        "cdc_dedup_lsn": dq.q_cdc_dedup_lsn,
+        "cdc_last_writer": dq.q_cdc_last_writer,
+        "cdc_salted_last_writer": dq.q_cdc_salted_last_writer,
+        "cdc_final_state": dq.q_cdc_final_state,
+        "cdc_stats_by_table": dq.q_cdc_stats_by_table,
+        "cdc_stats_interval": dq.q_cdc_stats_interval,
+        "cdc_lineage": dq.q_cdc_lineage,
+        "cdc_filter_tables": dq.q_cdc_filter_tables,
+        "cdc_start_position": dq.q_cdc_start_position,
+        "cdc_turn_ordering": dq.q_cdc_turn_ordering,
+        "cdc_decode_binary": dq.q_cdc_decode_binary,
+        "cdc_apply_e2e": dq.q_cdc_apply_e2e,
+    }
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    return {
+        "cdc_changelog": dq.oracle_cdc_changelog(),
+        "cdc_dedup_lsn": dq.oracle_cdc_dedup_lsn(),
+        "cdc_last_writer": dq.oracle_cdc_last_writer(),
+        "cdc_salted_last_writer": dq.oracle_cdc_last_writer(),
+        "cdc_final_state": dq.oracle_cdc_final_state(),
+        "cdc_stats_by_table": dq.oracle_cdc_stats_by_table(),
+        "cdc_stats_interval": dq.oracle_cdc_stats_interval(),
+        "cdc_lineage": dq.oracle_cdc_lineage(),
+        "cdc_filter_tables": dq.oracle_cdc_filter_tables(),
+        "cdc_start_position": dq.oracle_cdc_start_position(),
+        "cdc_turn_ordering": dq.oracle_cdc_turn_ordering(),
+        "cdc_decode_binary": dq.oracle_cdc_decode_binary(),
+        "cdc_apply_e2e": dq.oracle_cdc_apply_e2e(),
+    }

@@ -1,0 +1,342 @@
+"""Driver-contract query implementations (__spark_entry__.py backend).
+
+Each ``q_*`` function takes (spark, sf_dir) and returns a DataFrame whose
+rows must hash-equal the paired DuckDB oracle SQL (oracle_*).  The CDC
+change log is derived deterministically from the driver's ``events`` table
+(mysql_binlog_spark.spec — one SQL template, two dialects), so the oracle
+can recompute every result from the raw parquet.
+
+The Spark side intentionally does NOT run the same SQL: it exercises the
+engine's own operators (decode source, dedup, max_by last-writer, salted
+two-phase, lake merge) so the parity check is a real correctness gate for
+the implementation, not a tautology.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import os
+import shutil
+import tempfile
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from . import spec
+from .fixtures.generator import generate_binlog_chunks
+from .operators.apply import (
+    dedup_lsn,
+    filter_start_lsn,
+    filter_tables,
+    final_state,
+    last_writer,
+    salted_last_writer,
+)
+from .sources.binlog import image_view, read_binlog
+from .streaming.replay import replay_batch
+from .table import LakeTable
+
+IMAGE_COLS = ["conv_id", "turn_idx", "role", "text", "tool", "ts", "tool_version"]
+PAYLOAD_COLS = ["role", "text", "tool", "ts", "tool_version"]
+KEY_COLS = ["conv_id", "turn_idx"]
+FINAL_COLS = ["conv_id", "turn_idx", "role", "text", "tool", "tool_version", "ts"]
+
+
+def _events(spark: SparkSession, sf_dir: str) -> None:
+    spark.read.parquet(os.path.join(sf_dir, "events.parquet")).createOrReplaceTempView(
+        "events"
+    )
+
+
+def changelog_df(spark: SparkSession, sf_dir: str, with_duplicates: bool = True) -> DataFrame:
+    _events(spark, sf_dir)
+    return spark.sql(spec.changelog_sql("spark", with_duplicates=with_duplicates))
+
+
+# ---------------------------------------------------------------- CDC (spec)
+
+
+def q_cdc_changelog(spark, sf_dir):
+    return changelog_df(spark, sf_dir)
+
+
+def q_cdc_dedup_lsn(spark, sf_dir):
+    return dedup_lsn(changelog_df(spark, sf_dir))
+
+
+def _winners(spark, sf_dir, salted: bool):
+    df = filter_tables(
+        dedup_lsn(changelog_df(spark, sf_dir)), include=[("app", "transcripts")]
+    )
+    fn = salted_last_writer if salted else last_writer
+    w = fn(df, key_cols=KEY_COLS, payload_cols=PAYLOAD_COLS)
+    return w.select(
+        "conv_id", "turn_idx", "action", "role", "text", "tool",
+        "tool_version", "ts", "log_file", "log_pos",
+    )
+
+
+def q_cdc_last_writer(spark, sf_dir):
+    return _winners(spark, sf_dir, salted=False)
+
+
+def q_cdc_salted_last_writer(spark, sf_dir):
+    return _winners(spark, sf_dir, salted=True)
+
+
+def q_cdc_final_state(spark, sf_dir):
+    df = filter_tables(
+        dedup_lsn(changelog_df(spark, sf_dir)), include=[("app", "transcripts")]
+    )
+    w = last_writer(df, key_cols=KEY_COLS, payload_cols=PAYLOAD_COLS)
+    return final_state(w, PAYLOAD_COLS, KEY_COLS).select(*FINAL_COLS)
+
+
+def q_cdc_stats_by_table(spark, sf_dir):
+    df = dedup_lsn(changelog_df(spark, sf_dir))
+    return df.groupBy("schema_name", "table_name").agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.countDistinct("log_file").alias("n_files"),
+        F.sum(F.length("text")).alias("text_chars"),
+        F.min("log_pos").alias("min_pos"),
+        F.max("log_pos").alias("max_pos"),
+    )
+
+
+def q_cdc_stats_interval(spark, sf_dir):
+    df = dedup_lsn(changelog_df(spark, sf_dir))
+    return df.groupBy(
+        F.date_trunc("hour", F.col("ts")).alias("bucket_ts")
+    ).agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum(F.when(F.col("action") == "insert", 1).otherwise(0)).alias("n_inserts"),
+        F.sum(F.when(F.col("action") == "update", 1).otherwise(0)).alias("n_updates"),
+        F.sum(F.when(F.col("action") == "delete", 1).otherwise(0)).alias("n_deletes"),
+    )
+
+
+def q_cdc_lineage(spark, sf_dir):
+    df = dedup_lsn(changelog_df(spark, sf_dir))
+    return df.groupBy("log_file").agg(
+        F.min("log_pos").alias("min_pos"),
+        F.max("log_pos").alias("max_pos"),
+        F.count(F.lit(1)).alias("n_rows"),
+        F.countDistinct("conv_id", "turn_idx").alias("n_keys"),
+    )
+
+
+def q_cdc_filter_tables(spark, sf_dir):
+    df = filter_tables(
+        dedup_lsn(changelog_df(spark, sf_dir)),
+        include=[("app", "transcripts")],
+    )
+    return df.groupBy("action").agg(F.count(F.lit(1)).alias("n_rows"))
+
+
+def q_cdc_start_position(spark, sf_dir):
+    df = filter_start_lsn(
+        dedup_lsn(changelog_df(spark, sf_dir)), ("binlog.000002", 4 + 500 * 128)
+    )
+    return df.groupBy("log_file").agg(
+        F.count(F.lit(1)).alias("n_rows"), F.min("log_pos").alias("min_pos")
+    )
+
+
+def q_cdc_turn_ordering(spark, sf_dir):
+    fs = q_cdc_final_state(spark, sf_dir)
+    w = Window.partitionBy("conv_id").orderBy("turn_idx")
+    return fs.select(
+        "conv_id",
+        "turn_idx",
+        F.row_number().over(w).alias("turn_rank"),
+        F.lag("turn_idx").over(w).alias("prev_turn_idx"),
+        "text",
+    )
+
+
+# --------------------------------------------------- CDC (binary round-trip)
+
+
+def binlog_fixture_dir(spark: SparkSession, sf_dir: str) -> str:
+    """Generate (once, cached) the binary binlog chunks for sf_dir's derived
+    changelog.  Encoding runs distributed (one task per chunk)."""
+    tag = hashlib.sha1(
+        f"{sf_dir}:epf={spec.EVENTS_PER_FILE}:v3".encode()
+    ).hexdigest()[:12]
+    out = os.path.join(tempfile.gettempdir(), "mbs_fixtures", tag)
+    marker = os.path.join(out, "_COMPLETE")
+    if os.path.exists(marker):
+        return out
+    shutil.rmtree(out, ignore_errors=True)
+    os.makedirs(out, exist_ok=True)
+    changelog = changelog_df(spark, sf_dir, with_duplicates=False)
+    generate_binlog_chunks(changelog, out)
+    with open(marker, "w") as f:
+        f.write("ok")
+    return out
+
+
+def decoded_binary_df(spark, sf_dir, include=None) -> DataFrame:
+    chunks = binlog_fixture_dir(spark, sf_dir)
+    return read_binlog(
+        spark,
+        os.path.join(chunks, "binlog.*[0-9]"),
+        image_cols=[
+            ("conv_id", "string"), ("turn_idx", "int"), ("role", "string"),
+            ("text", "string"), ("tool", "string"), ("ts", "timestamp"),
+            ("tool_version", "string"),
+        ],
+        include=include,
+    )
+
+
+def q_cdc_decode_binary(spark, sf_dir):
+    """Full wire round-trip: derived changelog → binary chunks → vectorized
+    decode → row images.  The oracle recomputes the same rows from SQL; the
+    join key is (log_file, within-file sequence)."""
+    dec = decoded_binary_df(spark, sf_dir)
+    dec = image_view(dec, IMAGE_COLS)
+    w = Window.partitionBy("log_file").orderBy("log_pos", "batch_seq")
+    return dec.select(
+        "log_file",
+        F.row_number().over(w).alias("seq"),
+        "schema_name", "table_name", "action",
+        "conv_id", "turn_idx", "role", "text", "tool", "tool_version", "ts",
+    )
+
+
+def q_cdc_apply_e2e(spark, sf_dir):
+    """End-to-end engine run: binary chunks → decode → filter → dedup →
+    last-writer → mini-lake MERGE epochs (schema evolution + exactly-once
+    commits) → final snapshot."""
+    chunks = binlog_fixture_dir(spark, sf_dir)
+    lake_dir = tempfile.mkdtemp(prefix="mbs_lake_")
+    table = LakeTable.create(
+        lake_dir,
+        columns=[
+            ("conv_id", "string"), ("turn_idx", "int"), ("role", "string"),
+            ("text", "string"), ("tool", "string"), ("ts", "timestamp"),
+        ],
+        key_cols=KEY_COLS,
+        n_buckets=16,
+    )
+    replay_batch(
+        spark, chunks, table, include=[("app", "transcripts")], files_per_epoch=2
+    )
+    return table.snapshot_df(spark).select(*FINAL_COLS)
+
+
+def q_entry(spark: SparkSession) -> DataFrame:
+    return q_cdc_apply_e2e(spark, "/root/testdata/sf0.001")
+
+
+# ------------------------------------------------------------------ oracles
+
+
+def oracle_cdc_changelog():
+    return spec.changelog_sql("duckdb")
+
+
+def oracle_cdc_dedup_lsn():
+    return spec.dedup_sql("duckdb")
+
+
+def oracle_cdc_last_writer():
+    return spec.last_writer_sql("duckdb")
+
+
+def oracle_cdc_final_state():
+    return spec.final_state_sql("duckdb")
+
+
+def _over_dedup(agg_sql: str) -> str:
+    return f"WITH dedup AS ({spec.dedup_sql('duckdb')}) {agg_sql}"
+
+
+def oracle_cdc_stats_by_table():
+    return _over_dedup(
+        """
+        SELECT schema_name, table_name,
+               COUNT(*) AS n_rows,
+               COUNT(DISTINCT log_file) AS n_files,
+               CAST(SUM(LENGTH(text)) AS BIGINT) AS text_chars,
+               MIN(log_pos) AS min_pos, MAX(log_pos) AS max_pos
+        FROM dedup GROUP BY schema_name, table_name
+        """
+    )
+
+
+def oracle_cdc_stats_interval():
+    return _over_dedup(
+        """
+        SELECT date_trunc('hour', ts) AS bucket_ts,
+               COUNT(*) AS n_rows,
+               CAST(SUM(CASE WHEN action='insert' THEN 1 ELSE 0 END) AS BIGINT) AS n_inserts,
+               CAST(SUM(CASE WHEN action='update' THEN 1 ELSE 0 END) AS BIGINT) AS n_updates,
+               CAST(SUM(CASE WHEN action='delete' THEN 1 ELSE 0 END) AS BIGINT) AS n_deletes
+        FROM dedup GROUP BY 1
+        """
+    )
+
+
+def oracle_cdc_lineage():
+    return _over_dedup(
+        """
+        SELECT log_file, MIN(log_pos) AS min_pos, MAX(log_pos) AS max_pos,
+               COUNT(*) AS n_rows,
+               COUNT(DISTINCT (conv_id, turn_idx)) AS n_keys
+        FROM dedup GROUP BY log_file
+        """
+    )
+
+
+def oracle_cdc_filter_tables():
+    return _over_dedup(
+        """
+        SELECT action, COUNT(*) AS n_rows FROM dedup
+        WHERE schema_name='app' AND table_name='transcripts'
+        GROUP BY action
+        """
+    )
+
+
+def oracle_cdc_start_position():
+    pos = 4 + 500 * 128
+    return _over_dedup(
+        f"""
+        SELECT log_file, COUNT(*) AS n_rows, MIN(log_pos) AS min_pos
+        FROM dedup
+        WHERE log_file > 'binlog.000002'
+           OR (log_file = 'binlog.000002' AND log_pos >= {pos})
+        GROUP BY log_file
+        """
+    )
+
+
+def oracle_cdc_turn_ordering():
+    return f"""
+    WITH fs AS ({spec.final_state_sql('duckdb')})
+    SELECT conv_id, turn_idx,
+           ROW_NUMBER() OVER (PARTITION BY conv_id ORDER BY turn_idx)
+             AS turn_rank,
+           LAG(turn_idx) OVER (PARTITION BY conv_id ORDER BY turn_idx)
+             AS prev_turn_idx,
+           text
+    FROM fs
+    """
+
+
+def oracle_cdc_decode_binary():
+    return f"""
+    WITH dedup AS ({spec.dedup_sql('duckdb')})
+    SELECT log_file,
+           ROW_NUMBER() OVER (
+             PARTITION BY log_file ORDER BY log_pos, server_id) AS seq,
+           schema_name, table_name, action,
+           conv_id, turn_idx, role, text, tool, tool_version, ts
+    FROM dedup
+    """
+
+
+def oracle_cdc_apply_e2e():
+    return spec.final_state_sql("duckdb")

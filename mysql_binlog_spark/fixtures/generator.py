@@ -1,0 +1,247 @@
+"""Distributed binlog-chunk fixture generator.
+
+Encodes a decoded change-log DataFrame (the spec derivation, or any frame
+with the same columns) into binary binlog chunk files — one Spark task per
+chunk via ``applyInPandas`` grouped on ``log_file`` — so fixture generation
+itself scales with cores (bench generates ~10⁷-event logs this way).
+
+Frame layout per chunk (FIXTURES.md §3): magic + FORMAT_DESCRIPTION, lazy
+TABLE_MAP per (schema, table, schema-version) on first use, BEGIN/XID
+transaction framing, periodic HEARTBEATs (decoder must drop them,
+EventsIterator.php:153-156), ROTATE trailer on non-final chunks
+(EventsIterator.php:326-333), CRC32 everywhere.
+
+Row images: insert/update ``after`` = the changelog row's image columns;
+update ``before`` = the key's previous image (computed with a lag window);
+delete carries the row's image as its before-image (binlog_row_image=FULL
+semantics, RowFactory.php:52-54).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+
+import pandas as pd
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from ..wire import (
+    TYPE_BLOB,
+    TYPE_LONG,
+    TYPE_TIMESTAMP2,
+    TYPE_VARCHAR,
+    BinlogWriter,
+    TableSchema,
+    WireColumn,
+)
+
+IMAGE_COLS_V1 = ["conv_id", "turn_idx", "role", "text", "tool", "ts"]
+IMAGE_COLS_V2 = IMAGE_COLS_V1 + ["tool_version"]
+
+
+def transcripts_schema(
+    schema: str, table: str, table_id: int, with_tool_version: bool
+) -> TableSchema:
+    cols = [
+        WireColumn("conv_id", TYPE_VARCHAR, nullable=False, meta=64),
+        WireColumn("turn_idx", TYPE_LONG, nullable=False),
+        WireColumn("role", TYPE_VARCHAR, nullable=False, meta=32),
+        WireColumn("text", TYPE_BLOB, nullable=False, meta=2),
+        WireColumn("tool", TYPE_VARCHAR, nullable=True, meta=64),
+        WireColumn("ts", TYPE_TIMESTAMP2, nullable=False, meta=6),
+    ]
+    if with_tool_version:
+        cols.append(WireColumn("tool_version", TYPE_VARCHAR, nullable=True, meta=32))
+    return TableSchema(schema=schema, table=table, columns=cols,
+                       primary_key=(0, 1), table_id=table_id)
+
+
+def _ts_pair(val) -> tuple[int, int]:
+    ns = pd.Timestamp(val).value
+    return ns // 1_000_000_000, (ns % 1_000_000_000) // 1_000
+
+
+def _image(row, cols) -> dict:
+    out = {}
+    for c in cols:
+        v = row.get(c)
+        if pd.isna(v):
+            out[c] = None
+        elif c == "ts":
+            out[c] = _ts_pair(v)
+        elif c == "turn_idx":
+            out[c] = int(v)
+        else:
+            out[c] = v
+    return out
+
+
+def with_schema_version(changelog: DataFrame) -> DataFrame:
+    """Tag each event with the table schema version in force at its LSN:
+    v2 starts at the first event carrying a non-NULL ``tool_version``
+    (schema evolution is monotone — M5/A4 semantics)."""
+    first_evo = (
+        changelog.filter(F.col("tool_version").isNotNull())
+        .select(F.min(F.struct("log_file", "log_pos")).alias("evo"))
+        .collect()[0]["evo"]
+    )
+    if first_evo is None:
+        return changelog.withColumn("schema_version", F.lit(1))
+    return changelog.withColumn(
+        "schema_version",
+        F.when(
+            F.struct("log_file", "log_pos")
+            >= F.struct(
+                F.lit(first_evo["log_file"]).alias("log_file"),
+                F.lit(first_evo["log_pos"]).alias("log_pos"),
+            ),
+            F.lit(2),
+        ).otherwise(F.lit(1)),
+    )
+
+
+def with_before_images(changelog: DataFrame) -> DataFrame:
+    """Attach per-key previous images (update before-images) via a lag
+    window over LSN order — the generator-side analog of the reference's
+    two-image update decode (RowFactory.php:171-177)."""
+    w = (
+        Window.partitionBy("schema_name", "table_name", "conv_id", "turn_idx")
+        .orderBy("log_file", "log_pos", "server_id")
+    )
+    out = changelog
+    for c in ["role", "text", "tool", "ts", "tool_version"]:
+        out = out.withColumn(f"prev_{c}", F.lag(c).over(w))
+    return out
+
+
+def generate_binlog_chunks(
+    changelog: DataFrame,
+    out_dir: str,
+    rows_per_event: int = 64,
+    heartbeat_every: int = 50,
+    write_index: bool = True,
+) -> pd.DataFrame:
+    """Encode ``changelog`` into ``out_dir/binlog.NNNNNN`` chunk files.
+
+    Returns a pandas frame of per-chunk stats
+    (log_file, n_frames, n_rows, n_bytes).
+    """
+    os.makedirs(out_dir, exist_ok=True)
+    files = sorted(
+        r["log_file"] for r in changelog.select("log_file").distinct().collect()
+    )
+    next_file = {f: files[i + 1] for i, f in enumerate(files[:-1])}
+
+    prepped = with_before_images(with_schema_version(changelog))
+
+    def encode_file(pdf: pd.DataFrame):
+        pdf = pdf.sort_values(["log_pos", "server_id"]).reset_index(drop=True)
+        log_file = pdf["log_file"].iloc[0]
+        first_ts = _ts_pair(pdf["ts"].iloc[0])[0]
+        writer = BinlogWriter(server_id=int(pdf["server_id"].iloc[0]),
+                              base_ts=first_ts)
+        table_ids: dict[tuple, int] = {}
+        current_xid = None
+        n_rows = 0
+        i, n = 0, len(pdf)
+        rows_list = pdf.to_dict("records")
+        while i < n:
+            row = rows_list[i]
+            ver = int(row["schema_version"])
+            key = (row["schema_name"], row["table_name"], ver)
+            # batch consecutive rows sharing table/action/version
+            j = i
+            batch = []
+            while (
+                j < n
+                and len(batch) < rows_per_event
+                and rows_list[j]["schema_name"] == key[0]
+                and rows_list[j]["table_name"] == key[1]
+                and int(rows_list[j]["schema_version"]) == ver
+                and rows_list[j]["action"] == row["action"]
+                and rows_list[j]["xid"] == row["xid"]
+            ):
+                batch.append(rows_list[j])
+                j += 1
+            if key not in table_ids:
+                table_ids[key] = 100 + len(table_ids)
+                tschema = transcripts_schema(key[0], key[1], table_ids[key], ver >= 2)
+                writer.write_table_map(_ts_pair(row["ts"])[0], tschema)
+            tschema = transcripts_schema(key[0], key[1], table_ids[key], ver >= 2)
+            img_cols = IMAGE_COLS_V2 if ver >= 2 else IMAGE_COLS_V1
+            ts_sec = _ts_pair(row["ts"])[0]
+            if row["xid"] != current_xid:
+                if current_xid is not None:
+                    writer.write_xid(ts_sec, int(current_xid))
+                writer.write_query(ts_sec, row["schema_name"], "BEGIN")
+                current_xid = row["xid"]
+            writer.server_id = int(row["server_id"])
+            action = row["action"]
+            images = [_image(r, img_cols) for r in batch]
+            if action == "update":
+                befores = [
+                    _image(
+                        {
+                            "conv_id": r["conv_id"],
+                            "turn_idx": r["turn_idx"],
+                            "role": r.get("prev_role"),
+                            "text": r.get("prev_text"),
+                            "tool": r.get("prev_tool"),
+                            "ts": r.get("prev_ts"),
+                            "tool_version": r.get("prev_tool_version"),
+                        },
+                        img_cols,
+                    )
+                    for r in batch
+                ]
+                writer.write_rows(ts_sec, tschema, action, images, befores)
+            else:
+                writer.write_rows(ts_sec, tschema, action, images)
+            n_rows += len(batch)
+            if writer.n_row_events % heartbeat_every == 0:
+                writer.write_heartbeat(log_file)
+            i = j
+        if current_xid is not None:
+            writer.write_xid(first_ts, int(current_xid))
+        nxt = next_file.get(log_file)
+        if nxt is not None:
+            writer.write_rotate(nxt)
+        data = writer.getvalue()
+        path = os.path.join(out_dir, log_file)
+        tmp = path + ".tmp"
+        with open(tmp, "wb") as f:
+            f.write(data)
+        os.rename(tmp, path)
+        if write_index:
+            with open(path + ".idx.json", "w") as f:
+                json.dump(
+                    [
+                        {"offset": o, "type": t, "size": s}
+                        for (o, t, s) in writer.frames
+                    ],
+                    f,
+                )
+        return pd.DataFrame(
+            [
+                {
+                    "log_file": log_file,
+                    "n_frames": len(writer.frames),
+                    "n_rows": n_rows,
+                    "n_bytes": len(data),
+                }
+            ]
+        )
+
+    stats = (
+        prepped.repartition("log_file")
+        .groupBy("log_file")
+        .applyInPandas(
+            encode_file,
+            schema="log_file string, n_frames long, n_rows long, n_bytes long",
+        )
+        .toPandas()
+        .sort_values("log_file")
+        .reset_index(drop=True)
+    )
+    return stats

@@ -1,0 +1,141 @@
+"""Apply-side operators: filter → LSN dedup → per-key last-writer winners.
+
+These are the north-rule additions (SURVEY.md §2.11 A1/A2) the reference
+leaves to the user ("This JSON can be sent to any destination",
+README.md:3).  Everything here is built-in Spark SQL — no Python in the
+hot path — so Catalyst/Tungsten own the physical plan.
+
+Scale notes (100 TB / 1000-executor thinking):
+
+* ``last_writer`` is a hash aggregation with ``max_by``; Spark performs
+  map-side partial aggregation, so each task reduces its input to ≤1 row
+  per key *before* the shuffle — the shuffle volume is bounded by
+  |distinct keys touched|, not |events|.
+* ``salted_last_writer`` adds an explicit two-phase reduce for pathological
+  single-key skew (one conv_id = 30% of events, BASELINE.json:6): phase 1
+  reduces (key, salt) groups, phase 2 reduces the ≤S survivors per key.
+  Results are identical to ``last_writer`` (max is associative).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+# total order of the change stream: natural sort of chunk names then byte
+# offset then row index inside the event, then origin server — the Spark
+# re-expression of BinlogPosition ordering (src/BinlogPosition.php:9-14,
+# ksort natural at src/Connection/Connection.php:120).
+LSN_COLS = ["log_file", "log_pos", "batch_seq", "server_id"]
+
+
+def filter_tables(
+    df: DataFrame,
+    include: list[tuple[str, str]] | None = None,
+    exclude: list[tuple[str, str]] | None = None,
+) -> DataFrame:
+    """Include/exclude table filter (reference F1, EventsIterator.php:103-130).
+
+    On the decoded stream this is a plain Catalyst filter; the decode source
+    additionally applies the same sets *inside* the decoder so excluded
+    tables never pay row-decode cost (the reference's pushdown, see
+    sources/binlog.py).
+    """
+    key = F.concat_ws(".", F.col("schema_name"), F.col("table_name"))
+    if include is not None:
+        df = df.filter(key.isin([f"{s}.{t}" for s, t in include]))
+    if exclude is not None:
+        df = df.filter(~key.isin([f"{s}.{t}" for s, t in exclude]))
+    return df
+
+
+def filter_start_lsn(df: DataFrame, start_lsn: tuple[str, int]) -> DataFrame:
+    """Start-position skip (reference F2, EventsIterator.php:207-215) as a
+    partition-prunable predicate."""
+    f, p = start_lsn
+    return df.filter(
+        (F.col("log_file") > f)
+        | ((F.col("log_file") == f) & (F.col("log_pos") >= p))
+    )
+
+
+def dedup_lsn(df: DataFrame, lsn_cols: list[str] | None = None) -> DataFrame:
+    """Drop exact re-deliveries: events are identical iff their LSN is —
+    (log_file, log_pos, server_id[, batch_seq]) — north-rule A1 first half
+    (batch analog of dropDuplicatesWithinWatermark)."""
+    cols = [c for c in (lsn_cols or LSN_COLS) if c in df.columns]
+    return df.dropDuplicates(cols)
+
+
+def _lsn_struct(df: DataFrame):
+    return F.struct(*[F.col(c) for c in LSN_COLS if c in df.columns])
+
+
+def last_writer(
+    df: DataFrame,
+    key_cols: list[str],
+    payload_cols: list[str],
+) -> DataFrame:
+    """Per-key last-LSN winner: one row per key carrying the winning event's
+    action + payload (north-rule A1 second half).
+
+    groupBy(key).agg(max_by(payload, lsn)) — partial-aggregated map-side,
+    single shuffle keyed on the merge key so the output is already
+    co-partitioned for the merge join.
+    """
+    payload = F.struct(F.col("action").alias("action"),
+                       *[F.col(c).alias(c) for c in payload_cols])
+    lsn = _lsn_struct(df)
+    win = df.groupBy(*key_cols).agg(
+        F.max_by(payload, lsn).alias("_win"), F.max(lsn).alias("_lsn")
+    )
+    return win.select(
+        *key_cols,
+        F.col("_win.action").alias("action"),
+        *[F.col(f"_win.{c}").alias(c) for c in payload_cols],
+        *[F.col(f"_lsn.{c}").alias(c) for c in LSN_COLS if c in df.columns],
+    )
+
+
+def salted_last_writer(
+    df: DataFrame,
+    key_cols: list[str],
+    payload_cols: list[str],
+    salt_buckets: int = 16,
+) -> DataFrame:
+    """Skew-hardened two-phase variant of ``last_writer`` (north-rule A2).
+
+    Phase 1 groups on (key, salt) where salt spreads one hot key's events
+    over ``salt_buckets`` reducers; phase 2 reduces the ≤``salt_buckets``
+    partial winners per key.  Identical result, bounded reducer fan-in.
+    """
+    payload = F.struct(F.col("action").alias("action"),
+                       *[F.col(c).alias(c) for c in payload_cols])
+    lsn = _lsn_struct(df)
+    salt = F.pmod(
+        F.xxhash64(*[F.col(c) for c in LSN_COLS if c in df.columns]),
+        F.lit(salt_buckets),
+    ).alias("_salt")
+    partial = (
+        df.withColumn("_salt", salt)
+        .groupBy(*key_cols, "_salt")
+        .agg(F.max_by(payload, lsn).alias("_win"), F.max(lsn).alias("_lsn"))
+    )
+    final = partial.groupBy(*key_cols).agg(
+        F.max_by(F.col("_win"), F.col("_lsn")).alias("_win"),
+        F.max(F.col("_lsn")).alias("_lsn"),
+    )
+    return final.select(
+        *key_cols,
+        F.col("_win.action").alias("action"),
+        *[F.col(f"_win.{c}").alias(c) for c in payload_cols],
+        *[F.col(f"_lsn.{c}").alias(c) for c in LSN_COLS if c in df.columns],
+    )
+
+
+def final_state(winners: DataFrame, payload_cols: list[str],
+                key_cols: list[str]) -> DataFrame:
+    """Applied table state from winners: everything but deletes."""
+    return winners.filter(F.col("action") != "delete").select(
+        *key_cols, *payload_cols
+    )

@@ -1,0 +1,212 @@
+"""Binlog chunk source: binary files → decoded change-row DataFrame.
+
+This is the engine's replacement for the reference's socket iterator
+(EventsIterator::getIterator, src/EventsIterator.php:73-88): instead of one
+fiber pulling one TCP stream, each Spark task decodes one (or more) recorded
+binlog chunk files independently — chunks are self-contained (TABLE_MAP
+re-emitted per chunk, mirroring the registry reset on ROTATE,
+EventsIterator.php:168-169), so decode is embarrassingly parallel.
+
+Filter pushdown staging (SURVEY.md §4): Catalyst cannot push predicates
+through a Python UDF, so the include/exclude table filter and the start-LSN
+skip are applied *inside* the decode task before row decode — exactly the
+reference's own ordering (check before row decode,
+EventsIterator.php:375-377; start-pos skip, :207-215) — and whole files
+before the start file are pruned from the file listing itself.
+"""
+
+from __future__ import annotations
+
+import os
+from typing import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..wire import TYPE_BLOB, TYPE_LONG, TYPE_TIMESTAMP2, TYPE_VARCHAR, decode_chunk
+
+_SPARK_TYPE = {
+    TYPE_LONG: "int",
+    TYPE_VARCHAR: "string",
+    TYPE_BLOB: "string",
+    TYPE_TIMESTAMP2: "timestamp",
+}
+
+META_COLS = [
+    ("log_file", "string"),
+    ("log_pos", "bigint"),
+    ("server_id", "bigint"),
+    ("event_ts", "timestamp"),
+    ("schema_name", "string"),
+    ("table_name", "string"),
+    ("action", "string"),
+    ("batch_seq", "int"),
+]
+
+
+def _load_binary(spark: SparkSession, paths: str | list[str]) -> DataFrame:
+    if isinstance(paths, str):
+        return spark.read.format("binaryFile").load(paths)
+    return spark.read.format("binaryFile").load(paths)
+
+
+def discover_tables(
+    spark: SparkSession, chunk_glob: str | list[str]
+) -> dict[tuple[str, str], list[tuple[str, str]]]:
+    """Cheap first pass: scan only TABLE_MAP frames of every chunk and merge
+    each table's column sets across schema versions (first-seen order) —
+    the distributed analog of the reference's TableMap registry (M5) plus
+    evolution detection (A4)."""
+    files = _load_binary(spark, chunk_glob)
+
+    def scan(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        rows = []
+        for pdf in it:
+            for path, content in zip(pdf["path"], pdf["content"]):
+                batch = decode_chunk(bytes(content), include=frozenset())
+                for (schema, table), t in batch.tables_seen.items():
+                    rows.append(
+                        {
+                            "log_file": os.path.basename(path),
+                            "schema_name": schema,
+                            "table_name": table,
+                            "columns": [
+                                f"{c.name}:{_SPARK_TYPE[c.ctype]}" for c in t.columns
+                            ],
+                        }
+                    )
+        yield pd.DataFrame(
+            rows,
+            columns=["log_file", "schema_name", "table_name", "columns"],
+        )
+
+    collected = (
+        files.select("path", "content")
+        .mapInPandas(
+            scan,
+            schema="log_file string, schema_name string, table_name string, "
+            "columns array<string>",
+        )
+        .collect()
+    )
+    merged: dict[tuple[str, str], list[tuple[str, str]]] = {}
+    for r in sorted(collected, key=lambda r: r["log_file"]):
+        key = (r["schema_name"], r["table_name"])
+        cols = merged.setdefault(key, [])
+        seen = {c[0] for c in cols}
+        for spec in r["columns"]:
+            name, typ = spec.split(":")
+            if name not in seen:
+                cols.append((name, typ))
+                seen.add(name)
+    return merged
+
+
+def decoded_schema_ddl(image_cols: list[tuple[str, str]]) -> str:
+    parts = [f"{n} {t}" for n, t in META_COLS]
+    parts += [f"before_{n} {t}" for n, t in image_cols]
+    parts += [f"after_{n} {t}" for n, t in image_cols]
+    return ", ".join(parts)
+
+
+def read_binlog(
+    spark: SparkSession,
+    chunk_glob: str | list[str],
+    image_cols: list[tuple[str, str]] | None = None,
+    include: set[tuple[str, str]] | None = None,
+    exclude: set[tuple[str, str]] | None = None,
+    start_lsn: tuple[str, int] | None = None,
+    verify_crc: bool = False,
+    files_df: DataFrame | None = None,
+) -> DataFrame:
+    """Decode binlog chunks into a flat change-row DataFrame.
+
+    Output schema: LSN + routing metadata columns (META_COLS) plus
+    ``before_*`` / ``after_*`` image columns.  ``image_cols`` defaults to
+    the union discovered from TABLE_MAP frames of the included tables.
+    """
+    if image_cols is None:
+        discovered = discover_tables(spark, chunk_glob)
+        keys = [
+            k
+            for k in discovered
+            if (include is None or k in include)
+            and (exclude is None or k not in exclude)
+        ]
+        image_cols = []
+        seen: set[str] = set()
+        for k in sorted(keys):
+            for name, typ in discovered[k]:
+                if name not in seen:
+                    image_cols.append((name, typ))
+                    seen.add(name)
+    ddl = decoded_schema_ddl(image_cols)
+    ts_cols = {n for n, t in image_cols if t == "timestamp"}
+
+    files = files_df if files_df is not None else _load_binary(spark, chunk_glob)
+    if start_lsn is not None:
+        # file-level pruning before any decode (reference's start-pos skip,
+        # EventsIterator.php:207-215, lifted to scan pruning)
+        start_file, start_pos = start_lsn
+        files = files.filter(
+            F.element_at(F.split(F.col("path"), "/"), -1) >= start_file
+        )
+    else:
+        start_file, start_pos = "", 0
+
+    col_names = [n for n, _ in image_cols]
+
+    def decode(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            for path, content in zip(pdf["path"], pdf["content"]):
+                name = os.path.basename(path)
+                sp = start_pos if name == start_file else 0
+                batch = decode_chunk(
+                    bytes(content),
+                    include=include,
+                    exclude=exclude,
+                    start_pos=sp,
+                    verify_crc=verify_crc,
+                )
+                n = len(batch.log_pos)
+                data: dict = {
+                    "log_file": [name] * n,
+                    "log_pos": batch.log_pos,
+                    "server_id": batch.server_id,
+                    "event_ts": pd.to_datetime(
+                        pd.Series(batch.ts, dtype="int64") * 1_000_000_000
+                    ),
+                    "schema_name": batch.schema_name,
+                    "table_name": batch.table_name,
+                    "action": batch.action,
+                    "batch_seq": batch.batch_seq,
+                }
+                for c in col_names:
+                    for side, images in (("before", batch.before),
+                                          ("after", batch.after)):
+                        vals = [
+                            (img.get(c) if img is not None else None)
+                            for img in images
+                        ]
+                        if c in ts_cols:
+                            ser = pd.to_datetime(
+                                pd.Series(vals, dtype="Int64"), unit="us"
+                            )
+                        else:
+                            ser = pd.Series(vals, dtype="object")
+                        data[f"{side}_{c}"] = ser
+                yield pd.DataFrame(data)
+
+    return files.select("path", "content").mapInPandas(decode, schema=ddl)
+
+
+def image_view(df: DataFrame, image_cols: list[str]) -> DataFrame:
+    """Collapse before/after into the event's effective row image
+    (after for insert/update, before for delete) — the shape the apply
+    stage and the reference's JSON emission both use."""
+    out = df
+    for c in image_cols:
+        out = out.withColumn(c, F.coalesce(F.col(f"after_{c}"), F.col(f"before_{c}")))
+    return out.drop(*[f"after_{c}" for c in image_cols],
+                    *[f"before_{c}" for c in image_cols])

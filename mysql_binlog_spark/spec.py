@@ -1,0 +1,176 @@
+"""Deterministic CDC-log derivation shared by the engine and its oracle.
+
+The driver's correctness gate runs each Spark query side-by-side with an
+ANSI-SQL oracle on DuckDB over the same parquet tables.  To test CDC
+semantics that way, we derive a synthetic change-event log over a
+``transcripts`` table (the BASELINE.json input hint:
+``conv_id, turn_idx, role, text, tool, ts``) **deterministically from the
+driver's ``events`` table** — no RNG, no wall clock — using ONE SQL template
+rendered for both dialects, so Spark and DuckDB compute identical rows by
+construction.
+
+The derived log models every scenario segment of FIXTURES.md §4:
+
+* inserts/updates (first event for a key is the insert; rule mirrors the
+  reference's action discriminator, WriteRows.php:14 / UpdateRows.php:14),
+* deletes (``event_id % 37 == 0``),
+* exact duplicate re-delivery (``event_id % 101 == 0`` rows unioned twice,
+  same LSN — exercises dropDuplicates, north-rule A1),
+* hot-key skew (~30% of events hit ``conv_hot``),
+* include/exclude filter noise (``other_db`` / ``ignore_me`` rows,
+  EventsIterator.php:103-130 semantics),
+* schema evolution (``tool_version`` non-NULL only for
+  ``event_id >= evo_event`` — "new tool/role fields", BASELINE.json:6).
+
+LSN columns follow the reference's BinlogPosition model
+(src/BinlogPosition.php:9-14): ``log_file`` rotates every
+``events_per_file`` events; ``log_pos`` is strictly monotone within a file.
+"""
+
+from __future__ import annotations
+
+EVENTS_PER_FILE = 2500
+SERVER_ID = 666
+ROW_EVENT_STRIDE = 128  # synthetic byte stride between events in a file
+
+# key space / content knobs (all pure functions of event_id / user_id)
+N_TURNS = 40
+DELETE_MOD = 37
+DUP_MOD = 101
+HOT_MOD = 10
+HOT_LT = 3  # event_id % 10 < 3  → ~30% of events hit conv_hot
+OTHER_DB_MOD = 53
+IGNORE_TABLE_MOD = 59
+
+
+def _idiv(dialect: str, a: str, b: str) -> str:
+    return f"({a} // {b})" if dialect == "duckdb" else f"({a} div {b})"
+
+
+def changelog_sql(
+    dialect: str,
+    events_rel: str = "events",
+    events_per_file: int = EVENTS_PER_FILE,
+    with_duplicates: bool = True,
+) -> str:
+    """The full derived change log (one row per change event).
+
+    Columns: log_file, log_pos, server_id, xid, ts, schema_name, table_name,
+    action, conv_id, turn_idx, role, text, tool, tool_version.
+
+    ``with_duplicates`` unions an exact re-delivery of every
+    ``event_id % DUP_MOD == 0`` row (same LSN) — the dedup fixture.
+    """
+    assert dialect in ("spark", "duckdb")
+    idiv = lambda a, b: _idiv(dialect, a, b)  # noqa: E731
+
+    file_idx = idiv("e.event_id", str(events_per_file))
+    base = f"""
+    WITH evo AS (
+      SELECT {_idiv(dialect, "(MAX(event_id) + 1)", "2")} AS evo_event
+      FROM {events_rel}
+    ),
+    derived AS (
+      SELECT
+        printf('binlog.%06d', 1 + {file_idx}) AS log_file,
+        CAST(4 + (e.event_id % {events_per_file}) * {ROW_EVENT_STRIDE} AS BIGINT)
+          AS log_pos,
+        CAST({SERVER_ID} AS BIGINT) AS server_id,
+        CAST({idiv("e.event_id", "10")} AS BIGINT) AS xid,
+        e.ts AS ts,
+        CASE WHEN e.event_id % {OTHER_DB_MOD} = 0 THEN 'other_db' ELSE 'app' END
+          AS schema_name,
+        CASE WHEN e.event_id % {IGNORE_TABLE_MOD} = 0 THEN 'ignore_me'
+             ELSE 'transcripts' END AS table_name,
+        CASE WHEN e.event_id % {HOT_MOD} < {HOT_LT} THEN 'conv_hot'
+             ELSE printf('conv_%05d', e.user_id) END AS conv_id,
+        CAST(e.event_id % {N_TURNS} AS INT) AS turn_idx,
+        CASE CAST(e.event_id % 4 AS INT)
+          WHEN 0 THEN 'user' WHEN 1 THEN 'assistant'
+          WHEN 2 THEN 'system' ELSE 'tool' END AS role,
+        e.event_type || ' turn ' || CAST(e.event_id AS STRING) ||
+          CASE WHEN e.event_id % 13 = 0 THEN ' émoji ✓' ELSE '' END AS text,
+        CASE WHEN e.event_id % 4 = 3
+             THEN 'tool_' || CAST(e.event_id % 7 AS STRING)
+             ELSE NULL END AS tool,
+        CASE WHEN e.event_id >= evo.evo_event AND e.event_id % 4 = 3
+             THEN 'v' || CAST(e.event_id % 3 AS STRING)
+             ELSE NULL END AS tool_version,
+        CASE WHEN e.event_id % {DELETE_MOD} = 0 THEN 'delete' ELSE NULL END
+          AS forced_action,
+        e.event_id AS event_id
+      FROM {events_rel} e CROSS JOIN evo
+    ),
+    tagged AS (
+      SELECT
+        log_file, log_pos, server_id, xid, ts, schema_name, table_name,
+        COALESCE(
+          forced_action,
+          CASE WHEN ROW_NUMBER() OVER (
+                 PARTITION BY schema_name, table_name, conv_id, turn_idx
+                 ORDER BY event_id) = 1
+               THEN 'insert' ELSE 'update' END
+        ) AS action,
+        conv_id, turn_idx, role, text, tool, tool_version, event_id
+      FROM derived
+    )
+    """
+    if dialect == "duckdb":
+        base = base.replace("AS STRING", "AS VARCHAR")
+    select_cols = (
+        "log_file, log_pos, server_id, xid, ts, schema_name, table_name, "
+        "action, conv_id, turn_idx, role, text, tool, tool_version"
+    )
+    if with_duplicates:
+        return (
+            base
+            + f"""
+    SELECT {select_cols} FROM tagged
+    UNION ALL
+    SELECT {select_cols} FROM tagged WHERE event_id % {DUP_MOD} = 0
+    """
+        )
+    return base + f"\n    SELECT {select_cols} FROM tagged\n"
+
+
+def dedup_sql(dialect: str, events_rel: str = "events") -> str:
+    """LSN-dedup (north-rule A1, first half): drop exact re-deliveries by
+    (log_file, log_pos, server_id).  Equals the no-duplicates changelog."""
+    return changelog_sql(dialect, events_rel, with_duplicates=False)
+
+
+def last_writer_sql(
+    dialect: str,
+    events_rel: str = "events",
+    include_schema: str = "app",
+    include_table: str = "transcripts",
+) -> str:
+    """Per-key last-LSN winner over the filtered changelog (north-rule A1,
+    second half): mirrors groupBy(key).agg(max_by(..., lsn))."""
+    inner = changelog_sql(dialect, events_rel, with_duplicates=False)
+    return f"""
+    WITH changelog AS ({inner})
+    SELECT conv_id, turn_idx, action, role, text, tool, tool_version, ts,
+           log_file, log_pos
+    FROM (
+      SELECT c.*,
+             ROW_NUMBER() OVER (
+               PARTITION BY conv_id, turn_idx
+               ORDER BY log_file DESC, log_pos DESC, server_id DESC) AS rn
+      FROM changelog c
+      WHERE schema_name = '{include_schema}' AND table_name = '{include_table}'
+    ) w
+    WHERE rn = 1
+    """
+
+
+def final_state_sql(dialect: str, events_rel: str = "events") -> str:
+    """Applied table state: last-writer winners minus deletes — what the
+    lake table must contain after a full replay (the north rule's
+    'reference final table state')."""
+    inner = last_writer_sql(dialect, events_rel)
+    return f"""
+    WITH winners AS ({inner})
+    SELECT conv_id, turn_idx, role, text, tool, tool_version, ts
+    FROM winners WHERE action <> 'delete'
+    """

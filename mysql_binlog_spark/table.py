@@ -1,0 +1,314 @@
+"""LakeTable — an Iceberg-shaped lake-table layer (offline substitute).
+
+No Iceberg runtime jar is obtainable in this sandbox (no network), so the
+MERGE sink (north-rule A3-A6) is implemented as a miniature
+manifest-committed table whose surface mirrors Iceberg's:
+
+* ``merge_into(updates, epoch_id)``  ≈ ``MERGE INTO t USING s ON key
+  WHEN MATCHED AND s.action='delete' THEN DELETE
+  WHEN MATCHED THEN UPDATE SET * WHEN NOT MATCHED THEN INSERT *``
+* ``add_columns``                    ≈ ``ALTER TABLE … ADD COLUMN``
+* ``snapshot_df``                    ≈ snapshot read
+* idempotent epoch commits           ≈ WAP / exactly-once sink
+
+Layout::
+
+    table/
+      _schema/v0001.json       # schema versions (ADD COLUMN only)
+      _commits/c0000001.json   # manifest: bucket -> live data files,
+                               # epoch_id, lineage; atomic tmp+rename
+      data/ep=<epoch>/bucket=K/part-*.parquet
+
+Data files are hash-bucketed on the leading key column, so one merge epoch
+rewrites only buckets containing touched keys (bucket pruning at the FILE
+level — the manifest maps buckets to files, no directory listing on read).
+A commit whose ``epoch_id`` already exists is a no-op: re-delivered epochs
+cannot double-apply (north-rule A6).  Crash after data write but before the
+manifest rename leaves unreferenced orphans only.
+
+Cross-epoch correctness: every row stores its applied LSN; the merge winner
+per key is ``max_by(payload, lsn)`` over {current row} ∪ {updates}, so a
+late epoch replaying *older* events can never regress a newer row
+(last-writer-wins is global, not per-batch).
+
+If a real Iceberg catalog is available, this class is the only swap point.
+"""
+
+from __future__ import annotations
+
+import glob as globmod
+import json
+import os
+import time
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+LSN_FIELDS = [
+    ("log_file", "string"),
+    ("log_pos", "bigint"),
+    ("batch_seq", "int"),
+    ("server_id", "bigint"),
+]
+LSN_COLS = [n for n, _ in LSN_FIELDS]
+
+
+class LakeTable:
+    def __init__(self, path: str):
+        self.path = path
+
+    # ------------------------------------------------------------- metadata
+
+    @classmethod
+    def create(
+        cls,
+        path: str,
+        columns: list[tuple[str, str]],
+        key_cols: list[str],
+        n_buckets: int = 32,
+    ) -> "LakeTable":
+        os.makedirs(os.path.join(path, "_schema"), exist_ok=True)
+        os.makedirs(os.path.join(path, "_commits"), exist_ok=True)
+        os.makedirs(os.path.join(path, "data"), exist_ok=True)
+        t = cls(path)
+        if not t.schema_versions():
+            t._write_schema(
+                {
+                    "version": 1,
+                    "columns": columns,
+                    "key": key_cols,
+                    "n_buckets": n_buckets,
+                }
+            )
+        return t
+
+    def _write_schema(self, doc: dict) -> None:
+        p = os.path.join(self.path, "_schema", f"v{doc['version']:04d}.json")
+        tmp = p + ".tmp"
+        with open(tmp, "w") as f:
+            json.dump(doc, f)
+        os.rename(tmp, p)
+
+    def schema_versions(self) -> list[str]:
+        return sorted(globmod.glob(os.path.join(self.path, "_schema", "v*.json")))
+
+    def schema_doc(self) -> dict:
+        with open(self.schema_versions()[-1]) as f:
+            return json.load(f)
+
+    @property
+    def key_cols(self) -> list[str]:
+        return self.schema_doc()["key"]
+
+    def columns(self) -> list[tuple[str, str]]:
+        return [tuple(c) for c in self.schema_doc()["columns"]]
+
+    def ddl(self, with_lsn: bool = True, with_action: bool = False) -> str:
+        cols = self.columns()
+        if with_lsn:
+            cols = cols + LSN_FIELDS
+        if with_action:
+            cols = cols + [("action", "string")]
+        return ", ".join(f"{n} {t}" for n, t in cols)
+
+    def add_columns(self, new_cols: list[tuple[str, str]]) -> None:
+        """ADD COLUMN schema evolution (north-rule A4): old data files are
+        narrower; reads backfill NULL via explicit-schema parquet scan."""
+        doc = self.schema_doc()
+        have = {c[0] for c in doc["columns"]}
+        added = [c for c in new_cols if c[0] not in have]
+        if not added:
+            return
+        doc["version"] += 1
+        doc["columns"] = doc["columns"] + [list(c) for c in added]
+        self._write_schema(doc)
+
+    # -------------------------------------------------------------- commits
+
+    def commits(self) -> list[str]:
+        return sorted(globmod.glob(os.path.join(self.path, "_commits", "c*.json")))
+
+    def last_commit(self) -> dict | None:
+        cs = self.commits()
+        if not cs:
+            return None
+        with open(cs[-1]) as f:
+            return json.load(f)
+
+    def committed_epochs(self) -> set[str]:
+        out = set()
+        for c in self.commits():
+            with open(c) as f:
+                out.add(json.load(f)["epoch_id"])
+        return out
+
+    def live_files(self, buckets: set[int] | None = None) -> list[str]:
+        last = self.last_commit()
+        if not last:
+            return []
+        files: list[str] = []
+        for b, fs in last["buckets"].items():
+            if buckets is None or int(b) in buckets:
+                files.extend(fs)
+        return files
+
+    def _commit(self, doc: dict) -> None:
+        seq = len(self.commits()) + 1
+        p = os.path.join(self.path, "_commits", f"c{seq:07d}.json")
+        tmp = p + f".tmp-{os.getpid()}"
+        with open(tmp, "w") as f:
+            json.dump(doc, f)
+        os.rename(tmp, p)  # atomic publish
+
+    # ---------------------------------------------------------------- reads
+
+    def snapshot_df(self, spark: SparkSession, with_lsn: bool = False) -> DataFrame:
+        files = self.live_files()
+        schema = self.ddl(with_lsn=True)
+        if not files:
+            return spark.createDataFrame([], schema)
+        df = spark.read.schema(schema).parquet(*files)
+        if not with_lsn:
+            df = df.drop(*LSN_COLS)
+        return df
+
+    # ---------------------------------------------------------------- merge
+
+    def _bucket_expr(self):
+        n = self.schema_doc()["n_buckets"]
+        return F.pmod(F.xxhash64(F.col(self.key_cols[0])), F.lit(n)).cast("int")
+
+    def merge_into(
+        self,
+        spark: SparkSession,
+        updates: DataFrame,
+        epoch_id: str,
+        evolve_schema: bool = True,
+    ) -> dict:
+        """Apply one epoch of per-key winner rows (columns: key + payload +
+        ``action`` + LSN columns; ≤1 row per key — run ``last_writer``
+        upstream).  Returns commit stats; re-delivered epochs are no-ops.
+        """
+        if epoch_id in self.committed_epochs():
+            return {"epoch_id": epoch_id, "skipped": True}
+
+        if evolve_schema:
+            known = {c[0] for c in self.columns()} | set(LSN_COLS) | {"action"}
+            new = [
+                (f.name, f.dataType.simpleString())
+                for f in updates.schema.fields
+                if f.name not in known
+            ]
+            if new:
+                self.add_columns(new)
+
+        cols = self.columns()
+        col_names = [n for n, _ in cols]
+        key = self.key_cols
+
+        # normalize update projection to the (possibly evolved) table schema
+        upd = updates
+        for n, t in cols:
+            if n not in upd.columns:
+                upd = upd.withColumn(n, F.lit(None).cast(t))
+        upd = upd.select(
+            *[F.col(n).cast(t).alias(n) for n, t in cols],
+            *[F.col(n).cast(t).alias(n) for n, t in LSN_FIELDS],
+            F.col("action"),
+        ).withColumn("bucket", self._bucket_expr())
+
+        touched = {
+            r["bucket"] for r in upd.select("bucket").distinct().collect()
+        }
+        n_buckets = self.schema_doc()["n_buckets"]
+
+        cur_files = self.live_files(touched)
+        if cur_files:
+            cur = (
+                spark.read.schema(self.ddl(with_lsn=True)).parquet(*cur_files)
+                .withColumn("action", F.lit("keep"))
+                .withColumn("bucket", self._bucket_expr())
+            )
+            combined = cur.unionByName(upd)
+        else:
+            combined = upd
+
+        payload = F.struct(
+            F.col("action").alias("action"),
+            *[F.col(n).alias(n) for n in col_names],
+        )
+        lsn = F.struct(*[F.col(n) for n in LSN_COLS])
+        merged = (
+            combined.groupBy(*key)
+            .agg(F.max_by(payload, lsn).alias("_w"), F.max(lsn).alias("_lsn"))
+            .select(
+                *[F.col(f"_w.{n}").alias(n) for n in ["action"] + col_names],
+                *[F.col(f"_lsn.{n}").alias(n) for n in LSN_COLS],
+            )
+            .filter(F.col("action") != "delete")
+            .drop("action")
+            .withColumn("bucket", self._bucket_expr())
+        )
+
+        # lineage metrics before the write (north-rule A7)
+        lineage_rows = (
+            upd.groupBy("log_file")
+            .agg(
+                F.min("log_pos").alias("min_pos"),
+                F.max("log_pos").alias("max_pos"),
+                F.count(F.lit(1)).alias("rows"),
+                F.sum(F.when(F.col("action") == "delete", 1).otherwise(0)).alias(
+                    "deletes"
+                ),
+            )
+            .collect()
+        )
+        lineage = {
+            r["log_file"]: {
+                "min_pos": r["min_pos"],
+                "max_pos": r["max_pos"],
+                "rows": r["rows"],
+                "deletes": r["deletes"],
+            }
+            for r in lineage_rows
+        }
+
+        safe_epoch = "".join(
+            ch if ch.isalnum() or ch in "-_." else "_" for ch in epoch_id
+        )
+        epoch_dir = os.path.join(self.path, "data", f"ep={safe_epoch}")
+        (
+            merged.repartition(max(1, min(len(touched), 200)), "bucket")
+            .write.mode("overwrite")
+            .partitionBy("bucket")
+            .parquet(epoch_dir)
+        )
+
+        new_bucket_files: dict[str, list[str]] = {}
+        for bdir in globmod.glob(os.path.join(epoch_dir, "bucket=*")):
+            b = bdir.rsplit("=", 1)[1]
+            new_bucket_files[b] = sorted(
+                globmod.glob(os.path.join(bdir, "*.parquet"))
+            )
+
+        last = self.last_commit()
+        buckets = dict(last["buckets"]) if last else {}
+        for b in range(n_buckets):
+            sb = str(b)
+            if b in touched:
+                buckets[sb] = new_bucket_files.get(sb, [])
+        doc = {
+            "epoch_id": epoch_id,
+            "schema_version": self.schema_doc()["version"],
+            "buckets": buckets,
+            "lineage": lineage,
+            "touched_buckets": sorted(touched),
+            "wall_time": time.time(),
+        }
+        self._commit(doc)
+        return {
+            "epoch_id": epoch_id,
+            "skipped": False,
+            "touched_buckets": len(touched),
+            "lineage": lineage,
+        }

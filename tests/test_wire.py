@@ -1,0 +1,186 @@
+"""Unit tests for the binlog wire codec (SURVEY.md §5.2.2)."""
+
+from __future__ import annotations
+
+import struct
+import zlib
+
+import pytest
+
+from mysql_binlog_spark.wire import (
+    CRC_LEN,
+    HEADER_LEN,
+    MAGIC,
+    TYPE_BLOB,
+    TYPE_LONG,
+    TYPE_TIMESTAMP2,
+    TYPE_VARCHAR,
+    BinlogWriter,
+    TableSchema,
+    WireColumn,
+    decode_chunk,
+    pack_lenenc,
+    read_lenenc,
+)
+
+
+def sample_schema(with_v2: bool = False, table_id: int = 100) -> TableSchema:
+    cols = [
+        WireColumn("conv_id", TYPE_VARCHAR, nullable=False, meta=64),
+        WireColumn("turn_idx", TYPE_LONG, nullable=False),
+        WireColumn("role", TYPE_VARCHAR, nullable=False, meta=32),
+        WireColumn("text", TYPE_BLOB, nullable=False, meta=2),
+        WireColumn("tool", TYPE_VARCHAR, nullable=True, meta=64),
+        WireColumn("ts", TYPE_TIMESTAMP2, nullable=False, meta=6),
+    ]
+    if with_v2:
+        cols.append(WireColumn("tool_version", TYPE_VARCHAR, nullable=True, meta=32))
+    return TableSchema("app", "transcripts", cols, (0, 1), table_id)
+
+
+ROW = {
+    "conv_id": "conv_00001",
+    "turn_idx": 7,
+    "role": "assistant",
+    "text": "héllo ✓ multi-byte",
+    "tool": None,
+    "ts": (1700000000, 123456),
+}
+
+
+def test_lenenc_roundtrip():
+    for n in [0, 1, 250, 251, 255, 256, 65535, 65536, 1 << 22, 1 << 30]:
+        b = pack_lenenc(n)
+        got, off = read_lenenc(memoryview(b), 0)
+        assert got == n and off == len(b)
+
+
+def test_insert_roundtrip():
+    w = BinlogWriter(server_id=42)
+    t = sample_schema()
+    w.write_table_map(1700000000, t)
+    w.write_rows(1700000001, t, "insert", [ROW])
+    batch = decode_chunk(w.getvalue(), verify_crc=True)
+    assert batch.action == ["insert"]
+    assert batch.server_id == [42]
+    after = batch.after[0]
+    assert after["conv_id"] == "conv_00001"
+    assert after["turn_idx"] == 7
+    assert after["text"] == "héllo ✓ multi-byte"
+    assert after["tool"] is None
+    assert after["ts"] == 1700000000 * 1_000_000 + 123456
+    assert batch.before[0] is None
+
+
+def test_update_before_after():
+    w = BinlogWriter()
+    t = sample_schema()
+    w.write_table_map(0, t)
+    before = dict(ROW, text="old", tool="tool_3")
+    w.write_rows(0, t, "update", [ROW], befores=[before])
+    b = decode_chunk(w.getvalue(), verify_crc=True)
+    assert b.action == ["update"]
+    assert b.before[0]["text"] == "old"
+    assert b.before[0]["tool"] == "tool_3"
+    assert b.after[0]["text"] == ROW["text"]
+
+
+def test_delete_carries_before_image():
+    w = BinlogWriter()
+    t = sample_schema()
+    w.write_table_map(0, t)
+    w.write_rows(0, t, "delete", [ROW])
+    b = decode_chunk(w.getvalue(), verify_crc=True)
+    assert b.action == ["delete"]
+    assert b.after[0] is None
+    assert b.before[0]["conv_id"] == "conv_00001"
+
+
+def test_multi_row_event_batch_seq():
+    w = BinlogWriter()
+    t = sample_schema()
+    w.write_table_map(0, t)
+    rows = [dict(ROW, turn_idx=i, text=f"t{i}") for i in range(5)]
+    w.write_rows(0, t, "insert", rows)
+    b = decode_chunk(w.getvalue(), verify_crc=True)
+    assert b.batch_seq == [0, 1, 2, 3, 4]
+    assert [r["text"] for r in b.after] == ["t0", "t1", "t2", "t3", "t4"]
+    # one event, one shared offset
+    assert len(set(b.log_pos)) == 1
+
+
+def test_include_exclude_pushdown():
+    w = BinlogWriter()
+    t1 = sample_schema(table_id=100)
+    t2 = TableSchema("other_db", "t", sample_schema().columns, (0, 1), 101)
+    w.write_table_map(0, t1)
+    w.write_table_map(0, t2)
+    w.write_rows(0, t1, "insert", [ROW])
+    w.write_rows(0, t2, "insert", [ROW])
+    data = w.getvalue()
+    only_t1 = decode_chunk(data, include={("app", "transcripts")})
+    assert set(only_t1.schema_name) == {"app"}
+    no_t2 = decode_chunk(data, exclude={("other_db", "t")})
+    assert set(no_t2.schema_name) == {"app"}
+    both = decode_chunk(data)
+    assert len(both.action) == 2
+
+
+def test_schema_evolution_two_table_maps():
+    w = BinlogWriter()
+    t1 = sample_schema(table_id=100)
+    t2 = sample_schema(with_v2=True, table_id=101)
+    w.write_table_map(0, t1)
+    w.write_rows(0, t1, "insert", [ROW])
+    w.write_table_map(0, t2)
+    w.write_rows(0, t2, "insert", [dict(ROW, tool_version="v1")])
+    b = decode_chunk(w.getvalue(), verify_crc=True)
+    assert "tool_version" not in b.after[0]
+    assert b.after[1]["tool_version"] == "v1"
+    assert ("app", "transcripts") in b.tables_seen
+    # merged registry keeps the latest (widest) TableMap
+    assert len(b.tables_seen[("app", "transcripts")].columns) == 7
+
+
+def test_start_pos_skip():
+    w = BinlogWriter()
+    t = sample_schema()
+    w.write_table_map(0, t)
+    first = w.write_rows(0, t, "insert", [ROW])
+    second = w.write_rows(0, t, "insert", [dict(ROW, turn_idx=8)])
+    b = decode_chunk(w.getvalue(), start_pos=second)
+    assert len(b.action) == 1
+    assert b.after[0]["turn_idx"] == 8
+    assert first < second
+
+
+def test_crc_detects_corruption():
+    w = BinlogWriter()
+    t = sample_schema()
+    w.write_table_map(0, t)
+    w.write_rows(0, t, "insert", [ROW])
+    data = bytearray(w.getvalue())
+    data[-10] ^= 0xFF  # flip a byte inside the last event body
+    with pytest.raises(AssertionError):
+        decode_chunk(bytes(data), verify_crc=True)
+
+
+def test_position_bookkeeping():
+    """Header log_pos = end offset; events are contiguous
+    (the reference asserts this, EventsIterator.php:175-196)."""
+    w = BinlogWriter()
+    t = sample_schema()
+    w.write_table_map(0, t)
+    w.write_rows(0, t, "insert", [ROW])
+    data = w.getvalue()
+    off = len(MAGIC)
+    while off < len(data):
+        ts, etype, sid, size, end_pos, flags = struct.unpack_from(
+            "<IBIIIH", data, off
+        )
+        assert end_pos == off + size
+        body = data[off : off + size - CRC_LEN]
+        crc = struct.unpack_from("<I", data, off + size - CRC_LEN)[0]
+        assert crc == (zlib.crc32(body) & 0xFFFFFFFF)
+        off += size
+    assert off == len(data)
