@@ -125,14 +125,17 @@ def replay_stream(
     # file-reference stream: one row per chunk file
     refs = (
         spark.readStream.format("binaryFile")
+        .schema(
+            "path string, modificationTime timestamp, length long, content binary"
+        )
         .option("maxFilesPerTrigger", max_files_per_trigger)
         .option("pathGlobFilter", "binlog.*[0-9]")
         .load(chunk_dir)
-        .select("path", "content")
+        .select("path")
     )
 
     def apply_batch(batch_df, batch_id: int):
-        paths = [r["path"] for r in batch_df.select("path").collect()]
+        paths = [r["path"] for r in batch_df.collect()]
         if not paths:
             return
         epoch_id = f"stream-{batch_id}-{os.path.basename(sorted(paths)[0])}"

@@ -103,12 +103,12 @@ class LakeTable:
     def columns(self) -> list[tuple[str, str]]:
         return [tuple(c) for c in self.schema_doc()["columns"]]
 
-    def ddl(self, with_lsn: bool = True, with_action: bool = False) -> str:
+    def ddl(self, with_lsn: bool = True, with_tombstone: bool = False) -> str:
         cols = self.columns()
         if with_lsn:
             cols = cols + LSN_FIELDS
-        if with_action:
-            cols = cols + [("action", "string")]
+        if with_tombstone:
+            cols = cols + [("_deleted", "boolean")]
         return ", ".join(f"{n} {t}" for n, t in cols)
 
     def add_columns(self, new_cols: list[tuple[str, str]]) -> None:
@@ -163,11 +163,17 @@ class LakeTable:
     # ---------------------------------------------------------------- reads
 
     def snapshot_df(self, spark: SparkSession, with_lsn: bool = False) -> DataFrame:
+        """Live rows only: delete tombstones (retained so that replayed
+        *older* epochs cannot resurrect deleted keys) are filtered out."""
         files = self.live_files()
-        schema = self.ddl(with_lsn=True)
+        schema = self.ddl(with_lsn=True, with_tombstone=True)
         if not files:
-            return spark.createDataFrame([], schema)
-        df = spark.read.schema(schema).parquet(*files)
+            return spark.createDataFrame([], self.ddl(with_lsn=with_lsn))
+        df = (
+            spark.read.schema(schema).parquet(*files)
+            .filter(~F.col("_deleted"))
+            .drop("_deleted")
+        )
         if not with_lsn:
             df = df.drop(*LSN_COLS)
         return df
@@ -225,8 +231,15 @@ class LakeTable:
         cur_files = self.live_files(touched)
         if cur_files:
             cur = (
-                spark.read.schema(self.ddl(with_lsn=True)).parquet(*cur_files)
-                .withColumn("action", F.lit("keep"))
+                spark.read.schema(self.ddl(with_lsn=True, with_tombstone=True))
+                .parquet(*cur_files)
+                .withColumn(
+                    "action",
+                    F.when(F.col("_deleted"), F.lit("delete")).otherwise(
+                        F.lit("keep")
+                    ),
+                )
+                .drop("_deleted")
                 .withColumn("bucket", self._bucket_expr())
             )
             combined = cur.unionByName(upd)
@@ -245,7 +258,7 @@ class LakeTable:
                 *[F.col(f"_w.{n}").alias(n) for n in ["action"] + col_names],
                 *[F.col(f"_lsn.{n}").alias(n) for n in LSN_COLS],
             )
-            .filter(F.col("action") != "delete")
+            .withColumn("_deleted", F.col("action") == "delete")
             .drop("action")
             .withColumn("bucket", self._bucket_expr())
         )
