@@ -45,6 +45,26 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cdc_turn_ordering": dq.q_cdc_turn_ordering,
         "cdc_decode_binary": dq.q_cdc_decode_binary,
         "cdc_apply_e2e": dq.q_cdc_apply_e2e,
+        # training-data pipeline: dedup families
+        "doc_dedup_exact": dq.q_doc_dedup_exact,
+        "doc_minhash_signatures": dq.q_doc_minhash_signatures,
+        "doc_neardup_minhash_lsh": dq.q_doc_neardup_minhash_lsh,
+        "doc_neardup_jaccard": dq.q_doc_neardup_jaccard,
+        "doc_simhash": dq.q_doc_simhash,
+        # text analysis
+        "doc_langid": dq.q_doc_langid,
+        "doc_quality": dq.q_doc_quality,
+        "doc_tokens": dq.q_doc_tokens,
+        "doc_fingerprint": dq.q_doc_fingerprint,
+        # similarity search / ANN
+        "emb_cosine_knn": dq.q_emb_cosine_knn,
+        "emb_lsh_buckets": dq.q_emb_lsh_buckets,
+        "emb_neardup_cosine": dq.q_emb_neardup_cosine,
+        # multimodal plumbing
+        "multimodal_meta": dq.q_multimodal_meta,
+        "multimodal_frames": dq.q_multimodal_frames,
+        # windowed / sessionization
+        "events_sessionize": dq.q_events_sessionize,
     }
 
 
@@ -63,4 +83,20 @@ def oracle_sql() -> dict[str, str]:
         "cdc_turn_ordering": dq.oracle_cdc_turn_ordering(),
         "cdc_decode_binary": dq.oracle_cdc_decode_binary(),
         "cdc_apply_e2e": dq.oracle_cdc_apply_e2e(),
+        "doc_dedup_exact": dq.oracle_doc_dedup_exact(),
+        "doc_minhash_signatures": dq.oracle_doc_minhash_signatures(),
+        "doc_neardup_minhash_lsh": dq.oracle_doc_neardup_minhash_lsh(),
+        "doc_neardup_jaccard": dq.oracle_doc_neardup_jaccard(),
+        # doc_simhash: pandas-UDF sketch — rows-only driver check,
+        # pytest-verified against a pure-Python oracle.
+        "doc_langid": dq.oracle_doc_langid(),
+        "doc_quality": dq.oracle_doc_quality(),
+        "doc_tokens": dq.oracle_doc_tokens(),
+        "doc_fingerprint": dq.oracle_doc_fingerprint(),
+        "emb_cosine_knn": dq.oracle_emb_cosine_knn(),
+        "emb_lsh_buckets": dq.oracle_emb_lsh_buckets(),
+        "emb_neardup_cosine": dq.oracle_emb_neardup_cosine(),
+        "multimodal_meta": dq.oracle_multimodal_meta(),
+        # multimodal_frames: stubbed decode kernel — rows-only check.
+        "events_sessionize": dq.oracle_events_sessionize(),
     }

@@ -340,3 +340,332 @@ def oracle_cdc_decode_binary():
 
 def oracle_cdc_apply_e2e():
     return spec.final_state_sql("duckdb")
+
+
+# ===================================================== training-data pipeline
+# (documents / embeddings tables; SURVEY.md "beyond the reference" operators)
+
+from .functions import text as T  # noqa: E402
+from .functions.hashing import hyperplanes, md5_bigint_sql, minhash_signature_sql, seeded_sql  # noqa: E402
+from .operators.dedup import (  # noqa: E402
+    exact_duplicates,
+    minhash_dedup_pairs,
+    minhash_signatures,
+    simhash_buckets,
+)
+from .operators.multimodal import decode_frames, with_binary_payload  # noqa: E402
+from .operators.sessionize import sessionize, sessionize_sql  # noqa: E402
+from .operators.similarity import cosine_knn, cosine_neardup_pairs, lsh_ann_buckets  # noqa: E402
+
+MINHASH_K = 12
+SHINGLE_N = 3
+JACCARD_T = 0.8
+COS_T = 0.45
+ANN_PLANES = 8
+NEARDUP_PLANES = 4
+EMB_DIM = 64
+KNN_K = 10
+KNN_QUERIES = 5
+
+
+def _docs(spark, sf_dir):
+    return spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
+
+
+def _embs(spark, sf_dir):
+    return spark.read.parquet(os.path.join(sf_dir, "embeddings.parquet"))
+
+
+def q_doc_dedup_exact(spark, sf_dir):
+    return exact_duplicates(_docs(spark, sf_dir))
+
+
+def oracle_doc_dedup_exact():
+    return f"""
+    SELECT {T.fingerprint_sql('text')} AS fp,
+           MIN(doc_id) AS canonical_id,
+           COUNT(*) AS n_copies
+    FROM documents GROUP BY 1
+    """
+
+
+def q_doc_minhash_signatures(spark, sf_dir):
+    return minhash_signatures(_docs(spark, sf_dir), k=MINHASH_K,
+                              shingle_n=SHINGLE_N).drop("shingles")
+
+
+def oracle_doc_minhash_signatures():
+    sig = minhash_signature_sql("s", MINHASH_K)
+    return f"""
+    WITH sh AS (
+      SELECT doc_id, {T.word_shingles_sql('text', SHINGLE_N)} AS s
+      FROM documents
+    )
+    SELECT doc_id, {', '.join(sig)} FROM sh
+    """
+
+
+def q_doc_neardup_minhash_lsh(spark, sf_dir):
+    docs = _docs(spark, sf_dir)
+    return minhash_dedup_pairs(
+        docs, k=MINHASH_K, rows_per_band=2, shingle_n=SHINGLE_N,
+        threshold=JACCARD_T,
+    )
+
+
+def oracle_doc_neardup_minhash_lsh():
+    sig = minhash_signature_sql("s", MINHASH_K)
+    n_bands = MINHASH_K // 2
+    band_exprs = ", ".join(
+        f"(CAST(mh{2 * b} AS VARCHAR) || ':' || CAST(mh{2 * b + 1} AS VARCHAR))"
+        f" AS band{b}"
+        for b in range(n_bands)
+    )
+    band_match = " OR ".join(f"a.band{b} = b.band{b}" for b in range(n_bands))
+    return f"""
+    WITH sh AS (
+      SELECT doc_id, {T.word_shingles_sql('text', SHINGLE_N)} AS s
+      FROM documents
+    ), sig AS (
+      SELECT doc_id, s, {', '.join(sig)} FROM sh
+    ), banded AS (
+      SELECT doc_id, s, {band_exprs} FROM sig
+    ), cand AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, a.s AS sa, b.s AS sb
+      FROM banded a JOIN banded b
+        ON a.doc_id < b.doc_id AND ({band_match})
+    )
+    SELECT doc_a, doc_b,
+           len(list_intersect(sa, sb))::DOUBLE
+             / len(list_distinct(list_concat(sa, sb))) AS jaccard
+    FROM cand
+    WHERE len(list_intersect(sa, sb))::DOUBLE
+            / len(list_distinct(list_concat(sa, sb))) >= {JACCARD_T}
+    """
+
+
+def q_doc_neardup_jaccard(spark, sf_dir):
+    """Exhaustive n-gram Jaccard near-dup (the exact baseline the LSH
+    variant approximates)."""
+    docs = _docs(spark, sf_dir)
+    sh = docs.select(
+        "doc_id", T.word_shingles(F.col("text"), SHINGLE_N).alias("s")
+    )
+    a, b = sh.alias("a"), sh.alias("b")
+    jac = F.size(F.array_intersect("a.s", "b.s")) / F.size(
+        F.array_union("a.s", "b.s")
+    )
+    return (
+        a.join(b, F.col("a.doc_id") < F.col("b.doc_id"))
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            jac.alias("jaccard"),
+        )
+        .filter(F.col("jaccard") >= JACCARD_T)
+    )
+
+
+def oracle_doc_neardup_jaccard():
+    return f"""
+    WITH sh AS (
+      SELECT doc_id, {T.word_shingles_sql('text', SHINGLE_N)} AS s
+      FROM documents
+    )
+    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+           len(list_intersect(a.s, b.s))::DOUBLE
+             / len(list_distinct(list_concat(a.s, b.s))) AS jaccard
+    FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+    WHERE len(list_intersect(a.s, b.s))::DOUBLE
+            / len(list_distinct(list_concat(a.s, b.s))) >= {JACCARD_T}
+    """
+
+
+def q_doc_simhash(spark, sf_dir):
+    """SimHash sketch + bands (pandas-UDF sketch → rows-only driver check;
+    pytest verifies against a pure-Python oracle)."""
+    return simhash_buckets(_docs(spark, sf_dir))
+
+
+def q_doc_langid(spark, sf_dir):
+    docs = _docs(spark, sf_dir)
+    return docs.select(
+        "doc_id",
+        T.predicted_lang(F.col("text")).alias("pred_lang"),
+    )
+
+
+def oracle_doc_langid():
+    return f"SELECT doc_id, {T.predicted_lang_sql('text')} AS pred_lang FROM documents"
+
+
+def q_doc_quality(spark, sf_dir):
+    docs = _docs(spark, sf_dir)
+    feats = T.quality_features(F.col("text"))
+    return docs.select("doc_id", *[v.alias(k) for k, v in feats.items()])
+
+
+def oracle_doc_quality():
+    feats = T.quality_features_sql("text")
+    cols = ", ".join(f"{v} AS {k}" for k, v in feats.items())
+    return f"SELECT doc_id, {cols} FROM documents"
+
+
+def q_doc_tokens(spark, sf_dir):
+    docs = _docs(spark, sf_dir)
+    return docs.select(
+        "doc_id",
+        T.ws_token_count(F.col("text")).alias("n_ws_tokens"),
+        T.bpe_ish_token_count(F.col("text")).alias("n_bpe_tokens"),
+        F.length("text").alias("n_chars"),
+    )
+
+
+def oracle_doc_tokens():
+    return f"""
+    SELECT doc_id,
+           len(regexp_split_to_array(trim(text), '{T.WS}')) AS n_ws_tokens,
+           len(regexp_extract_all(lower(text), '{T.BPE_ISH}')) AS n_bpe_tokens,
+           length(text) AS n_chars
+    FROM documents
+    """
+
+
+def q_doc_fingerprint(spark, sf_dir):
+    docs = _docs(spark, sf_dir)
+    return docs.select(
+        "doc_id",
+        T.fingerprint(F.col("text")).alias("fp"),
+        T.prefix_fingerprint(F.col("text")).alias("prefix_fp"),
+    )
+
+
+def oracle_doc_fingerprint():
+    return f"""
+    SELECT doc_id, {T.fingerprint_sql('text')} AS fp,
+           {T.prefix_fingerprint_sql('text')} AS prefix_fp
+    FROM documents
+    """
+
+
+# ----------------------------------------------------------- similarity/ANN
+
+
+def _duck_cos(a: str, b: str) -> str:
+    return (
+        f"(list_dot_product({a}, {b})"
+        f" / (sqrt(list_dot_product({a}, {a})) * sqrt(list_dot_product({b}, {b}))))"
+    )
+
+
+def q_emb_cosine_knn(spark, sf_dir):
+    embs = _embs(spark, sf_dir)
+    queries = embs.filter(F.col("vec_id") < KNN_QUERIES)
+    return cosine_knn(embs, queries, k=KNN_K)
+
+
+def oracle_emb_cosine_knn():
+    cos = _duck_cos("q.embedding", "c.embedding")
+    return f"""
+    WITH scored AS (
+      SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+             round({cos}, 4) AS cos_sim
+      FROM embeddings q JOIN embeddings c ON c.vec_id <> q.vec_id
+      WHERE q.vec_id < {KNN_QUERIES}
+    ), ranked AS (
+      SELECT *, ROW_NUMBER() OVER (
+        PARTITION BY query_id ORDER BY cos_sim DESC, neighbor_id) AS rank
+      FROM scored
+    )
+    SELECT query_id, neighbor_id, cos_sim, rank FROM ranked
+    WHERE rank <= {KNN_K}
+    """
+
+
+def _plane_literals_sql(planes):
+    return [
+        "[" + ", ".join(f"{v:.1f}" for v in p) + "]::DOUBLE[]" for p in planes
+    ]
+
+
+def q_emb_lsh_buckets(spark, sf_dir):
+    return lsh_ann_buckets(_embs(spark, sf_dir), n_planes=ANN_PLANES, dim=EMB_DIM)
+
+
+def oracle_emb_lsh_buckets():
+    planes = _plane_literals_sql(hyperplanes(ANN_PLANES, EMB_DIM))
+    terms = " + ".join(
+        f"(CASE WHEN list_dot_product(embedding, {p}) >= 0 "
+        f"THEN {1 << j} ELSE 0 END)"
+        for j, p in enumerate(planes)
+    )
+    return f"SELECT vec_id, CAST({terms} AS BIGINT) AS bucket FROM embeddings"
+
+
+def q_emb_neardup_cosine(spark, sf_dir):
+    return cosine_neardup_pairs(
+        _embs(spark, sf_dir), threshold=COS_T, n_planes=NEARDUP_PLANES,
+        dim=EMB_DIM,
+    )
+
+
+def oracle_emb_neardup_cosine():
+    planes = _plane_literals_sql(hyperplanes(NEARDUP_PLANES, EMB_DIM))
+
+    def bucket(rel: str) -> str:
+        return " + ".join(
+            f"(CASE WHEN list_dot_product({rel}.embedding, {p}) >= 0 "
+            f"THEN {1 << j} ELSE 0 END)"
+            for j, p in enumerate(planes)
+        )
+
+    cos = _duck_cos("a.embedding", "b.embedding")
+    return f"""
+    SELECT a.vec_id AS vec_a, b.vec_id AS vec_b, round({cos}, 4) AS cos_sim
+    FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+    WHERE ({bucket('a')}) = ({bucket('b')})
+      AND round({cos}, 4) >= {COS_T}
+    """
+
+
+# ------------------------------------------------------ multimodal plumbing
+
+
+def q_multimodal_meta(spark, sf_dir):
+    media = with_binary_payload(_docs(spark, sf_dir))
+    return media.select(
+        "doc_id",
+        F.col("media_meta.n_bytes").alias("n_bytes"),
+        F.col("media_meta.checksum").alias("checksum"),
+        F.col("media_meta.codec_id").alias("codec_id"),
+    )
+
+
+def oracle_multimodal_meta():
+    return """
+    SELECT doc_id,
+           octet_length(encode(text))::INT AS n_bytes,
+           md5(text) AS checksum,
+           (octet_length(encode(text)) % 3)::INT AS codec_id
+    FROM documents
+    """
+
+
+def q_multimodal_frames(spark, sf_dir):
+    """Frame-sample decode plumbing (stub kernel; rows-only driver check +
+    pytest oracle)."""
+    media = with_binary_payload(_docs(spark, sf_dir))
+    return decode_frames(media)
+
+
+# ------------------------------------------------------------ sessionization
+
+
+def q_events_sessionize(spark, sf_dir):
+    _events(spark, sf_dir)
+    ev = spark.table("events")
+    return sessionize(ev)
+
+
+def oracle_events_sessionize():
+    return sessionize_sql("events")

@@ -1,0 +1,188 @@
+"""Text-analysis functions for transcript/document corpora.
+
+All hot-path expressions are built-in Spark SQL (JVM, whole-stage codegen)
+— no Python UDFs.  Each builder has a DuckDB-SQL twin (``*_SQL``) used by
+the driver-contract oracles, kept adjacent so the two dialects stay in
+lockstep.  Portable hashing uses md5 (identical hex in Spark and DuckDB);
+see functions/hashing.py.
+
+Operators covered: language-ID (stopword-hit heuristic), quality scoring
+(length/punct/stopword ratios), token counting (whitespace + BPE-ish
+regex), document fingerprinting (normalized md5 + prefix fingerprint).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+# ---------------------------------------------------------------- language
+
+LANG_STOPWORDS = {
+    "en": ["the", "and", "of", "to", "in", "is", "that", "for", "with", "was"],
+    "es": ["el", "la", "de", "que", "los", "las", "una", "por", "con", "para"],
+    "fr": ["le", "les", "des", "une", "est", "dans", "pour", "qui", "sur", "avec"],
+    "de": ["der", "die", "das", "und", "ist", "von", "mit", "den", "nicht", "ein"],
+}
+CJK_RANGE = "[一-鿿]"
+
+
+def _stopword_pattern(lang: str) -> str:
+    return r"\b(" + "|".join(LANG_STOPWORDS[lang]) + r")\b"
+
+
+def lang_hit_counts(text: Column) -> dict[str, Column]:
+    low = F.lower(text)
+    out = {
+        lang: F.size(F.regexp_extract_all(low, F.lit(_stopword_pattern(lang)), 0))
+        for lang in LANG_STOPWORDS
+    }
+    out["zh"] = F.size(F.regexp_extract_all(low, F.lit(CJK_RANGE), 0))
+    return out
+
+
+def predicted_lang(text: Column) -> Column:
+    """argmax of stopword hits, ties broken in fixed order en>es>fr>de>zh,
+    'und' (undetermined) when nothing hits."""
+    c = lang_hit_counts(text)
+    best = F.greatest(*c.values())
+    expr = F.lit("und")
+    for lang in ["zh", "de", "fr", "es", "en"]:  # reverse priority
+        expr = F.when((c[lang] == best) & (best > 0), F.lit(lang)).otherwise(expr)
+    return expr
+
+
+def predicted_lang_sql(col: str = "text") -> str:
+    """DuckDB twin of predicted_lang."""
+    hits = {
+        lang: f"len(regexp_extract_all(lower({col}), '{_stopword_pattern(lang)}'))"
+        for lang in LANG_STOPWORDS
+    }
+    hits["zh"] = f"len(regexp_extract_all(lower({col}), '{CJK_RANGE}'))"
+    best = "greatest(" + ", ".join(hits.values()) + ")"
+    expr = "'und'"
+    for lang in ["zh", "de", "fr", "es", "en"]:
+        expr = (
+            f"CASE WHEN {hits[lang]} = {best} AND {best} > 0 "
+            f"THEN '{lang}' ELSE {expr} END"
+        )
+    return expr
+
+
+# ----------------------------------------------------------------- quality
+
+WS = r"\s+"
+PUNCT = r"[^\w\s]"
+BPE_ISH = r"[a-z]+|[0-9]+|[^a-z0-9\s]"
+
+
+def ws_token_count(text: Column) -> Column:
+    return F.size(F.split(F.trim(text), WS))
+
+
+def bpe_ish_token_count(text: Column) -> Column:
+    return F.size(F.regexp_extract_all(F.lower(text), F.lit(BPE_ISH), 0))
+
+
+def quality_features(text: Column) -> dict[str, Column]:
+    n_chars = F.length(text)
+    n_words = ws_token_count(text)
+    n_punct = F.size(F.regexp_extract_all(text, F.lit(PUNCT), 0))
+    n_stop = F.size(
+        F.regexp_extract_all(F.lower(text), F.lit(_stopword_pattern("en")), 0)
+    )
+    punct_ratio = F.round(n_punct / F.greatest(n_chars, F.lit(1)), 6)
+    stop_ratio = F.round(n_stop / F.greatest(n_words, F.lit(1)), 6)
+    score = F.round(
+        0.4 * F.least(F.lit(1.0), n_words / F.lit(100.0))
+        + 0.3 * (1.0 - punct_ratio)
+        + 0.3 * F.least(F.lit(1.0), 4.0 * stop_ratio),
+        4,
+    )
+    return {
+        "n_chars": n_chars,
+        "n_words": n_words,
+        "n_punct": n_punct,
+        "n_stopwords": n_stop,
+        "punct_ratio": punct_ratio,
+        "stopword_ratio": stop_ratio,
+        "quality_score": score,
+    }
+
+
+def quality_features_sql(col: str = "text") -> dict[str, str]:
+    n_chars = f"length({col})"
+    n_words = f"len(regexp_split_to_array(trim({col}), '{WS}'))"
+    n_punct = f"len(regexp_extract_all({col}, '{PUNCT}'))"
+    n_stop = (
+        f"len(regexp_extract_all(lower({col}), '{_stopword_pattern('en')}'))"
+    )
+    punct_ratio = f"round({n_punct} / greatest({n_chars}, 1), 6)"
+    stop_ratio = f"round({n_stop} / greatest({n_words}, 1), 6)"
+    score = (
+        f"round(0.4 * least(1.0, {n_words} / 100.0)"
+        f" + 0.3 * (1.0 - {punct_ratio})"
+        f" + 0.3 * least(1.0, 4.0 * {stop_ratio}), 4)"
+    )
+    return {
+        "n_chars": n_chars,
+        "n_words": n_words,
+        "n_punct": n_punct,
+        "n_stopwords": n_stop,
+        "punct_ratio": punct_ratio,
+        "stopword_ratio": stop_ratio,
+        "quality_score": score,
+    }
+
+
+# ------------------------------------------------------------- fingerprint
+
+def normalized_text(text: Column) -> Column:
+    return F.trim(F.regexp_replace(F.lower(text), WS, " "))
+
+
+def fingerprint(text: Column) -> Column:
+    return F.md5(normalized_text(text))
+
+
+def prefix_fingerprint(text: Column, n: int = 64) -> Column:
+    return F.md5(F.substring(normalized_text(text), 1, n))
+
+
+NORMALIZED_SQL = "trim(regexp_replace(lower({col}), '\\s+', ' ', 'g'))"
+
+
+def fingerprint_sql(col: str = "text") -> str:
+    return f"md5({NORMALIZED_SQL.format(col=col)})"
+
+
+def prefix_fingerprint_sql(col: str = "text", n: int = 64) -> str:
+    return f"md5(substr({NORMALIZED_SQL.format(col=col)}, 1, {n}))"
+
+
+# ---------------------------------------------------------------- shingles
+
+def word_shingles(text: Column, n: int = 3) -> Column:
+    """Distinct word n-gram shingles (JVM-side: split → sequence →
+    transform/slice)."""
+    w = F.split(F.lower(F.trim(text)), WS)
+    return F.when(
+        F.size(w) >= n,
+        F.array_distinct(
+            F.transform(
+                F.sequence(F.lit(1), F.size(w) - (n - 1)),
+                lambda i: F.concat_ws(" ", F.slice(w, i, n)),
+            )
+        ),
+    ).otherwise(F.array_distinct(F.array(F.concat_ws(" ", w))))
+
+
+def word_shingles_sql(col: str = "text", n: int = 3) -> str:
+    """DuckDB twin (1-based end-inclusive list slicing)."""
+    w = f"regexp_split_to_array(lower(trim({col})), '{WS}')"
+    return (
+        f"CASE WHEN len({w}) >= {n} THEN "
+        f"list_distinct(list_transform(generate_series(1, len({w}) - {n - 1}), "
+        f"i -> array_to_string(({w})[i:i+{n - 1}], ' '))) "
+        f"ELSE list_distinct([array_to_string({w}, ' ')]) END"
+    )

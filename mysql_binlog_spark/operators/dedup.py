@@ -1,0 +1,188 @@
+"""Deduplication operator family for document/transcript corpora.
+
+Scale shapes (the 100 TB story; tested small via the driver oracle):
+
+* **exact**  — hash-groupBy on a normalized fingerprint: one shuffle keyed
+  on a 128-bit hash, map-side partial agg, no skew (hash keys uniform).
+* **minhash + LSH** — shingle → k min-hashes → band → *bucket join*: the
+  O(n²) candidate search becomes |bucket|² within buckets only; band
+  values are uniform hashes so the shuffle is balanced by construction.
+* **n-gram Jaccard verify** — exact set overlap only on LSH candidates.
+* **SimHash** — 64-bit near-dup sketch; Hamming-adjacent buckets probed by
+  rotating band masks.  (Vectorized pandas UDF: popcount has no builtin.)
+* **embedding cosine near-dup** — see operators/similarity.py.
+
+Every operator is expressible over any DataFrame with (id, text) — the
+driver queries run them over the ``documents`` table.
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.functions import pandas_udf
+
+from ..functions.hashing import minhash_signature, python_md5_bigint
+from ..functions.text import fingerprint, word_shingles
+
+
+def exact_duplicates(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Exact dedup via normalized-text fingerprint: one row per distinct
+    content with the canonical (min) id and the duplicate count."""
+    return (
+        df.select(
+            F.col(id_col), fingerprint(F.col(text_col)).alias("fp")
+        )
+        .groupBy("fp")
+        .agg(
+            F.min(id_col).alias("canonical_id"),
+            F.count(F.lit(1)).alias("n_copies"),
+        )
+    )
+
+
+def minhash_signatures(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text",
+    k: int = 12, shingle_n: int = 3,
+) -> DataFrame:
+    sh = word_shingles(F.col(text_col), shingle_n)
+    return df.select(F.col(id_col), sh.alias("shingles")).select(
+        id_col, "shingles", *minhash_signature(F.col("shingles"), k)
+    )
+
+
+def lsh_candidate_pairs(
+    sigs: DataFrame, id_col: str = "doc_id", k: int = 12, rows_per_band: int = 2
+) -> DataFrame:
+    """Band the signature and self-join on band value — the scalable
+    candidate generation (explode to (band_idx, band_key), shuffle once,
+    pairs only within equal buckets)."""
+    n_bands = k // rows_per_band
+    bands = F.array(
+        *[
+            F.struct(
+                F.lit(b).alias("band_idx"),
+                F.concat_ws(
+                    ":",
+                    *[
+                        F.col(f"mh{b * rows_per_band + r}")
+                        for r in range(rows_per_band)
+                    ],
+                ).alias("band_key"),
+            )
+            for b in range(n_bands)
+        ]
+    )
+    exploded = sigs.select(F.col(id_col), F.explode(bands).alias("b")).select(
+        id_col, "b.band_idx", "b.band_key"
+    )
+    left = exploded.alias("l")
+    right = exploded.alias("r")
+    return (
+        left.join(
+            right,
+            (F.col("l.band_idx") == F.col("r.band_idx"))
+            & (F.col("l.band_key") == F.col("r.band_key"))
+            & (F.col(f"l.{id_col}") < F.col(f"r.{id_col}")),
+        )
+        .select(
+            F.col(f"l.{id_col}").alias("doc_a"), F.col(f"r.{id_col}").alias("doc_b")
+        )
+        .distinct()
+    )
+
+
+def jaccard_verify(
+    candidates: DataFrame,
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    shingle_n: int = 3,
+    threshold: float = 0.8,
+) -> DataFrame:
+    """Exact word-shingle Jaccard on candidate pairs only (the verify stage
+    after LSH; broadcast-friendly when candidates are few)."""
+    sh = docs.select(
+        F.col(id_col), word_shingles(F.col(text_col), shingle_n).alias("s")
+    )
+    a = sh.alias("a")
+    b = sh.alias("b")
+    joined = (
+        candidates.join(a, candidates.doc_a == F.col(f"a.{id_col}"))
+        .join(b, candidates.doc_b == F.col(f"b.{id_col}"))
+        .select(
+            "doc_a",
+            "doc_b",
+            (
+                F.size(F.array_intersect("a.s", "b.s"))
+                / F.size(F.array_union("a.s", "b.s"))
+            ).alias("jaccard"),
+        )
+    )
+    return joined.filter(F.col("jaccard") >= threshold)
+
+
+def minhash_dedup_pairs(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text",
+    k: int = 12, rows_per_band: int = 2, shingle_n: int = 3,
+    threshold: float = 0.8,
+) -> DataFrame:
+    """Full MinHash-LSH near-dup pipeline: signatures → banded candidates →
+    Jaccard verify."""
+    sigs = minhash_signatures(df, id_col, text_col, k, shingle_n)
+    cands = lsh_candidate_pairs(sigs, id_col, k, rows_per_band)
+    return jaccard_verify(cands, df, id_col, text_col, shingle_n, threshold)
+
+
+# ------------------------------------------------------------------ SimHash
+
+
+def _simhash64_py(text: str, shingle_n: int = 3) -> int:
+    words = text.lower().split()
+    if len(words) >= shingle_n:
+        shingles = {
+            " ".join(words[i : i + shingle_n])
+            for i in range(len(words) - shingle_n + 1)
+        }
+    else:
+        shingles = {" ".join(words)}
+    acc = [0] * 48  # md5_bigint is 48-bit; keep sketch width consistent
+    for s in shingles:
+        h = python_md5_bigint(s)
+        for b in range(48):
+            acc[b] += 1 if (h >> b) & 1 else -1
+    out = 0
+    for b in range(48):
+        if acc[b] > 0:
+            out |= 1 << b
+    return out
+
+
+def simhash48():
+    """48-bit SimHash over word-3-shingles (vectorized Arrow batch; the
+    popcount/bit-vote inner loop has no SQL builtin).  Built lazily — a
+    pandas_udf needs an active SparkSession."""
+
+    def _f(text: pd.Series) -> pd.Series:
+        return text.map(lambda t: _simhash64_py(t) if t is not None else None)
+
+    return pandas_udf(_f, "bigint")
+
+
+def simhash_buckets(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text",
+    band_bits: int = 12,
+) -> DataFrame:
+    """SimHash + banding: near-identical docs (small Hamming distance)
+    collide on at least one of the 4 12-bit bands."""
+    sh = df.select(F.col(id_col), simhash48()(F.col(text_col)).alias("simhash"))
+    bands = [
+        F.shiftright(F.col("simhash"), b * band_bits)
+        .bitwiseAND(F.lit((1 << band_bits) - 1))
+        .alias(f"band{b}")
+        for b in range(48 // band_bits)
+    ]
+    return sh.select(id_col, "simhash", *bands)

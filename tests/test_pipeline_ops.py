@@ -1,0 +1,83 @@
+"""Python-oracle tests for operators whose driver check is rows-only
+(pandas-UDF sketches, stubbed multimodal kernels), plus LSH recall sanity."""
+
+from __future__ import annotations
+
+import numpy as np
+from pyspark.sql import functions as F
+
+from mysql_binlog_spark.operators.dedup import (
+    _simhash64_py,
+    minhash_dedup_pairs,
+    simhash_buckets,
+)
+from mysql_binlog_spark.operators.multimodal import decode_frames, with_binary_payload
+from mysql_binlog_spark.operators.similarity import cosine_knn
+
+
+def _docs(spark, sf_dir):
+    return spark.read.parquet(f"{sf_dir}/documents.parquet")
+
+
+def test_simhash_matches_python_oracle(spark, sf_dir):
+    docs = _docs(spark, sf_dir)
+    got = {
+        r["doc_id"]: r["simhash"]
+        for r in simhash_buckets(docs).select("doc_id", "simhash").collect()
+    }
+    for r in docs.select("doc_id", "text").collect():
+        assert got[r["doc_id"]] == _simhash64_py(r["text"])
+
+
+def test_simhash_bands_catch_neardups(spark, sf_dir):
+    docs = _docs(spark, sf_dir)
+    pairs = {
+        (r["doc_a"], r["doc_b"])
+        for r in minhash_dedup_pairs(docs, threshold=0.9).collect()
+    }
+    if not pairs:
+        return  # no strong near-dups at this sf
+    b = simhash_buckets(docs)
+    bands = [c for c in b.columns if c.startswith("band")]
+    bucket = {r["doc_id"]: tuple(r[c] for c in bands) for r in b.collect()}
+    hit = sum(
+        any(x == y for x, y in zip(bucket[a], bucket[bid]))
+        for a, bid in pairs
+    )
+    assert hit / len(pairs) >= 0.8  # banding recall on j>=0.9 pairs
+
+
+def test_multimodal_frames_match_python(spark, sf_dir):
+    docs = _docs(spark, sf_dir).limit(20)
+    media = with_binary_payload(docs)
+    frames = decode_frames(media, frames_per_doc=4)
+    got = {
+        (r["doc_id"], r["frame_idx"]): (r["feat_mean"], r["feat_max"], r["frame_bytes"])
+        for r in frames.collect()
+    }
+    for r in docs.select("doc_id", "text").collect():
+        buf = np.frombuffer(r["text"].encode(), dtype=np.uint8)
+        n = max(1, len(buf) // 4)
+        for fi in range(4):
+            win = buf[fi * n : (fi + 1) * n]
+            if len(win) == 0:
+                win = buf[-1:]
+            fm, fx, fb = got[(r["doc_id"], fi)]
+            assert abs(fm - float(win.mean())) < 1e-9
+            assert fx == int(win.max()) and fb == len(win)
+    assert len(got) == 20 * 4
+
+
+def test_knn_self_consistency(spark, sf_dir):
+    embs = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    res = cosine_knn(embs, embs.filter(F.col("vec_id") < 3), k=5)
+    rows = res.collect()
+    assert len(rows) == 3 * 5
+    by_q = {}
+    for r in rows:
+        by_q.setdefault(r["query_id"], []).append((r["rank"], r["cos_sim"]))
+    for q, rs in by_q.items():
+        rs.sort()
+        sims = [s for _, s in rs]
+        assert sims == sorted(sims, reverse=True)  # rank consistent with sim
+        assert all(-1.0 <= s <= 1.0 for s in sims)
