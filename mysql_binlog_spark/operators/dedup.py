@@ -132,7 +132,9 @@ def minhash_dedup_pairs(
 ) -> DataFrame:
     """Full MinHash-LSH near-dup pipeline: signatures → banded candidates →
     Jaccard verify."""
-    sigs = minhash_signatures(df, id_col, text_col, k, shingle_n)
+    # persist the signatures: the LSH self-join references them twice and
+    # the 12 md5-min reductions are the expensive part of the plan
+    sigs = minhash_signatures(df, id_col, text_col, k, shingle_n).persist()
     cands = lsh_candidate_pairs(sigs, id_col, k, rows_per_band)
     return jaccard_verify(cands, df, id_col, text_col, shingle_n, threshold)
 

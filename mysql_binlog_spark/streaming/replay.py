@@ -23,7 +23,7 @@ from dataclasses import dataclass, field
 from pyspark.sql import SparkSession
 from pyspark.sql import functions as F
 
-from ..operators.apply import dedup_lsn, filter_tables, last_writer
+from ..operators.apply import filter_tables, last_writer
 from ..sources.binlog import image_view, read_binlog
 from ..table import LakeTable
 
@@ -46,7 +46,10 @@ def _apply_epoch(
     image_cols: list[str],
 ) -> dict:
     df = filter_tables(decoded, include=include)
-    df = dedup_lsn(df)
+    # NB: no dedup_lsn stage here — exact re-deliveries share both LSN and
+    # payload, so max_by in last_writer picks an identical row either way;
+    # an explicit dropDuplicates would only add a second full-width shuffle.
+    # (dedup_lsn remains a standalone operator for stats/count paths.)
     df = image_view(df, image_cols)
     winners = last_writer(
         df, key_cols=table.key_cols,

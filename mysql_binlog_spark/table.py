@@ -222,6 +222,10 @@ class LakeTable:
             *[F.col(n).cast(t).alias(n) for n, t in LSN_FIELDS],
             F.col("action"),
         ).withColumn("bucket", self._bucket_expr())
+        # the updates plan (decode → dedup → winners) is consumed three
+        # times below (touched buckets, lineage, merge write) — persist it
+        # or the whole upstream recomputes each time
+        upd = upd.persist()
 
         touched = {
             r["bucket"] for r in upd.select("bucket").distinct().collect()
@@ -243,25 +247,30 @@ class LakeTable:
                 .withColumn("bucket", self._bucket_expr())
             )
             combined = cur.unionByName(upd)
-        else:
-            combined = upd
-
-        payload = F.struct(
-            F.col("action").alias("action"),
-            *[F.col(n).alias(n) for n in col_names],
-        )
-        lsn = F.struct(*[F.col(n) for n in LSN_COLS])
-        merged = (
-            combined.groupBy(*key)
-            .agg(F.max_by(payload, lsn).alias("_w"), F.max(lsn).alias("_lsn"))
-            .select(
-                *[F.col(f"_w.{n}").alias(n) for n in ["action"] + col_names],
-                *[F.col(f"_lsn.{n}").alias(n) for n in LSN_COLS],
+            payload = F.struct(
+                F.col("action").alias("action"),
+                *[F.col(n).alias(n) for n in col_names],
             )
-            .withColumn("_deleted", F.col("action") == "delete")
-            .drop("action")
-            .withColumn("bucket", self._bucket_expr())
-        )
+            lsn = F.struct(*[F.col(n) for n in LSN_COLS])
+            merged = (
+                combined.groupBy(*key)
+                .agg(F.max_by(payload, lsn).alias("_w"), F.max(lsn).alias("_lsn"))
+                .select(
+                    *[F.col(f"_w.{n}").alias(n) for n in ["action"] + col_names],
+                    *[F.col(f"_lsn.{n}").alias(n) for n in LSN_COLS],
+                )
+                .withColumn("_deleted", F.col("action") == "delete")
+                .drop("action")
+                .withColumn("bucket", self._bucket_expr())
+            )
+        else:
+            # empty target (initial load): updates are already ≤1 row/key
+            # (last_writer upstream) — skip the merge shuffle entirely;
+            # deletes still land as tombstones for late-epoch safety
+            merged = (
+                upd.withColumn("_deleted", F.col("action") == "delete")
+                .drop("action")
+            )
 
         # lineage metrics before the write (north-rule A7)
         lineage_rows = (
@@ -310,6 +319,7 @@ class LakeTable:
             sb = str(b)
             if b in touched:
                 buckets[sb] = new_bucket_files.get(sb, [])
+        upd.unpersist(blocking=False)
         doc = {
             "epoch_id": epoch_id,
             "schema_version": self.schema_doc()["version"],

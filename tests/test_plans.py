@@ -1,0 +1,69 @@
+"""Physical-plan shape tests: the plans we'd want at 100 TB, asserted on
+the small-scale plans Catalyst actually produces (SURVEY.md §4).
+
+These guard against regressions that correctness tests can't see — a lost
+broadcast, a dropped partial aggregation, a scan that stops pruning."""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import functions as F
+
+from mysql_binlog_spark.functions.text import fingerprint
+from mysql_binlog_spark.operators.apply import last_writer
+from mysql_binlog_spark.operators.similarity import cosine_knn
+
+
+def plan(df) -> str:
+    return df._sc._jvm.PythonSQLUtils.explainString(
+        df._jdf.queryExecution(), "formatted"
+    )
+
+
+def test_knn_broadcasts_queries(spark, sf_dir):
+    embs = spark.read.parquet(os.path.join(sf_dir, "embeddings.parquet"))
+    p = plan(cosine_knn(embs, embs.filter(F.col("vec_id") < 3), k=5))
+    assert "Broadcast" in p  # query side must broadcast, corpus never shuffles
+
+
+def test_last_writer_has_partial_aggregation(spark, sf_dir):
+    ev = spark.read.parquet(os.path.join(sf_dir, "events.parquet"))
+    df = ev.select(
+        F.col("user_id").alias("conv_id"),
+        F.col("event_id").cast("int").alias("turn_idx"),
+        F.lit("insert").alias("action"),
+        F.col("event_type").alias("text"),
+        F.lit("f").alias("log_file"),
+        F.col("event_id").alias("log_pos"),
+        F.lit(1).alias("server_id"),
+    )
+    p = plan(last_writer(df, ["conv_id", "turn_idx"], ["text"]))
+    # map-side partial agg (partial_max_by BEFORE the exchange) bounds
+    # shuffle volume by |keys|, not |events|; max_by lowers to SortAggregate
+    assert "partial_max_by" in p  # partial_* only ever appears map-side
+    assert p.count("Aggregate") >= 2
+
+
+def test_fingerprint_scan_prunes_columns(spark, sf_dir):
+    docs = spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
+    p = plan(docs.select("doc_id", fingerprint(F.col("text")).alias("fp")))
+    rs = [ln for ln in p.splitlines() if "ReadSchema" in ln]
+    assert rs and "lang" not in rs[0] and "source" not in rs[0]
+    assert "doc_id" in rs[0] and "text" in rs[0]
+
+
+def test_filter_pushdown_reaches_parquet(spark, sf_dir):
+    ev = spark.read.parquet(os.path.join(sf_dir, "events.parquet"))
+    p = plan(ev.filter(F.col("event_id") > 5000).select("event_id"))
+    pushed = [ln for ln in p.splitlines() if "PushedFilters" in ln]
+    assert pushed and "GreaterThan(event_id" in pushed[0]
+
+
+def test_whole_stage_codegen_covers_text_ops(spark, sf_dir):
+    docs = spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
+    from mysql_binlog_spark.functions.text import quality_features
+
+    feats = quality_features(F.col("text"))
+    df = docs.select("doc_id", *[v.alias(k) for k, v in feats.items()])
+    assert "codegen id" in plan(df)  # JVM-side whole-stage codegen, no Python boundary
