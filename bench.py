@@ -124,8 +124,17 @@ def timed(fn, runs: int = RUNS) -> float:
 
 
 def main() -> None:
-    spark = get_spark(app_name="mbs-bench", master=f"local[{CPUS}]",
-                      shuffle_partitions=max(CPUS, 32))
+    spark = get_spark(
+        app_name="mbs-bench", master=f"local[{CPUS}]",
+        shuffle_partitions=max(CPUS, 32),
+        extra_conf={
+            # binlog chunks are ~1-2MB files: pack scan splits to ~3 tasks
+            # per core (default 128MB/4MB packing yields < 1 task per core
+            # here; with real 0.5-1GB chunks the defaults are right)
+            "spark.sql.files.maxPartitionBytes": str(8 * 1024 * 1024),
+            "spark.sql.files.openCostInBytes": str(1024 * 1024),
+        },
+    )
     spark.sparkContext.setLogLevel("ERROR")
     chunks = bench_dir(spark)
     glob = os.path.join(chunks, "binlog.*")

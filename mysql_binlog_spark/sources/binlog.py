@@ -21,6 +21,7 @@ import os
 from typing import Iterator
 
 import pandas as pd
+import pyarrow as pa
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -157,48 +158,55 @@ def read_binlog(
 
     col_names = [n for n, _ in image_cols]
 
-    def decode(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        for pdf in it:
-            for path, content in zip(pdf["path"], pdf["content"]):
+    type_by_name = dict(image_cols)
+    pa_image_type = {
+        "string": pa.string(),
+        "int": pa.int32(),
+        "bigint": pa.int64(),
+        "timestamp": pa.timestamp("us"),
+    }
+
+    def decode(it: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
+        # Arrow-native emission: column lists from the compiled decoder go
+        # straight into pa.array() — no pandas object Series in between.
+        for rb in it:
+            paths = rb.column(rb.schema.get_field_index("path")).to_pylist()
+            contents = rb.column(rb.schema.get_field_index("content"))
+            for row_i, path in enumerate(paths):
                 name = os.path.basename(path)
                 sp = start_pos if name == start_file else 0
                 batch = decode_chunk(
-                    bytes(content),
+                    contents[row_i].as_py(),
                     include=include,
                     exclude=exclude,
                     start_pos=sp,
                     verify_crc=verify_crc,
+                    image_cols=col_names,
                 )
-                n = len(batch.log_pos)
-                data: dict = {
-                    "log_file": [name] * n,
-                    "log_pos": batch.log_pos,
-                    "server_id": batch.server_id,
-                    "event_ts": pd.to_datetime(
-                        pd.Series(batch.ts, dtype="int64") * 1_000_000_000
+                n = len(batch)
+                arrays = [
+                    pa.array([name] * n, pa.string()),
+                    pa.array(batch.log_pos, pa.int64()),
+                    pa.array(batch.server_id, pa.int64()),
+                    pa.array(
+                        [t * 1_000_000 for t in batch.ts], pa.timestamp("us")
                     ),
-                    "schema_name": batch.schema_name,
-                    "table_name": batch.table_name,
-                    "action": batch.action,
-                    "batch_seq": batch.batch_seq,
-                }
-                for c in col_names:
-                    for side, images in (("before", batch.before),
-                                          ("after", batch.after)):
-                        vals = [
-                            (img.get(c) if img is not None else None)
-                            for img in images
-                        ]
-                        if c in ts_cols:
-                            ser = pd.to_datetime(
-                                pd.Series(vals, dtype="Int64"), unit="us"
-                            )
-                        else:
-                            ser = pd.Series(vals, dtype="object")
-                        data[f"{side}_{c}"] = ser
-                yield pd.DataFrame(data)
+                    pa.array(batch.schema_name, pa.string()),
+                    pa.array(batch.table_name, pa.string()),
+                    pa.array(batch.action, pa.string()),
+                    pa.array(batch.batch_seq, pa.int32()),
+                ]
+                names = [n_ for n_, _ in META_COLS]
+                for side, cols_ in (("before", batch.before_cols),
+                                    ("after", batch.after_cols)):
+                    for j, c in enumerate(col_names):
+                        arrays.append(
+                            pa.array(cols_[j], pa_image_type[type_by_name[c]])
+                        )
+                        names.append(f"{side}_{c}")
+                yield pa.RecordBatch.from_arrays(arrays, names=names)
 
-    return files.select("path", "content").mapInPandas(decode, schema=ddl)
+    return files.select("path", "content").mapInArrow(decode, schema=ddl)
 
 
 def image_view(df: DataFrame, image_cols: list[str]) -> DataFrame:

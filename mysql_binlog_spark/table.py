@@ -227,9 +227,33 @@ class LakeTable:
         # or the whole upstream recomputes each time
         upd = upd.persist()
 
-        touched = {
-            r["bucket"] for r in upd.select("bucket").distinct().collect()
+        # ONE driver collect serves both bucket pruning and lineage (A7):
+        # per-chunk applied-LSN ranges + the set of touched buckets
+        lineage_rows = (
+            upd.groupBy("log_file")
+            .agg(
+                F.min("log_pos").alias("min_pos"),
+                F.max("log_pos").alias("max_pos"),
+                F.count(F.lit(1)).alias("rows"),
+                F.sum(
+                    F.when(F.col("action") == "delete", 1).otherwise(0)
+                ).alias("deletes"),
+                F.collect_set("bucket").alias("buckets"),
+            )
+            .collect()
+        )
+        lineage = {
+            r["log_file"]: {
+                "min_pos": r["min_pos"],
+                "max_pos": r["max_pos"],
+                "rows": r["rows"],
+                "deletes": r["deletes"],
+            }
+            for r in lineage_rows
         }
+        touched: set[int] = set()
+        for r in lineage_rows:
+            touched.update(r["buckets"])
         n_buckets = self.schema_doc()["n_buckets"]
 
         cur_files = self.live_files(touched)
@@ -271,29 +295,6 @@ class LakeTable:
                 upd.withColumn("_deleted", F.col("action") == "delete")
                 .drop("action")
             )
-
-        # lineage metrics before the write (north-rule A7)
-        lineage_rows = (
-            upd.groupBy("log_file")
-            .agg(
-                F.min("log_pos").alias("min_pos"),
-                F.max("log_pos").alias("max_pos"),
-                F.count(F.lit(1)).alias("rows"),
-                F.sum(F.when(F.col("action") == "delete", 1).otherwise(0)).alias(
-                    "deletes"
-                ),
-            )
-            .collect()
-        )
-        lineage = {
-            r["log_file"]: {
-                "min_pos": r["min_pos"],
-                "max_pos": r["max_pos"],
-                "rows": r["rows"],
-                "deletes": r["deletes"],
-            }
-            for r in lineage_rows
-        }
 
         safe_epoch = "".join(
             ch if ch.isalnum() or ch in "-_." else "_" for ch in epoch_id

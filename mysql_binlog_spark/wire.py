@@ -286,23 +286,119 @@ class BinlogWriter:
 # ------------------------------------------------------------------ decoder
 
 
-@dataclass
 class DecodedBatch:
-    """All row-changes of one chunk, column-major (list-of-lists) so the
-    mapInPandas wrapper can hand them to Arrow without per-row dicts."""
+    """All row-changes of one chunk, column-major: per-row metadata lists
+    plus per-image-column value lists aligned to ``columns`` (the union of
+    decoded tables' column names, or the caller-fixed ``image_cols``).
+    Column-major output feeds Arrow without per-row dicts."""
 
-    log_pos: list[int] = field(default_factory=list)
-    server_id: list[int] = field(default_factory=list)
-    ts: list[int] = field(default_factory=list)  # epoch seconds of header
-    schema_name: list[str] = field(default_factory=list)
-    table_name: list[str] = field(default_factory=list)
-    action: list[str] = field(default_factory=list)
-    batch_seq: list[int] = field(default_factory=list)
-    before: list[dict | None] = field(default_factory=list)
-    after: list[dict | None] = field(default_factory=list)
-    n_events: int = 0
-    n_bytes: int = 0
-    tables_seen: dict = field(default_factory=dict)
+    __slots__ = (
+        "log_pos", "server_id", "ts", "schema_name", "table_name", "action",
+        "batch_seq", "columns", "before_cols", "after_cols", "n_events",
+        "n_bytes", "tables_seen",
+    )
+
+    def __init__(self, columns: list[str] | None = None):
+        self.log_pos: list[int] = []
+        self.server_id: list[int] = []
+        self.ts: list[int] = []  # epoch seconds of header
+        self.schema_name: list[str] = []
+        self.table_name: list[str] = []
+        self.action: list[str] = []
+        self.batch_seq: list[int] = []
+        self.columns: list[str] = list(columns or [])
+        self.before_cols: list[list] = [[] for _ in self.columns]
+        self.after_cols: list[list] = [[] for _ in self.columns]
+        self.n_events = 0
+        self.n_bytes = 0
+        self.tables_seen: dict = {}
+
+    def __len__(self) -> int:
+        return len(self.log_pos)
+
+    def _rows(self, cols: list[list]) -> list[dict | None]:
+        out = []
+        for i in range(len(self.log_pos)):
+            vals = {c: cols[j][i] for j, c in enumerate(self.columns)}
+            out.append(None if all(v is None for v in vals.values()) else vals)
+        return out
+
+    @property
+    def after(self) -> list[dict | None]:
+        """Row-dict view (tests/debug; the hot path uses the column lists)."""
+        return self._rows(self.after_cols)
+
+    @property
+    def before(self) -> list[dict | None]:
+        return self._rows(self.before_cols)
+
+
+# --------------------------------------------------- compiled image decoders
+#
+# Per-row Python interpretation of the 16-type switch (the reference's
+# RowFactory.php:72-165) is the decode bottleneck; instead we exec-compile a
+# specialized decoder per (table schema, union layout) with every field read
+# inlined — no per-field loop, no type branching at run time.
+
+_DECODER_CACHE: dict = {}
+
+
+def _compile_image_decoder(t: TableSchema, columns: list[str]):
+    """Build ``dec(buf, off, outs) -> off``: decodes one row image of table
+    ``t`` appending one value (or None) to outs[slot] for EVERY union slot
+    (columns absent from this table get None — NULL backfill)."""
+    sig = (
+        tuple((c.name, c.ctype, c.meta, c.nullable) for c in t.columns),
+        tuple(columns),
+    )
+    fn = _DECODER_CACHE.get(sig)
+    if fn is not None:
+        return fn
+    slot = {name: i for i, name in enumerate(columns)}
+    n = len(t.columns)
+    nbb = (n + 7) // 8
+    L = ["def _dec(buf, off, outs, u=_unpack_from):"]
+    if nbb == 1:
+        L.append("    nb = buf[off]; off += 1")
+    else:
+        L.append(f"    nb = int.from_bytes(buf[off:off+{nbb}], 'little'); "
+                 f"off += {nbb}")
+    covered = set()
+    for i, c in enumerate(t.columns):
+        st = f"outs[{slot[c.name]}].append" if c.name in slot else None
+        covered.add(c.name)
+        body = []
+        if c.ctype == TYPE_LONG:
+            body.append("v = u('<i', buf, off)[0]; off += 4")
+        elif c.ctype == TYPE_VARCHAR and c.meta <= 255:
+            body.append("ln = buf[off]; off += 1")
+            body.append("v = str(buf[off:off+ln], 'utf-8'); off += ln")
+        elif c.ctype in (TYPE_VARCHAR, TYPE_BLOB):
+            body.append("ln = buf[off] | (buf[off+1] << 8); off += 2")
+            body.append("v = str(buf[off:off+ln], 'utf-8'); off += ln")
+        elif c.ctype == TYPE_TIMESTAMP2:
+            body.append(
+                "v = u('>I', buf, off)[0] * 1000000 + "
+                "((buf[off+4] << 16) | (buf[off+5] << 8) | buf[off+6]); off += 7"
+            )
+        else:  # pragma: no cover
+            raise ValueError(f"unsupported wire type {c.ctype:#x}")
+        L.append(f"    if nb & {1 << i}:")
+        L.append(f"        {st}(None)" if st else "        pass")
+        L.append("    else:")
+        for ln_ in body:
+            L.append(f"        {ln_}")
+        if st:
+            L.append(f"        {st}(v)")
+    for name in columns:
+        if name not in covered:  # union slot this table lacks: NULL backfill
+            L.append(f"    outs[{slot[name]}].append(None)")
+    L.append("    return off")
+    ns: dict = {"_unpack_from": struct.unpack_from}
+    exec("\n".join(L), ns)  # noqa: S102 - codegen from trusted schema
+    fn = ns["_dec"]
+    _DECODER_CACHE[sig] = fn
+    return fn
 
 
 def _parse_table_map(payload: memoryview) -> TableSchema:
@@ -369,49 +465,13 @@ def _parse_table_map(payload: memoryview) -> TableSchema:
                        primary_key=pk, table_id=table_id)
 
 
-def _decode_image(t: TableSchema, buf: memoryview, off: int) -> tuple[dict, int]:
-    cols = t.columns
-    nb = (len(cols) + 7) // 8
-    null_bm = buf[off : off + nb]
-    off += nb
-    row: dict = {}
-    for i, c in enumerate(cols):
-        if (null_bm[i >> 3] >> (i & 7)) & 1:
-            row[c.name] = None
-            continue
-        if c.ctype == TYPE_LONG:
-            row[c.name] = struct.unpack_from("<i", buf, off)[0]
-            off += 4
-        elif c.ctype == TYPE_VARCHAR:
-            if c.meta <= 255:
-                ln = buf[off]
-                off += 1
-            else:
-                ln = struct.unpack_from("<H", buf, off)[0]
-                off += 2
-            row[c.name] = bytes(buf[off : off + ln]).decode()
-            off += ln
-        elif c.ctype == TYPE_BLOB:
-            ln = struct.unpack_from("<H", buf, off)[0]
-            off += 2
-            row[c.name] = bytes(buf[off : off + ln]).decode()
-            off += ln
-        elif c.ctype == TYPE_TIMESTAMP2:
-            sec = struct.unpack_from(">I", buf, off)[0]
-            micro = int.from_bytes(buf[off + 4 : off + 7], "big")
-            row[c.name] = sec * 1_000_000 + micro  # epoch micros
-            off += 7
-        else:  # pragma: no cover
-            raise ValueError(f"unsupported wire type {c.ctype:#x}")
-    return row, off
-
-
 def decode_chunk(
     data: bytes,
     include: set[tuple[str, str]] | None = None,
     exclude: set[tuple[str, str]] | None = None,
     start_pos: int = 0,
     verify_crc: bool = False,
+    image_cols: list[str] | None = None,
 ) -> DecodedBatch:
     """Decode one binlog chunk file into a column-major batch.
 
@@ -419,30 +479,50 @@ def decode_chunk(
     the 6-byte tableId lookup *before* any row decode
     (EventsIterator.php:375-377), and events before ``start_pos`` are
     skipped without row decode (EventsIterator.php:207-215).
+
+    ``image_cols`` fixes the output column layout (columns a table lacks are
+    NULL-backfilled; table columns outside the list are decoded-and-dropped);
+    when None the union grows dynamically as TABLE_MAPs arrive.
     """
     mv = memoryview(data)
     assert bytes(mv[:4]) == MAGIC, "bad binlog magic"
     off = 4
     tables: dict[int, TableSchema] = {}
-    out = DecodedBatch()
+    decoders: dict[int, object] = {}
+    out = DecodedBatch(image_cols)
+    fixed_union = image_cols is not None
     total = len(data)
+    unpack = struct.unpack_from
     while off + HEADER_LEN <= total:
-        ts, etype, server_id, size, _end_pos, _flags = struct.unpack_from(
-            "<IBIIIH", mv, off
-        )
+        ts, etype, server_id, size, _end_pos, _flags = unpack("<IBIIIH", mv, off)
         body_end = off + size - CRC_LEN
         if verify_crc:
-            want = struct.unpack_from("<I", mv, body_end)[0]
+            want = unpack("<I", mv, body_end)[0]
             got = zlib.crc32(mv[off:body_end]) & 0xFFFFFFFF
             assert want == got, f"CRC mismatch at offset {off}"
-        payload = mv[off + HEADER_LEN : body_end]
         out.n_events += 1
         out.n_bytes += size
         if etype == TABLE_MAP_EVENT:
+            payload = mv[off + HEADER_LEN : body_end]
             t = _parse_table_map(payload)
             tables[t.table_id] = t
+            decoders.pop(t.table_id, None)
             out.tables_seen[(t.schema, t.table)] = t
+            if not fixed_union:
+                key = (t.schema, t.table)
+                included = (include is None or key in include) and (
+                    exclude is None or key not in exclude
+                )
+                if included:
+                    nrows = len(out.log_pos)
+                    for c in t.columns:
+                        if c.name not in out.columns:
+                            out.columns.append(c.name)
+                            out.before_cols.append([None] * nrows)
+                            out.after_cols.append([None] * nrows)
+                            decoders.clear()  # layouts changed
         elif etype in ACTION_BY_EVENT and off >= start_pos:
+            payload = mv[off + HEADER_LEN : body_end]
             table_id = int.from_bytes(payload[0:6], "little")
             t = tables.get(table_id)
             if t is None:
@@ -452,7 +532,10 @@ def decode_chunk(
                 exclude is not None and key in exclude
             )
             if not skip:
-                action = ACTION_BY_EVENT[etype]
+                dec = decoders.get(table_id)
+                if dec is None:
+                    dec = _compile_image_decoder(t, out.columns)
+                    decoders[table_id] = dec
                 n = len(t.columns)
                 p = 6 + 2 + 2  # table_id + flags + extra-data len
                 ccount, p = read_lenenc(payload, p)
@@ -460,28 +543,34 @@ def decode_chunk(
                 p += (n + 7) // 8  # present bitmap (FULL row image: all set)
                 if etype == UPDATE_ROWS_V2:
                     p += (n + 7) // 8
-                seq = 0
+                bouts = out.before_cols
+                aouts = out.after_cols
                 plen = len(payload)
-                while p < plen:
-                    if etype == UPDATE_ROWS_V2:
-                        before, p = _decode_image(t, payload, p)
-                        after, p = _decode_image(t, payload, p)
-                    elif etype == DELETE_ROWS_V2:
-                        before, p = _decode_image(t, payload, p)
-                        after = None
-                    else:
-                        before = None
-                        after, p = _decode_image(t, payload, p)
-                    out.log_pos.append(off)
-                    out.server_id.append(server_id)
-                    out.ts.append(ts)
-                    out.schema_name.append(t.schema)
-                    out.table_name.append(t.table)
-                    out.action.append(action)
-                    out.batch_seq.append(seq)
-                    out.before.append(before)
-                    out.after.append(after)
-                    seq += 1
+                cnt = 0
+                if etype == UPDATE_ROWS_V2:
+                    while p < plen:
+                        p = dec(payload, p, bouts)
+                        p = dec(payload, p, aouts)
+                        cnt += 1
+                elif etype == DELETE_ROWS_V2:
+                    while p < plen:
+                        p = dec(payload, p, bouts)
+                        cnt += 1
+                    for lst in aouts:
+                        lst.extend([None] * cnt)
+                else:
+                    while p < plen:
+                        p = dec(payload, p, aouts)
+                        cnt += 1
+                    for lst in bouts:
+                        lst.extend([None] * cnt)
+                out.log_pos.extend([off] * cnt)
+                out.server_id.extend([server_id] * cnt)
+                out.ts.extend([ts] * cnt)
+                out.schema_name.extend([t.schema] * cnt)
+                out.table_name.extend([t.table] * cnt)
+                out.action.extend([ACTION_BY_EVENT[etype]] * cnt)
+                out.batch_seq.extend(range(cnt))
         # ROTATE/XID/QUERY/HEARTBEAT/FDE are control frames: position
         # bookkeeping only (reference drops them too,
         # EventsIterator.php:153-173, :237-266).

@@ -135,7 +135,8 @@ def test_schema_evolution_two_table_maps():
     w.write_table_map(0, t2)
     w.write_rows(0, t2, "insert", [dict(ROW, tool_version="v1")])
     b = decode_chunk(w.getvalue(), verify_crc=True)
-    assert "tool_version" not in b.after[0]
+    # pre-evolution rows NULL-backfill the union column (A4 semantics)
+    assert b.after[0]["tool_version"] is None
     assert b.after[1]["tool_version"] == "v1"
     assert ("app", "transcripts") in b.tables_seen
     # merged registry keeps the latest (widest) TableMap
