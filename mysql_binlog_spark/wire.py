@@ -9,12 +9,16 @@ row decode RowFactory.php:28-182).  The **encoder** builds fixture binlog
 chunk files; the **decoder** is the engine's hot path, invoked inside
 ``mapInPandas`` one chunk (or chunk range) per task.
 
-Scope (enough for the transcripts payload + filter-noise tables):
-column types LONG (0x03), VARCHAR (0x0f), BLOB (0xfc), TIMESTAMP2 (0x11,
-fsp=6 → exact µs round-trip); event types FORMAT_DESCRIPTION, ROTATE,
+Type coverage (the reference's full decoded table, SURVEY.md §1.2):
+TINY/SHORT/INT24/LONG/LONGLONG with SIGNEDNESS (uint64 > 2⁶³-1 kept exact
+like the reference's GMP path), FLOAT (display-size rounding quirk
+replicated) / DOUBLE, packed NEWDECIMAL, DATE (zero-date sentinel),
+DATETIME2/TIME2/TIMESTAMP2 with fsp, VARCHAR/BLOB (utf8), BIT ('0'/'1'
+strings), ENUM/SET via the packed-STRING metadata trick with value lists
+from optional metadata.  Event types: FORMAT_DESCRIPTION, ROTATE,
 TABLE_MAP, QUERY, XID, HEARTBEAT, WRITE/UPDATE/DELETE_ROWS v2; CRC32
-trailers; TABLE_MAP optional metadata SIGNEDNESS / DEFAULT_CHARSET /
-COLUMN_NAME / SIMPLE_PRIMARY_KEY.
+trailers; optional metadata SIGNEDNESS / DEFAULT_CHARSET / COLUMN_NAME /
+ENUM_STR_VALUE / SET_STR_VALUE / SIMPLE_PRIMARY_KEY.
 """
 
 from __future__ import annotations
@@ -38,16 +42,37 @@ WRITE_ROWS_V2 = 0x1E
 UPDATE_ROWS_V2 = 0x1F
 DELETE_ROWS_V2 = 0x20
 
-# column type codes
+# column type codes (full reference table, src/Protocol/ColumnType.php:11-41)
+TYPE_TINY = 0x01
+TYPE_SHORT = 0x02
 TYPE_LONG = 0x03
+TYPE_FLOAT = 0x04
+TYPE_DOUBLE = 0x05
+TYPE_LONGLONG = 0x08
+TYPE_INT24 = 0x09
+TYPE_DATE = 0x0A
 TYPE_VARCHAR = 0x0F
+TYPE_BIT = 0x10
 TYPE_TIMESTAMP2 = 0x11
+TYPE_DATETIME2 = 0x12
+TYPE_TIME2 = 0x13
+TYPE_NEWDECIMAL = 0xF6
+TYPE_ENUM = 0xF7  # on the wire: packed inside STRING meta (high byte)
+TYPE_SET = 0xF8   # same packing
+TYPE_STRING = 0xFE
 TYPE_BLOB = 0xFC
 
-# TABLE_MAP optional-metadata TLV kinds
+INT_TYPES = {TYPE_TINY, TYPE_SHORT, TYPE_INT24, TYPE_LONG, TYPE_LONGLONG}
+INT_WIDTH = {TYPE_TINY: 1, TYPE_SHORT: 2, TYPE_INT24: 3, TYPE_LONG: 4,
+             TYPE_LONGLONG: 8}
+NUMERIC_TYPES = INT_TYPES | {TYPE_FLOAT, TYPE_DOUBLE, TYPE_NEWDECIMAL}
+
+# TABLE_MAP optional-metadata TLV kinds (OptionalMetadataType.php:11-23)
 META_SIGNEDNESS = 1
 META_DEFAULT_CHARSET = 2
 META_COLUMN_NAME = 4
+META_SET_STR_VALUE = 5
+META_ENUM_STR_VALUE = 6
 META_SIMPLE_PRIMARY_KEY = 8
 
 CHARSET_UTF8MB4 = 45
@@ -61,13 +86,21 @@ ACTION_BY_EVENT = {
 
 @dataclass
 class WireColumn:
-    """One column of a TABLE_MAP: wire type + type-specific metadata."""
+    """One column of a TABLE_MAP: wire type + type-specific metadata.
+
+    ``meta`` by type: VARCHAR max byte length; BLOB length-prefix size;
+    TIMESTAMP2/DATETIME2/TIME2 fsp; FLOAT/DOUBLE storage size (the
+    reference rounds FLOAT to this value — a quirk we replicate,
+    RowFactory.php:90-92); NEWDECIMAL (precision<<8)|scale; BIT bit count;
+    ENUM/SET value-list width handled via ``values``.
+    """
 
     name: str
     ctype: int
     nullable: bool = True
-    # VARCHAR: max byte length; BLOB: length-prefix size; TIMESTAMP2: fsp
     meta: int = 0
+    signed: bool = True           # integers only (SIGNEDNESS bitmap)
+    values: tuple[str, ...] = ()  # ENUM/SET labels (optional metadata)
 
 
 @dataclass
@@ -112,6 +145,143 @@ def _bitmap(bits: list[bool]) -> bytes:
         if b:
             out[i >> 3] |= 1 << (i & 7)
     return bytes(out)
+
+
+# ------------------------------------------------ packed-type helpers
+# (public MySQL formats; semantics mirror the reference's decoders:
+#  DecimalReadTrait.php:11-50, DateTimeReadTrait.php:12-87, Buffer.php:151-182)
+
+_DEC_DIG2BYTES = [0, 1, 1, 2, 2, 3, 3, 4, 4, 4]
+
+
+def _dec_bytes_for_digits(d: int) -> int:
+    return (d // 9) * 4 + _DEC_DIG2BYTES[d % 9]
+
+
+def encode_decimal(value: str, precision: int, scale: int) -> bytes:
+    """MySQL packed base-10⁹ decimal with XOR'd sign bit."""
+    neg = value.startswith("-")
+    digits = value.lstrip("-+")
+    if "." in digits:
+        intp, frac = digits.split(".")
+    else:
+        intp, frac = digits, ""
+    intp = intp.lstrip("0") or ""
+    frac = (frac + "0" * scale)[:scale]
+    ip_digits = precision - scale
+    intp = intp.rjust(ip_digits, "0")
+    out = bytearray()
+    # integer part: leading partial group then 9-digit groups (big-endian)
+    lead = ip_digits % 9
+    pos = 0
+    if lead:
+        out += int(intp[:lead]).to_bytes(_DEC_DIG2BYTES[lead], "big")
+        pos = lead
+    while pos < ip_digits:
+        out += int(intp[pos : pos + 9]).to_bytes(4, "big")
+        pos += 9
+    pos = 0
+    while pos + 9 <= scale:
+        out += int(frac[pos : pos + 9]).to_bytes(4, "big")
+        pos += 9
+    rem = scale - pos
+    if rem:
+        out += int(frac[pos:]).to_bytes(_DEC_DIG2BYTES[rem], "big")
+    out[0] ^= 0x80  # sign bit: set = non-negative
+    if neg:
+        for i in range(len(out)):
+            out[i] ^= 0xFF
+    return bytes(out)
+
+
+def decode_decimal(buf, off: int, precision: int, scale: int) -> tuple[str, int]:
+    ip_digits = precision - scale
+    size = _dec_bytes_for_digits(ip_digits) + _dec_bytes_for_digits(scale)
+    raw = bytearray(buf[off : off + size])
+    neg = not (raw[0] & 0x80)
+    if neg:
+        for i in range(len(raw)):
+            raw[i] ^= 0xFF
+    raw[0] ^= 0x80
+    p = 0
+    intp = ""
+    lead = ip_digits % 9
+    if lead:
+        n = _DEC_DIG2BYTES[lead]
+        intp += str(int.from_bytes(raw[p : p + n], "big")).rjust(lead, "0")
+        p += n
+    for _ in range(ip_digits // 9):
+        intp += str(int.from_bytes(raw[p : p + 4], "big")).rjust(9, "0")
+        p += 4
+    frac = ""
+    for _ in range(scale // 9):
+        frac += str(int.from_bytes(raw[p : p + 4], "big")).rjust(9, "0")
+        p += 4
+    rem = scale % 9
+    if rem:
+        n = _DEC_DIG2BYTES[rem]
+        frac += str(int.from_bytes(raw[p : p + n], "big")).rjust(rem, "0")
+        p += n
+    intp = intp.lstrip("0") or "0"
+    out = f"{intp}.{frac}" if scale else intp
+    if neg:
+        out = "-" + out
+    return out, off + size
+
+
+def encode_datetime2(y, mo, d, h, mi, sec) -> bytes:
+    packed = (
+        (1 << 39) | ((y * 13 + mo) << 22) | (d << 17) | (h << 12)
+        | (mi << 6) | sec
+    )
+    return packed.to_bytes(5, "big")
+
+
+def decode_datetime2(buf, off: int, fsp: int) -> tuple[str, int]:
+    packed = int.from_bytes(buf[off : off + 5], "big") & ((1 << 39) - 1)
+    ym = packed >> 22
+    y, mo = divmod(ym, 13)
+    d = (packed >> 17) & 0x1F
+    h = (packed >> 12) & 0x1F
+    mi = (packed >> 6) & 0x3F
+    sec = packed & 0x3F
+    off += 5
+    out = f"{y:04d}-{mo:02d}-{d:02d} {h:02d}:{mi:02d}:{sec:02d}"
+    if fsp:
+        nb = (fsp + 1) // 2
+        frac = int.from_bytes(buf[off : off + nb], "big")
+        off += nb
+        out += "." + str(frac).rjust(fsp, "0")
+    return out, off
+
+
+def encode_time2(h, mi, sec) -> bytes:
+    packed = (1 << 23) | (h << 12) | (mi << 6) | sec  # sign bit 1 = positive
+    return packed.to_bytes(3, "big")
+
+
+def decode_time2(buf, off: int, fsp: int) -> tuple[str, int]:
+    packed = int.from_bytes(buf[off : off + 3], "big")
+    assert packed & (1 << 23), "negative TIME2 not supported"
+    h = (packed >> 12) & 0x3FF
+    mi = (packed >> 6) & 0x3F
+    sec = packed & 0x3F
+    off += 3
+    out = f"{h:02d}:{mi:02d}:{sec:02d}"
+    if fsp:
+        nb = (fsp + 1) // 2
+        frac = int.from_bytes(buf[off : off + nb], "big")
+        off += nb
+        out += "." + str(frac).rjust(fsp, "0")
+    return out, off
+
+
+def set_width(n_values: int) -> int:
+    return min(8, (n_values + 7) // 8)
+
+
+def enum_width(n_values: int) -> int:
+    return 1 if n_values < 256 else 2
 
 
 # ------------------------------------------------------------------ encoder
@@ -169,23 +339,38 @@ class BinlogWriter:
         p += bytes([len(t.schema)]) + t.schema.encode() + b"\x00"
         p += bytes([len(t.table)]) + t.table.encode() + b"\x00"
         p += pack_lenenc(len(cols))
-        p += bytes(c.ctype for c in cols)
+        # ENUM/SET ride as TYPE_STRING on the wire with the real type packed
+        # into the metadata high byte (the trick the reference unpacks at
+        # ColumnMetadataFactory.php:45-55)
+        p += bytes(
+            TYPE_STRING if c.ctype in (TYPE_ENUM, TYPE_SET) else c.ctype
+            for c in cols
+        )
         meta = bytearray()
         for c in cols:
             if c.ctype == TYPE_VARCHAR:
                 meta += struct.pack("<H", c.meta)
-            elif c.ctype == TYPE_BLOB:
+            elif c.ctype in (TYPE_BLOB, TYPE_TIMESTAMP2, TYPE_DATETIME2,
+                             TYPE_TIME2):
                 meta += bytes([c.meta])
-            elif c.ctype == TYPE_TIMESTAMP2:
-                meta += bytes([c.meta])
-            # TYPE_LONG: no metadata
+            elif c.ctype in (TYPE_FLOAT, TYPE_DOUBLE):
+                meta += bytes([4 if c.ctype == TYPE_FLOAT else 8])
+            elif c.ctype == TYPE_NEWDECIMAL:
+                meta += bytes([c.meta >> 8, c.meta & 0xFF])  # precision, scale
+            elif c.ctype == TYPE_BIT:
+                meta += bytes([c.meta % 8, c.meta // 8])  # bits%8, bytes
+            elif c.ctype == TYPE_ENUM:
+                meta += bytes([TYPE_ENUM, enum_width(len(c.values))])
+            elif c.ctype == TYPE_SET:
+                meta += bytes([TYPE_SET, set_width(len(c.values))])
+            # int types / DATE: no metadata
         p += pack_lenenc(len(meta)) + meta
         p += _bitmap([c.nullable for c in cols])
         # optional metadata TLVs (ColumnMetadataFactory.php:91-157 semantics)
-        numeric = [c for c in cols if c.ctype == TYPE_LONG]
+        numeric = [c for c in cols if c.ctype in NUMERIC_TYPES]
         tlvs = bytearray()
         if numeric:
-            sign = _bitmap([False] * len(numeric))  # all signed
+            sign = _bitmap([not c.signed for c in numeric])  # set = unsigned
             tlvs += bytes([META_SIGNEDNESS]) + pack_lenenc(len(sign)) + sign
         cs = pack_lenenc(CHARSET_UTF8MB4)
         tlvs += bytes([META_DEFAULT_CHARSET]) + pack_lenenc(len(cs)) + cs
@@ -194,6 +379,17 @@ class BinlogWriter:
             nb = c.name.encode()
             names += pack_lenenc(len(nb)) + nb
         tlvs += bytes([META_COLUMN_NAME]) + pack_lenenc(len(names)) + bytes(names)
+        for kind, ctype_ in ((META_ENUM_STR_VALUE, TYPE_ENUM),
+                             (META_SET_STR_VALUE, TYPE_SET)):
+            vcols = [c for c in cols if c.ctype == ctype_]
+            if vcols:
+                vals = bytearray()
+                for c in vcols:
+                    vals += pack_lenenc(len(c.values))
+                    for v in c.values:
+                        vb = v.encode()
+                        vals += pack_lenenc(len(vb)) + vb
+                tlvs += bytes([kind]) + pack_lenenc(len(vals)) + bytes(vals)
         pk = bytearray()
         for i in t.primary_key:
             pk += pack_lenenc(i)
@@ -228,8 +424,9 @@ class BinlogWriter:
             if isnull:
                 continue
             v = row[c.name]
-            if c.ctype == TYPE_LONG:
-                out += struct.pack("<i", int(v))
+            if c.ctype in INT_TYPES:
+                out += int(v).to_bytes(INT_WIDTH[c.ctype], "little",
+                                       signed=c.signed)
             elif c.ctype == TYPE_VARCHAR:
                 b = v.encode() if isinstance(v, str) else bytes(v)
                 out += (
@@ -241,6 +438,45 @@ class BinlogWriter:
             elif c.ctype == TYPE_TIMESTAMP2:
                 sec, micro = v  # (epoch seconds, microseconds)
                 out += struct.pack(">I", sec) + int(micro).to_bytes(3, "big")
+            elif c.ctype == TYPE_FLOAT:
+                out += struct.pack("<f", float(v))
+            elif c.ctype == TYPE_DOUBLE:
+                out += struct.pack("<d", float(v))
+            elif c.ctype == TYPE_NEWDECIMAL:
+                out += encode_decimal(str(v), c.meta >> 8, c.meta & 0xFF)
+            elif c.ctype == TYPE_DATE:
+                y, mo, d = (int(x) for x in str(v).split("-"))
+                out += ((y << 9) | (mo << 5) | d).to_bytes(3, "little")
+            elif c.ctype == TYPE_DATETIME2:
+                dt, _, frac = str(v).partition(".")
+                date_s, time_s = dt.split(" ")
+                y, mo, d = (int(x) for x in date_s.split("-"))
+                h, mi, sec = (int(x) for x in time_s.split(":"))
+                out += encode_datetime2(y, mo, d, h, mi, sec)
+                if c.meta:
+                    nb = (c.meta + 1) // 2
+                    out += int((frac or "0").ljust(c.meta, "0")[: c.meta]
+                               ).to_bytes(nb, "big")
+            elif c.ctype == TYPE_TIME2:
+                tm, _, frac = str(v).partition(".")
+                h, mi, sec = (int(x) for x in tm.split(":"))
+                out += encode_time2(h, mi, sec)
+                if c.meta:
+                    nb = (c.meta + 1) // 2
+                    out += int((frac or "0").ljust(c.meta, "0")[: c.meta]
+                               ).to_bytes(nb, "big")
+            elif c.ctype == TYPE_BIT:
+                bits = str(v)
+                assert len(bits) == c.meta
+                out += int(bits, 2).to_bytes((c.meta + 7) // 8, "big")
+            elif c.ctype == TYPE_ENUM:
+                idx = c.values.index(v) + 1 if v in c.values else 0
+                out += idx.to_bytes(enum_width(len(c.values)), "little")
+            elif c.ctype == TYPE_SET:
+                mask = 0
+                for label in (v.split(",") if v else []):
+                    mask |= 1 << c.values.index(label)
+                out += mask.to_bytes(set_width(len(c.values)), "little")
             else:  # pragma: no cover
                 raise ValueError(f"unsupported wire type {c.ctype:#x}")
         return bytes(out)
@@ -357,6 +593,9 @@ def _compile_image_decoder(t: TableSchema, columns: list[str]):
     slot = {name: i for i, name in enumerate(columns)}
     n = len(t.columns)
     nbb = (n + 7) // 8
+    ns: dict = {"_unpack_from": struct.unpack_from,
+                "_decimal": decode_decimal, "_dt2": decode_datetime2,
+                "_t2": decode_time2}
     L = ["def _dec(buf, off, outs, u=_unpack_from):"]
     if nbb == 1:
         L.append("    nb = buf[off]; off += 1")
@@ -368,8 +607,15 @@ def _compile_image_decoder(t: TableSchema, columns: list[str]):
         st = f"outs[{slot[c.name]}].append" if c.name in slot else None
         covered.add(c.name)
         body = []
-        if c.ctype == TYPE_LONG:
+        if c.ctype == TYPE_LONG and c.signed:
             body.append("v = u('<i', buf, off)[0]; off += 4")
+        elif c.ctype in INT_TYPES:
+            w = INT_WIDTH[c.ctype]
+            sgn = "True" if c.signed else "False"
+            body.append(
+                f"v = int.from_bytes(buf[off:off+{w}], 'little', "
+                f"signed={sgn}); off += {w}"
+            )
         elif c.ctype == TYPE_VARCHAR and c.meta <= 255:
             body.append("ln = buf[off]; off += 1")
             body.append("v = str(buf[off:off+ln], 'utf-8'); off += ln")
@@ -381,6 +627,52 @@ def _compile_image_decoder(t: TableSchema, columns: list[str]):
                 "v = u('>I', buf, off)[0] * 1000000 + "
                 "((buf[off+4] << 16) | (buf[off+5] << 8) | buf[off+6]); off += 7"
             )
+        elif c.ctype == TYPE_FLOAT:
+            # reference quirk: FLOAT rounded to its meta "size"
+            # (RowFactory.php:90-92)
+            body.append(f"v = round(u('<f', buf, off)[0], {c.meta or 4}); "
+                        "off += 4")
+        elif c.ctype == TYPE_DOUBLE:
+            body.append("v = u('<d', buf, off)[0]; off += 8")
+        elif c.ctype == TYPE_NEWDECIMAL:
+            body.append(
+                f"v, off = _decimal(buf, off, {c.meta >> 8}, {c.meta & 0xFF})"
+            )
+        elif c.ctype == TYPE_DATE:
+            body.append("p_ = int.from_bytes(buf[off:off+3], 'little'); "
+                        "off += 3")
+            body.append(
+                "v = f'{p_ >> 9:04d}-{(p_ >> 5) & 15:02d}-{p_ & 31:02d}'"
+            )
+        elif c.ctype == TYPE_DATETIME2:
+            body.append(f"v, off = _dt2(buf, off, {c.meta})")
+        elif c.ctype == TYPE_TIME2:
+            body.append(f"v, off = _t2(buf, off, {c.meta})")
+        elif c.ctype == TYPE_BIT:
+            w = (c.meta + 7) // 8
+            body.append(
+                f"v = format(int.from_bytes(buf[off:off+{w}], 'big'), "
+                f"'0{c.meta}b'); off += {w}"
+            )
+        elif c.ctype == TYPE_ENUM:
+            w = enum_width(len(c.values))
+            ns[f"_ev{i}"] = ("",) + c.values  # index 0 → '' (RowFactory quirk)
+            body.append(
+                f"ix = int.from_bytes(buf[off:off+{w}], 'little'); off += {w}"
+            )
+            body.append(
+                f"v = _ev{i}[ix] if ix < {len(c.values) + 1} else ''"
+            )
+        elif c.ctype == TYPE_SET:
+            w = set_width(len(c.values))
+            ns[f"_sv{i}"] = c.values
+            body.append(
+                f"m_ = int.from_bytes(buf[off:off+{w}], 'little'); off += {w}"
+            )
+            body.append(
+                f"v = ','.join(x for k, x in enumerate(_sv{i}) "
+                "if m_ & (1 << k))"
+            )
         else:  # pragma: no cover
             raise ValueError(f"unsupported wire type {c.ctype:#x}")
         L.append(f"    if nb & {1 << i}:")
@@ -388,13 +680,11 @@ def _compile_image_decoder(t: TableSchema, columns: list[str]):
         L.append("    else:")
         for ln_ in body:
             L.append(f"        {ln_}")
-        if st:
-            L.append(f"        {st}(v)")
+        L.append(f"        {st}(v)" if st else "        pass")
     for name in columns:
         if name not in covered:  # union slot this table lacks: NULL backfill
             L.append(f"    outs[{slot[name]}].append(None)")
     L.append("    return off")
-    ns: dict = {"_unpack_from": struct.unpack_from}
     exec("\n".join(L), ns)  # noqa: S102 - codegen from trusted schema
     fn = ns["_dec"]
     _DECODER_CACHE[sig] = fn
@@ -417,13 +707,27 @@ def _parse_table_map(payload: memoryview) -> TableSchema:
     mlen, off = read_lenenc(payload, off)
     meta_end = off + mlen
     metas: list[int] = []
-    for ct in ctypes:
+    for i, ct in enumerate(ctypes):
         if ct == TYPE_VARCHAR:
             metas.append(struct.unpack_from("<H", payload, off)[0])
             off += 2
-        elif ct in (TYPE_BLOB, TYPE_TIMESTAMP2):
+        elif ct in (TYPE_BLOB, TYPE_TIMESTAMP2, TYPE_DATETIME2, TYPE_TIME2,
+                    TYPE_FLOAT, TYPE_DOUBLE):
             metas.append(payload[off])
             off += 1
+        elif ct == TYPE_NEWDECIMAL:
+            metas.append((payload[off] << 8) | payload[off + 1])
+            off += 2
+        elif ct == TYPE_BIT:
+            metas.append(payload[off] + payload[off + 1] * 8)  # total bits
+            off += 2
+        elif ct == TYPE_STRING:
+            # real type packed in meta byte 0 (ENUM/SET trick,
+            # ColumnMetadataFactory.php:45-55)
+            real, width = payload[off], payload[off + 1]
+            ctypes[i] = real
+            metas.append(width)
+            off += 2
         else:
             metas.append(0)
     assert off == meta_end, "column metadata length mismatch"
@@ -434,6 +738,9 @@ def _parse_table_map(payload: memoryview) -> TableSchema:
     # optional metadata TLVs
     names: list[str] = []
     pk: tuple[int, ...] = ()
+    signedness: list[bool] = []
+    enum_vals: list[tuple[str, ...]] = []
+    set_vals: list[tuple[str, ...]] = []
     end = len(payload)
     while off < end:
         ttype = payload[off]
@@ -452,15 +759,49 @@ def _parse_table_map(payload: memoryview) -> TableSchema:
                 ix, voff = read_lenenc(val, voff)
                 pk_list.append(ix)
             pk = tuple(pk_list)
+        elif ttype == META_SIGNEDNESS:
+            n_numeric = sum(1 for ct in ctypes if ct in NUMERIC_TYPES)
+            signedness = [
+                (val[i >> 3] >> (i & 7)) & 1 == 0 for i in range(n_numeric)
+            ]  # TLV bit set = UNSIGNED
+        elif ttype in (META_ENUM_STR_VALUE, META_SET_STR_VALUE):
+            voff, lists = 0, []
+            while voff < len(val):
+                nv, voff = read_lenenc(val, voff)
+                vv = []
+                for _ in range(nv):
+                    ln, voff = read_lenenc(val, voff)
+                    vv.append(bytes(val[voff : voff + ln]).decode())
+                    voff += ln
+                lists.append(tuple(vv))
+            if ttype == META_ENUM_STR_VALUE:
+                enum_vals = lists
+            else:
+                set_vals = lists
     if len(names) != ncols:
         # the reference hard-errors when names are absent
         # (ColumnMetadataFactory.php:159-161) — we do the same.
         raise ValueError(f"TABLE_MAP for {schema}.{table} lacks column names")
-    cols = [
-        WireColumn(name=names[i], ctype=ctypes[i], nullable=nullable[i],
-                   meta=metas[i])
-        for i in range(ncols)
-    ]
+    cols = []
+    num_i, enum_i, set_i = 0, 0, 0
+    for i in range(ncols):
+        ct = ctypes[i]
+        signed = True
+        values: tuple[str, ...] = ()
+        if ct in NUMERIC_TYPES:
+            if signedness:
+                signed = signedness[num_i]
+            num_i += 1
+        if ct == TYPE_ENUM:
+            values = enum_vals[enum_i] if enum_i < len(enum_vals) else ()
+            enum_i += 1
+        elif ct == TYPE_SET:
+            values = set_vals[set_i] if set_i < len(set_vals) else ()
+            set_i += 1
+        cols.append(
+            WireColumn(name=names[i], ctype=ct, nullable=nullable[i],
+                       meta=metas[i], signed=signed, values=values)
+        )
     return TableSchema(schema=schema, table=table, columns=cols,
                        primary_key=pk, table_id=table_id)
 
