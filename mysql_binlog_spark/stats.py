@@ -69,7 +69,9 @@ def observed(decoded: DataFrame, name: str = "cdc") -> tuple[DataFrame, Observat
     out = decoded.observe(
         obs,
         F.count(F.lit(1)).alias("rows"),
-        F.countDistinct("log_file").alias("files"),
+        # observe() forbids DISTINCT aggregates; approx_count_distinct is
+        # the observed-metrics idiom for cardinality
+        F.approx_count_distinct("log_file").alias("files"),
         F.min("log_pos").alias("min_pos"),
         F.max("log_pos").alias("max_pos"),
     )

@@ -1,0 +1,46 @@
+"""JSON event sink (K1) + observe()/lineage metrics (G1/A7) tests."""
+
+from __future__ import annotations
+
+import json
+
+from mysql_binlog_spark.driver_queries import decoded_binary_df
+from mysql_binlog_spark.sinks import to_json_events
+from mysql_binlog_spark.stats import interval_stats, lineage, observed, partition_lineage
+
+IMAGE_COLS = ["conv_id", "turn_idx", "role", "text", "tool", "ts", "tool_version"]
+
+
+def test_json_event_emission(spark, sf_dir):
+    dec = decoded_binary_df(spark, sf_dir, include={("app", "transcripts")})
+    rows = to_json_events(dec, IMAGE_COLS).limit(50).collect()
+    assert rows
+    for r in rows:
+        doc = json.loads(r["json"])
+        assert doc["action"] in ("insert", "update", "delete")
+        assert doc["position"]["file"].startswith("binlog.")
+        if doc["action"] == "insert":
+            assert "before" not in doc and doc["after"]["conv_id"]
+        if doc["action"] == "delete":
+            assert "after" not in doc and doc["before"]["conv_id"]
+
+
+def test_observe_and_lineage(spark, sf_dir):
+    dec = decoded_binary_df(spark, sf_dir, include={("app", "transcripts")})
+    dec_obs, obs = observed(dec)
+    total = dec_obs.count()
+    m = obs.get
+    assert m["rows"] == total and m["files"] >= 1
+    assert 0 <= m["min_pos"] <= m["max_pos"]
+    lin = {r["log_file"]: r for r in lineage(dec).collect()}
+    assert sum(r["n_rows"] for r in lin.values()) == total
+    for r in lin.values():
+        assert r["min_pos"] <= r["max_pos"]
+    plin = partition_lineage(dec).collect()
+    assert sum(r["n_rows"] for r in plin) == total
+
+
+def test_interval_stats_shape(spark, sf_dir):
+    dec = decoded_binary_df(spark, sf_dir, include={("app", "transcripts")})
+    st = interval_stats(dec).collect()
+    assert st and all(r["n_rows"] >= r["n_events"] >= 1 for r in st)
