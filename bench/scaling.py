@@ -17,7 +17,7 @@ import sys
 import time
 
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
-LOW, HIGH = 8, 32
+LOW, HIGH = int(os.environ.get("SCALE_LOW", "8")), int(os.environ.get("SCALE_HIGH", "32"))
 
 
 def run_at(cpus: int) -> dict:
