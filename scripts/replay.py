@@ -1,0 +1,99 @@
+#!/usr/bin/env python
+"""CLI replay driver — the spark-submit face of the engine.
+
+Mirrors the reference's configuration surface (Config::fromEnv/fromArgs,
+src/Config.php:21-171: binlog file/position, table and database
+include/exclude lists, server id, statistics interval) mapped onto the
+Spark replay:
+
+    spark-submit --py-files mysql_binlog_spark.zip scripts/replay.py \\
+        --chunk-dir /data/binlog --table-dir /lake/transcripts \\
+        --mode stream --checkpoint /ckpt/transcripts \\
+        --databases app --tables transcripts \\
+        --binlog-file binlog.000007 --binlog-position 4
+
+Every option also reads from env (TABLES, DATABASES, BINLOG_FILE,
+BINLOG_POSITION, SERVER_ID, STATISTICS_INTERVAL) like the reference.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from mysql_binlog_spark.session import get_spark  # noqa: E402
+from mysql_binlog_spark.streaming.replay import replay_batch, replay_stream  # noqa: E402
+from mysql_binlog_spark.table import LakeTable  # noqa: E402
+
+DEFAULT_COLUMNS = [
+    ("conv_id", "string"), ("turn_idx", "int"), ("role", "string"),
+    ("text", "string"), ("tool", "string"), ("ts", "timestamp"),
+]
+
+
+def _split(v: str | None) -> list[str]:
+    return [x.strip() for x in v.split(",") if x.strip()] if v else []
+
+
+def parse_args(argv: list[str] | None = None) -> argparse.Namespace:
+    env = os.environ.get
+    p = argparse.ArgumentParser(description=__doc__)
+    p.add_argument("--chunk-dir", required=True)
+    p.add_argument("--table-dir", required=True)
+    p.add_argument("--mode", choices=["batch", "stream"], default="batch")
+    p.add_argument("--checkpoint", default=env("CHECKPOINT"))
+    p.add_argument("--tables", default=env("TABLES", "transcripts"))
+    p.add_argument("--exclude-tables", default=env("EXCLUDE_TABLES"))
+    p.add_argument("--databases", default=env("DATABASES", "app"))
+    p.add_argument("--exclude-databases", default=env("EXCLUDE_DATABASES"))
+    p.add_argument("--binlog-file", default=env("BINLOG_FILE"))
+    p.add_argument("--binlog-position", type=int,
+                   default=int(env("BINLOG_POSITION", "0")))
+    p.add_argument("--files-per-epoch", type=int, default=8)
+    p.add_argument("--key", default="conv_id,turn_idx")
+    p.add_argument("--n-buckets", type=int, default=64)
+    p.add_argument("--master", default=None)
+    return p.parse_args(argv)
+
+
+def main(argv: list[str] | None = None) -> dict:
+    a = parse_args(argv)
+    include = [
+        (db, t) for db in _split(a.databases) for t in _split(a.tables)
+    ] or None
+    spark = get_spark(app_name="mbs-replay", master=a.master)
+    table = LakeTable.create(
+        a.table_dir, DEFAULT_COLUMNS, _split(a.key), n_buckets=a.n_buckets
+    )
+    if a.mode == "stream":
+        if not a.checkpoint:
+            raise SystemExit("--checkpoint required for stream mode")
+        stats = replay_stream(
+            spark, a.chunk_dir, table, a.checkpoint, include=include,
+            max_files_per_trigger=a.files_per_epoch,
+        )
+    else:
+        stats = replay_batch(
+            spark, a.chunk_dir, table, include=include,
+            files_per_epoch=a.files_per_epoch,
+        )
+    summary = {
+        "mode": a.mode,
+        "epochs_applied": stats.applied,
+        "epochs_skipped": len(stats.epochs) - stats.applied,
+        "final_rows": table.snapshot_df(spark).count(),
+        "schema_version": table.schema_doc()["version"],
+        "last_lineage": (stats.epochs[-1].get("lineage")
+                         if stats.epochs else None),
+    }
+    print(json.dumps(summary))
+    spark.stop()
+    return summary
+
+
+if __name__ == "__main__":
+    main()
