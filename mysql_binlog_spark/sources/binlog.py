@@ -120,6 +120,7 @@ def read_binlog(
     start_lsn: tuple[str, int] | None = None,
     verify_crc: bool = False,
     files_df: DataFrame | None = None,
+    before_mode: str = "full",
 ) -> DataFrame:
     """Decode binlog chunks into a flat change-row DataFrame.
 
@@ -182,6 +183,7 @@ def read_binlog(
                     start_pos=sp,
                     verify_crc=verify_crc,
                     image_cols=col_names,
+                    before_mode=before_mode,
                 )
                 n = len(batch)
                 arrays = [

@@ -90,6 +90,7 @@ def replay_batch(
         paths = [os.path.join(chunk_dir, f) for f in group]
         decoded = read_binlog(
             spark, paths, image_cols=image_cols, include=include_set,
+            before_mode="delete_only",  # apply never reads update befores
         )
         cols = (
             [n for n, _ in image_cols]
@@ -144,6 +145,7 @@ def replay_stream(
         epoch_id = f"stream-{batch_id}-{os.path.basename(sorted(paths)[0])}"
         decoded = read_binlog(
             spark, paths, image_cols=image_cols, include=include_set,
+            before_mode="delete_only",  # apply never reads update befores
         )
         cols = (
             [n for n, _ in image_cols]

@@ -813,6 +813,7 @@ def decode_chunk(
     start_pos: int = 0,
     verify_crc: bool = False,
     image_cols: list[str] | None = None,
+    before_mode: str = "full",
 ) -> DecodedBatch:
     """Decode one binlog chunk file into a column-major batch.
 
@@ -824,7 +825,14 @@ def decode_chunk(
     ``image_cols`` fixes the output column layout (columns a table lacks are
     NULL-backfilled; table columns outside the list are decoded-and-dropped);
     when None the union grows dynamically as TABLE_MAPs arrive.
+
+    ``before_mode``: 'full' materializes update/delete before-images;
+    'delete_only' parse-skips update before-images (the apply path never
+    reads them — delete rows keep theirs, it IS the row image); 'none'
+    parse-skips all before-images.  Skipping avoids the list appends and
+    Arrow conversion for half the output columns.
     """
+    assert before_mode in ("full", "delete_only", "none")
     mv = memoryview(data)
     assert bytes(mv[:4]) == MAGIC, "bad binlog magic"
     off = 4
@@ -873,10 +881,12 @@ def decode_chunk(
                 exclude is not None and key in exclude
             )
             if not skip:
-                dec = decoders.get(table_id)
-                if dec is None:
+                decs = decoders.get(table_id)
+                if decs is None:
                     dec = _compile_image_decoder(t, out.columns)
-                    decoders[table_id] = dec
+                    skip = _compile_image_decoder(t, [])  # parse-and-drop
+                    decoders[table_id] = decs = (dec, skip)
+                dec, dec_skip = decs
                 n = len(t.columns)
                 p = 6 + 2 + 2  # table_id + flags + extra-data len
                 ccount, p = read_lenenc(payload, p)
@@ -889,14 +899,29 @@ def decode_chunk(
                 plen = len(payload)
                 cnt = 0
                 if etype == UPDATE_ROWS_V2:
-                    while p < plen:
-                        p = dec(payload, p, bouts)
-                        p = dec(payload, p, aouts)
-                        cnt += 1
+                    if before_mode == "full":
+                        while p < plen:
+                            p = dec(payload, p, bouts)
+                            p = dec(payload, p, aouts)
+                            cnt += 1
+                    else:
+                        while p < plen:
+                            p = dec_skip(payload, p, ())
+                            p = dec(payload, p, aouts)
+                            cnt += 1
+                        for lst in bouts:
+                            lst.extend([None] * cnt)
                 elif etype == DELETE_ROWS_V2:
-                    while p < plen:
-                        p = dec(payload, p, bouts)
-                        cnt += 1
+                    if before_mode == "none":
+                        while p < plen:
+                            p = dec_skip(payload, p, ())
+                            cnt += 1
+                        for lst in bouts:
+                            lst.extend([None] * cnt)
+                    else:
+                        while p < plen:
+                            p = dec(payload, p, bouts)
+                            cnt += 1
                     for lst in aouts:
                         lst.extend([None] * cnt)
                 else:
