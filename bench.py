@@ -48,6 +48,7 @@ CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
 AMP = int(os.environ.get("BENCH_AMP", "20"))
 EPF = int(os.environ.get("BENCH_EPF", "5000"))
 RUNS = int(os.environ.get("BENCH_RUNS", "2"))
+ONLY = set(filter(None, os.environ.get("BENCH_ONLY", "").split(",")))
 
 IMAGE_COLS = [
     ("conv_id", "string"), ("turn_idx", "int"), ("role", "string"),
@@ -144,13 +145,17 @@ def main() -> None:
 
     q: dict[str, float] = {}
 
+    def want(name: str) -> bool:
+        return not ONLY or name in ONLY
+
     # q1: binary decode throughput (count only — no shuffle)
-    q["decode_binary"] = timed(
+    if want("decode_binary"):
+        q["decode_binary"] = timed(
         lambda: read_binlog(
             spark, glob, image_cols=IMAGE_COLS,
             include={("app", "transcripts")},
         ).count()
-    )
+        )
 
     # q2: decode → dedup → last-writer winners (decode + one shuffle)
     def winners():
@@ -163,7 +168,8 @@ def main() -> None:
         df = image_view(dedup_lsn(df), [n for n, _ in IMAGE_COLS])
         return last_writer(df, ["conv_id", "turn_idx"], PAYLOAD).count()
 
-    q["dedup_last_writer"] = timed(winners)
+    if want("dedup_last_writer"):
+        q["dedup_last_writer"] = timed(winners)
 
     # q3: end-to-end replay into a fresh lake (the north metric)
     def e2e():
@@ -176,27 +182,31 @@ def main() -> None:
         )
         shutil.rmtree(lake, ignore_errors=True)
 
-    q["apply_e2e"] = timed(e2e)
+    q["apply_e2e"] = timed(e2e)  # always: it is the headline metric
 
     # q4: salted two-phase reduce on the skewed changelog (parquet path)
     spark.read.parquet(os.path.join(SF_DIR, "events.parquet")).createOrReplaceTempView(
         "events"
     )
     changelog = spark.sql(spec.changelog_sql("spark"))
-    q["salted_last_writer"] = timed(
+    if want("salted_last_writer"):
+        q["salted_last_writer"] = timed(
         lambda: salted_last_writer(
             filter_tables(dedup_lsn(changelog), include=[("app", "transcripts")]),
             ["conv_id", "turn_idx"], PAYLOAD,
         ).count()
-    )
+        )
 
     # q5/q6: training-pipeline headliners
     docs = spark.read.parquet(os.path.join(SF_DIR, "documents.parquet"))
-    q["minhash_lsh_dedup"] = timed(lambda: minhash_dedup_pairs(docs).count())
+    if want("minhash_lsh_dedup"):
+        q["minhash_lsh_dedup"] = timed(lambda: minhash_dedup_pairs(docs).count())
     embs = spark.read.parquet(os.path.join(SF_DIR, "embeddings.parquet"))
-    q["cosine_knn"] = timed(
-        lambda: cosine_knn(embs, embs.filter(F.col("vec_id") < 32), k=10).count()
-    )
+    if want("cosine_knn"):
+        q["cosine_knn"] = timed(
+            lambda: cosine_knn(embs, embs.filter(F.col("vec_id") < 32), k=10)
+            .count()
+        )
 
     eps = round(n_events / q["apply_e2e"], 1)
     print(
