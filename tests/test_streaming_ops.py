@@ -137,3 +137,38 @@ def test_stream_sessionize_matches_batch(spark, sf_dir):
     assert got_counts == [c for c in want_counts if c in got_counts] or (
         set(got_counts) <= set(want_counts)
     )
+
+
+def test_stateful_conv_progress(spark, sf_dir):
+    from mysql_binlog_spark.streaming.stateful import conv_progress
+
+    src = _changelog_dir(spark, sf_dir)
+    changes = stream_changes(spark, src, CHANGELOG_DDL, max_files_per_trigger=2)
+    q = (
+        conv_progress(changes)
+        .writeStream.format("memory")
+        .queryName("prog_sink")
+        .outputMode("update")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    # update-mode sink: LAST emitted row per conv carries cumulative state
+    import pyspark.sql.functions as SF
+
+    sink = spark.table("prog_sink")
+    final = (
+        sink.groupBy("conv_id")
+        .agg(SF.max(SF.struct("n_events", "max_turn", "last_file", "last_pos"))
+             .alias("s"))
+        .select("conv_id", "s.n_events", "s.max_turn")
+    )
+    got = {r["conv_id"]: (r["n_events"], r["max_turn"]) for r in final.collect()}
+    batch = (
+        spark.read.parquet(src)
+        .groupBy("conv_id")
+        .agg(SF.count(SF.lit(1)).alias("n"), SF.max("turn_idx").alias("mt"))
+        .collect()
+    )
+    want = {r["conv_id"]: (r["n"], r["mt"]) for r in batch}
+    assert got == want
