@@ -121,12 +121,20 @@ def read_binlog(
     verify_crc: bool = False,
     files_df: DataFrame | None = None,
     before_mode: str = "full",
+    task_side_read: bool = True,
 ) -> DataFrame:
     """Decode binlog chunks into a flat change-row DataFrame.
 
     Output schema: LSN + routing metadata columns (META_COLS) plus
     ``before_*`` / ``after_*`` image columns.  ``image_cols`` defaults to
     the union discovered from TABLE_MAP frames of the included tables.
+
+    ``task_side_read``: open the chunk inside the Python task instead of
+    shipping its bytes through the JVM scan + Arrow IPC (the content is
+    the whole data volume — reading it task-side halves the decode path's
+    data movement).  Requires chunks readable from every worker (local FS
+    here; NFS/fuse mounts on a cluster — set False to route bytes through
+    Spark's Hadoop FS layer instead).
     """
     if image_cols is None:
         discovered = discover_tables(spark, chunk_glob)
@@ -172,12 +180,23 @@ def read_binlog(
         # straight into pa.array() — no pandas object Series in between.
         for rb in it:
             paths = rb.column(rb.schema.get_field_index("path")).to_pylist()
-            contents = rb.column(rb.schema.get_field_index("content"))
+            if not task_side_read:
+                contents = rb.column(rb.schema.get_field_index("content"))
             for row_i, path in enumerate(paths):
                 name = os.path.basename(path)
                 sp = start_pos if name == start_file else 0
+                if task_side_read:
+                    local = path
+                    if local.startswith("file:"):
+                        local = local[5:]
+                        if local.startswith("//"):  # file://host/...
+                            local = local[local.index("/", 2):]
+                    with open(local, "rb") as fh:
+                        data = fh.read()
+                else:
+                    data = contents[row_i].as_py()
                 batch = decode_chunk(
-                    contents[row_i].as_py(),
+                    data,
                     include=include,
                     exclude=exclude,
                     start_pos=sp,
@@ -208,7 +227,8 @@ def read_binlog(
                         names.append(f"{side}_{c}")
                 yield pa.RecordBatch.from_arrays(arrays, names=names)
 
-    return files.select("path", "content").mapInArrow(decode, schema=ddl)
+    cols_in = ["path"] if task_side_read else ["path", "content"]
+    return files.select(*cols_in).mapInArrow(decode, schema=ddl)
 
 
 def image_view(df: DataFrame, image_cols: list[str]) -> DataFrame:
