@@ -87,7 +87,7 @@ def amplified_changelog(spark):
 
 
 def bench_dir(spark) -> str:
-    tag = f"sf={os.path.basename(SF_DIR.rstrip('/'))}-amp={AMP}-epf={EPF}-v1"
+    tag = f"sf={os.path.basename(SF_DIR.rstrip('/'))}-amp={AMP}-epf={EPF}-v2"
     out = os.path.join(tempfile.gettempdir(), "mbs_bench", tag)
     marker = os.path.join(out, "_COMPLETE")
     if os.path.exists(marker):

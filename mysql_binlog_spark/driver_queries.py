@@ -161,7 +161,7 @@ def binlog_fixture_dir(spark: SparkSession, sf_dir: str) -> str:
     """Generate (once, cached) the binary binlog chunks for sf_dir's derived
     changelog.  Encoding runs distributed (one task per chunk)."""
     tag = hashlib.sha1(
-        f"{sf_dir}:epf={spec.EVENTS_PER_FILE}:v3".encode()
+        f"{sf_dir}:epf={spec.EVENTS_PER_FILE}:v4".encode()
     ).hexdigest()[:12]
     out = os.path.join(tempfile.gettempdir(), "mbs_fixtures", tag)
     marker = os.path.join(out, "_COMPLETE")

@@ -234,9 +234,20 @@ def read_binlog(
 def image_view(df: DataFrame, image_cols: list[str]) -> DataFrame:
     """Collapse before/after into the event's effective row image
     (after for insert/update, before for delete) — the shape the apply
-    stage and the reference's JSON emission both use."""
+    stage and the reference's JSON emission both use.
+
+    Selection is by ``action``, NOT per-column coalesce: an UPDATE that
+    sets a column to NULL must yield NULL, not resurrect the stale
+    before-image value (it's the whole after image or the whole before
+    image, exactly like the reference's per-event JSON)."""
+    is_delete = F.col("action") == "delete"
     out = df
     for c in image_cols:
-        out = out.withColumn(c, F.coalesce(F.col(f"after_{c}"), F.col(f"before_{c}")))
+        out = out.withColumn(
+            c,
+            F.when(is_delete, F.col(f"before_{c}")).otherwise(
+                F.col(f"after_{c}")
+            ),
+        )
     return out.drop(*[f"after_{c}" for c in image_cols],
                     *[f"before_{c}" for c in image_cols])

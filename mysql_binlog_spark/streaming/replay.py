@@ -66,15 +66,22 @@ def replay_batch(
     image_cols: list[tuple[str, str]] | None = None,
     files_per_epoch: int = 4,
     stop_after_epochs: int | None = None,
+    start_lsn: tuple[str, int] | None = None,
 ) -> ReplayStats:
     """Batch replay with epoch granularity = ``files_per_epoch`` chunks.
 
     ``stop_after_epochs`` simulates a mid-replay crash for resume tests.
+    ``start_lsn`` = (binlog_file, position): chunks before the file are
+    pruned from the epoch plan entirely; events before the position inside
+    the start file are skipped by the decode source (reference's
+    start-position semantics, EventsIterator.php:207-215).
     """
     chunks = sorted(
         f for f in os.listdir(chunk_dir)
         if f.startswith("binlog.") and not f.endswith(".json")
     )
+    if start_lsn is not None:
+        chunks = [f for f in chunks if f >= start_lsn[0]]
     include_set = set(include) if include is not None else None
     stats = ReplayStats()
     done = table.committed_epochs()
@@ -90,6 +97,7 @@ def replay_batch(
         paths = [os.path.join(chunk_dir, f) for f in group]
         decoded = read_binlog(
             spark, paths, image_cols=image_cols, include=include_set,
+            start_lsn=start_lsn,
             before_mode="delete_only",  # apply never reads update befores
         )
         cols = (
@@ -115,6 +123,7 @@ def replay_stream(
     image_cols: list[tuple[str, str]] | None = None,
     max_files_per_trigger: int = 4,
     timeout_sec: float = 300.0,
+    start_lsn: tuple[str, int] | None = None,
 ) -> ReplayStats:
     """Structured Streaming replay over the chunk directory.
 
@@ -140,11 +149,14 @@ def replay_stream(
 
     def apply_batch(batch_df, batch_id: int):
         paths = [r["path"] for r in batch_df.collect()]
+        if start_lsn is not None:
+            paths = [p for p in paths if os.path.basename(p) >= start_lsn[0]]
         if not paths:
             return
         epoch_id = f"stream-{batch_id}-{os.path.basename(sorted(paths)[0])}"
         decoded = read_binlog(
             spark, paths, image_cols=image_cols, include=include_set,
+            start_lsn=start_lsn,
             before_mode="delete_only",  # apply never reads update befores
         )
         cols = (

@@ -76,6 +76,20 @@ META_ENUM_STR_VALUE = 6
 META_SIMPLE_PRIMARY_KEY = 8
 
 CHARSET_UTF8MB4 = 45
+CHARSET_BINARY = 63  # collation 'binary' — payload is raw bytes, not text
+
+# Fractional-second rendering for string-typed temporals (DATETIME2/TIME2):
+# "pad"  — right-pad to the column's fsp digits (normalized; round-trips)
+# "ref3" — replicate the reference's quirk: truncate/left-justify to exactly
+#          3 digits regardless of fsp (DateTimeReadTrait.php:16,42,72,86)
+FSP_RENDER = "pad"
+
+
+def _frac_str(micro: int, fsp: int) -> str:
+    """Render a microsecond fraction per FSP_RENDER policy."""
+    if FSP_RENDER == "ref3":
+        return f".{micro // 1000:03d}"
+    return "." + str(micro // 10 ** (6 - fsp)).rjust(fsp, "0")
 
 ACTION_BY_EVENT = {
     WRITE_ROWS_V2: "insert",
@@ -101,6 +115,7 @@ class WireColumn:
     meta: int = 0
     signed: bool = True           # integers only (SIGNEDNESS bitmap)
     values: tuple[str, ...] = ()  # ENUM/SET labels (optional metadata)
+    charset: int = CHARSET_UTF8MB4  # VARCHAR/BLOB; 63 = binary collation
 
 
 @dataclass
@@ -229,6 +244,31 @@ def decode_decimal(buf, off: int, precision: int, scale: int) -> tuple[str, int]
     return out, off + size
 
 
+# Fractional seconds for DATETIME2/TIMESTAMP2/TIME2 are stored the way
+# MySQL stores them (my_time.cc my_*_packed_to_binary): ceil(fsp/2) bytes
+# holding micro/10000 (1 byte), micro/100 (2 bytes) or micro (3 bytes).
+_FRAC_UNIT = {0: 0, 1: 10000, 2: 100, 3: 1}
+
+
+def _frac_nbytes(fsp: int) -> int:
+    return (fsp + 1) // 2
+
+
+def encode_frac(micro: int, fsp: int) -> bytes:
+    nb = _frac_nbytes(fsp)
+    if nb == 0:
+        return b""
+    return (micro // _FRAC_UNIT[nb]).to_bytes(nb, "big")
+
+
+def decode_frac(buf, off: int, fsp: int) -> tuple[int, int]:
+    """→ (microseconds, new offset)."""
+    nb = _frac_nbytes(fsp)
+    if nb == 0:
+        return 0, off
+    return int.from_bytes(buf[off : off + nb], "big") * _FRAC_UNIT[nb], off + nb
+
+
 def encode_datetime2(y, mo, d, h, mi, sec) -> bytes:
     packed = (
         (1 << 39) | ((y * 13 + mo) << 22) | (d << 17) | (h << 12)
@@ -248,31 +288,65 @@ def decode_datetime2(buf, off: int, fsp: int) -> tuple[str, int]:
     off += 5
     out = f"{y:04d}-{mo:02d}-{d:02d} {h:02d}:{mi:02d}:{sec:02d}"
     if fsp:
-        nb = (fsp + 1) // 2
-        frac = int.from_bytes(buf[off : off + nb], "big")
-        off += nb
-        out += "." + str(frac).rjust(fsp, "0")
+        micro, off = decode_frac(buf, off, fsp)
+        out += _frac_str(micro, fsp)
     return out, off
 
 
-def encode_time2(h, mi, sec) -> bytes:
-    packed = (1 << 23) | (h << 12) | (mi << 6) | sec  # sign bit 1 = positive
-    return packed.to_bytes(3, "big")
+def encode_time2(h, mi, sec, micro: int = 0, fsp: int = 0,
+                 neg: bool = False) -> bytes:
+    """Full TIME2 field (3 int bytes + fractional bytes), replicating
+    MySQL's my_time_packed_to_binary: the packed value is
+    sign*((h<<12|m<<6|s)<<24 + micro); storage is the 0x800000-biased
+    int part with a *signed* (two's-complement) fraction for fsp 1-4 and
+    one biased 6-byte integer for fsp 5-6."""
+    intpart = (h << 12) | (mi << 6) | sec
+    packed = (intpart << 24) + micro
+    if neg:
+        packed = -packed
+    nb = _frac_nbytes(fsp)
+    if nb == 0:
+        return (0x800000 + (packed >> 24)).to_bytes(3, "big")
+    if nb == 3:  # fsp 5-6: single biased big-endian integer
+        return (packed + (0x800000 << 24)).to_bytes(6, "big")
+    # fsp 1-4: biased int part (python >> is arithmetic = C floor shift)
+    # plus a truncated-division fraction, two's-complement when negative —
+    # disk order stays binary-sortable (my_time.cc table of examples)
+    unit = _FRAC_UNIT[nb]
+    frac = micro // unit
+    if neg:
+        frac = -frac
+    out = (0x800000 + (packed >> 24)).to_bytes(3, "big")
+    return out + (frac & ((1 << (8 * nb)) - 1)).to_bytes(nb, "big")
 
 
 def decode_time2(buf, off: int, fsp: int) -> tuple[str, int]:
-    packed = int.from_bytes(buf[off : off + 3], "big")
-    assert packed & (1 << 23), "negative TIME2 not supported"
-    h = (packed >> 12) & 0x3FF
-    mi = (packed >> 6) & 0x3F
-    sec = packed & 0x3F
-    off += 3
-    out = f"{h:02d}:{mi:02d}:{sec:02d}"
+    nb = _frac_nbytes(fsp)
+    if nb == 3:
+        packed = int.from_bytes(buf[off : off + 6], "big") - (0x800000 << 24)
+        off += 6
+    else:
+        intpart = int.from_bytes(buf[off : off + 3], "big") - 0x800000
+        off += 3
+        frac = 0
+        if nb:
+            frac = int.from_bytes(buf[off : off + nb], "big")
+            off += nb
+            if intpart < 0 and frac:
+                # negative value: fraction was stored two's-complement
+                intpart += 1
+                frac -= 1 << (8 * nb)
+        packed = (intpart << 24) + frac * _FRAC_UNIT.get(nb, 1)
+    neg = packed < 0
+    ap = -packed if neg else packed
+    micro = ap & ((1 << 24) - 1)
+    ip = ap >> 24
+    h = (ip >> 12) & 0x3FF
+    mi = (ip >> 6) & 0x3F
+    sec = ip & 0x3F
+    out = f"{'-' if neg else ''}{h:02d}:{mi:02d}:{sec:02d}"
     if fsp:
-        nb = (fsp + 1) // 2
-        frac = int.from_bytes(buf[off : off + nb], "big")
-        off += nb
-        out += "." + str(frac).rjust(fsp, "0")
+        out += _frac_str(micro, fsp)
     return out, off
 
 
@@ -372,8 +446,16 @@ class BinlogWriter:
         if numeric:
             sign = _bitmap([not c.signed for c in numeric])  # set = unsigned
             tlvs += bytes([META_SIGNEDNESS]) + pack_lenenc(len(sign)) + sign
-        cs = pack_lenenc(CHARSET_UTF8MB4)
-        tlvs += bytes([META_DEFAULT_CHARSET]) + pack_lenenc(len(cs)) + cs
+        # DEFAULT_CHARSET: default collation + (char-col-index, collation)
+        # pairs for columns that differ (MySQL TLV shape;
+        # ColumnMetadataFactory.php:97-107 semantics).  BINARY-collation
+        # VARCHAR/BLOB columns carry raw bytes (RowFactory.php:108,115).
+        char_cols = [c for c in cols if c.ctype in (TYPE_VARCHAR, TYPE_BLOB)]
+        cs = bytearray(pack_lenenc(CHARSET_UTF8MB4))
+        for ci, c in enumerate(char_cols):
+            if c.charset != CHARSET_UTF8MB4:
+                cs += pack_lenenc(ci) + pack_lenenc(c.charset)
+        tlvs += bytes([META_DEFAULT_CHARSET]) + pack_lenenc(len(cs)) + bytes(cs)
         names = bytearray()
         for c in cols:
             nb = c.name.encode()
@@ -434,10 +516,10 @@ class BinlogWriter:
                 ) + b
             elif c.ctype == TYPE_BLOB:
                 b = v.encode() if isinstance(v, str) else bytes(v)
-                out += struct.pack("<H", len(b)) + b
+                out += len(b).to_bytes(c.meta or 2, "little") + b
             elif c.ctype == TYPE_TIMESTAMP2:
                 sec, micro = v  # (epoch seconds, microseconds)
-                out += struct.pack(">I", sec) + int(micro).to_bytes(3, "big")
+                out += struct.pack(">I", sec) + encode_frac(int(micro), c.meta)
             elif c.ctype == TYPE_FLOAT:
                 out += struct.pack("<f", float(v))
             elif c.ctype == TYPE_DOUBLE:
@@ -454,17 +536,17 @@ class BinlogWriter:
                 h, mi, sec = (int(x) for x in time_s.split(":"))
                 out += encode_datetime2(y, mo, d, h, mi, sec)
                 if c.meta:
-                    nb = (c.meta + 1) // 2
-                    out += int((frac or "0").ljust(c.meta, "0")[: c.meta]
-                               ).to_bytes(nb, "big")
+                    digits = int((frac or "0").ljust(c.meta, "0")[: c.meta])
+                    out += encode_frac(digits * 10 ** (6 - c.meta), c.meta)
             elif c.ctype == TYPE_TIME2:
                 tm, _, frac = str(v).partition(".")
-                h, mi, sec = (int(x) for x in tm.split(":"))
-                out += encode_time2(h, mi, sec)
+                neg = tm.startswith("-")
+                h, mi, sec = (int(x) for x in tm.lstrip("-").split(":"))
+                micro = 0
                 if c.meta:
-                    nb = (c.meta + 1) // 2
-                    out += int((frac or "0").ljust(c.meta, "0")[: c.meta]
-                               ).to_bytes(nb, "big")
+                    digits = int((frac or "0").ljust(c.meta, "0")[: c.meta])
+                    micro = digits * 10 ** (6 - c.meta)
+                out += encode_time2(h, mi, sec, micro, c.meta, neg)
             elif c.ctype == TYPE_BIT:
                 bits = str(v)
                 assert len(bits) == c.meta
@@ -584,7 +666,10 @@ def _compile_image_decoder(t: TableSchema, columns: list[str]):
     ``t`` appending one value (or None) to outs[slot] for EVERY union slot
     (columns absent from this table get None — NULL backfill)."""
     sig = (
-        tuple((c.name, c.ctype, c.meta, c.nullable) for c in t.columns),
+        tuple(
+            (c.name, c.ctype, c.meta, c.nullable, c.signed, c.values, c.charset)
+            for c in t.columns
+        ),
         tuple(columns),
     )
     fn = _DECODER_CACHE.get(sig)
@@ -616,17 +701,48 @@ def _compile_image_decoder(t: TableSchema, columns: list[str]):
                 f"v = int.from_bytes(buf[off:off+{w}], 'little', "
                 f"signed={sgn}); off += {w}"
             )
-        elif c.ctype == TYPE_VARCHAR and c.meta <= 255:
-            body.append("ln = buf[off]; off += 1")
-            body.append("v = str(buf[off:off+ln], 'utf-8'); off += ln")
         elif c.ctype in (TYPE_VARCHAR, TYPE_BLOB):
-            body.append("ln = buf[off] | (buf[off+1] << 8); off += 2")
-            body.append("v = str(buf[off:off+ln], 'utf-8'); off += ln")
+            if c.ctype == TYPE_VARCHAR:
+                lw = 1 if c.meta <= 255 else 2
+            else:
+                lw = c.meta or 2  # BLOB: length-prefix width from metadata
+            if lw == 1:
+                body.append("ln = buf[off]; off += 1")
+            elif lw == 2:
+                body.append("ln = buf[off] | (buf[off+1] << 8); off += 2")
+            else:
+                body.append(
+                    f"ln = int.from_bytes(buf[off:off+{lw}], 'little'); "
+                    f"off += {lw}"
+                )
+            if c.charset == CHARSET_BINARY:
+                # binary collation: raw bytes, never utf-8
+                # (reference base64-envelopes these, RowFactory.php:108,115)
+                body.append("v = bytes(buf[off:off+ln]); off += ln")
+            else:
+                body.append("v = str(buf[off:off+ln], 'utf-8'); off += ln")
         elif c.ctype == TYPE_TIMESTAMP2:
-            body.append(
-                "v = u('>I', buf, off)[0] * 1000000 + "
-                "((buf[off+4] << 16) | (buf[off+5] << 8) | buf[off+6]); off += 7"
-            )
+            # 4-byte BE epoch seconds + (fsp+1)//2 fractional bytes
+            # (ADVICE fix: size the fractional read from the column's fsp)
+            fnb = (c.meta + 1) // 2
+            if fnb == 0:
+                body.append("v = u('>I', buf, off)[0] * 1000000; off += 4")
+            elif fnb == 1:
+                body.append(
+                    "v = u('>I', buf, off)[0] * 1000000 + "
+                    "buf[off+4] * 10000; off += 5"
+                )
+            elif fnb == 2:
+                body.append(
+                    "v = u('>I', buf, off)[0] * 1000000 + "
+                    "((buf[off+4] << 8) | buf[off+5]) * 100; off += 6"
+                )
+            else:
+                body.append(
+                    "v = u('>I', buf, off)[0] * 1000000 + "
+                    "((buf[off+4] << 16) | (buf[off+5] << 8) | buf[off+6]); "
+                    "off += 7"
+                )
         elif c.ctype == TYPE_FLOAT:
             # reference quirk: FLOAT rounded to its meta "size"
             # (RowFactory.php:90-92)
@@ -741,6 +857,8 @@ def _parse_table_map(payload: memoryview) -> TableSchema:
     signedness: list[bool] = []
     enum_vals: list[tuple[str, ...]] = []
     set_vals: list[tuple[str, ...]] = []
+    default_cs = CHARSET_UTF8MB4
+    cs_overrides: dict[int, int] = {}  # char-column index → collation
     end = len(payload)
     while off < end:
         ttype = payload[off]
@@ -759,6 +877,13 @@ def _parse_table_map(payload: memoryview) -> TableSchema:
                 ix, voff = read_lenenc(val, voff)
                 pk_list.append(ix)
             pk = tuple(pk_list)
+        elif ttype == META_DEFAULT_CHARSET:
+            voff = 0
+            default_cs, voff = read_lenenc(val, voff)
+            while voff < len(val):
+                ci, voff = read_lenenc(val, voff)
+                cs_i, voff = read_lenenc(val, voff)
+                cs_overrides[ci] = cs_i
         elif ttype == META_SIGNEDNESS:
             n_numeric = sum(1 for ct in ctypes if ct in NUMERIC_TYPES)
             signedness = [
@@ -783,11 +908,12 @@ def _parse_table_map(payload: memoryview) -> TableSchema:
         # (ColumnMetadataFactory.php:159-161) — we do the same.
         raise ValueError(f"TABLE_MAP for {schema}.{table} lacks column names")
     cols = []
-    num_i, enum_i, set_i = 0, 0, 0
+    num_i, enum_i, set_i, char_i = 0, 0, 0, 0
     for i in range(ncols):
         ct = ctypes[i]
         signed = True
         values: tuple[str, ...] = ()
+        charset = CHARSET_UTF8MB4
         if ct in NUMERIC_TYPES:
             if signedness:
                 signed = signedness[num_i]
@@ -798,9 +924,13 @@ def _parse_table_map(payload: memoryview) -> TableSchema:
         elif ct == TYPE_SET:
             values = set_vals[set_i] if set_i < len(set_vals) else ()
             set_i += 1
+        elif ct in (TYPE_VARCHAR, TYPE_BLOB):
+            charset = cs_overrides.get(char_i, default_cs)
+            char_i += 1
         cols.append(
             WireColumn(name=names[i], ctype=ct, nullable=nullable[i],
-                       meta=metas[i], signed=signed, values=values)
+                       meta=metas[i], signed=signed, values=values,
+                       charset=charset)
         )
     return TableSchema(schema=schema, table=table, columns=cols,
                        primary_key=pk, table_id=table_id)
@@ -891,9 +1021,23 @@ def decode_chunk(
                 p = 6 + 2 + 2  # table_id + flags + extra-data len
                 ccount, p = read_lenenc(payload, p)
                 assert ccount == n
-                p += (n + 7) // 8  # present bitmap (FULL row image: all set)
-                if etype == UPDATE_ROWS_V2:
-                    p += (n + 7) // 8
+                # columns-present bitmap(s): the decoder assumes FULL row
+                # images, so a partial bitmap (binlog_row_image=MINIMAL /
+                # NOBLOB) must fail loudly instead of desyncing the row
+                # decode (reference sizes null-bitmaps from the present
+                # count, RowFactory.php:28-40 — we reject instead).
+                nbb_ = (n + 7) // 8
+                full = bytes([0xFF] * (nbb_ - 1)) + bytes(
+                    [(1 << (n - 8 * (nbb_ - 1))) - 1]
+                )
+                n_bm = 2 if etype == UPDATE_ROWS_V2 else 1
+                for _ in range(n_bm):
+                    if bytes(payload[p : p + nbb_]) != full:
+                        raise ValueError(
+                            f"partial row image in {t.schema}.{t.table} "
+                            "(binlog_row_image != FULL is not supported)"
+                        )
+                    p += nbb_
                 bouts = out.before_cols
                 aouts = out.after_cols
                 plen = len(payload)

@@ -65,6 +65,9 @@ def main(argv: list[str] | None = None) -> dict:
     include = [
         (db, t) for db in _split(a.databases) for t in _split(a.tables)
     ] or None
+    # start LSN (reference Config: binlogFile/binlogPosition) — threaded
+    # into the decode source's file pruning + in-chunk position skip
+    start_lsn = (a.binlog_file, a.binlog_position) if a.binlog_file else None
     spark = get_spark(app_name="mbs-replay", master=a.master)
     table = LakeTable.create(
         a.table_dir, DEFAULT_COLUMNS, _split(a.key), n_buckets=a.n_buckets
@@ -74,12 +77,12 @@ def main(argv: list[str] | None = None) -> dict:
             raise SystemExit("--checkpoint required for stream mode")
         stats = replay_stream(
             spark, a.chunk_dir, table, a.checkpoint, include=include,
-            max_files_per_trigger=a.files_per_epoch,
+            max_files_per_trigger=a.files_per_epoch, start_lsn=start_lsn,
         )
     else:
         stats = replay_batch(
             spark, a.chunk_dir, table, include=include,
-            files_per_epoch=a.files_per_epoch,
+            files_per_epoch=a.files_per_epoch, start_lsn=start_lsn,
         )
     summary = {
         "mode": a.mode,
