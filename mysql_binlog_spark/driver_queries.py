@@ -205,6 +205,80 @@ def q_cdc_decode_binary(spark, sf_dir):
     )
 
 
+def typed_fixture_dir(spark: SparkSession, sf_dir: str) -> str:
+    """Generate (once, cached) the 16-type binary chunks for sf_dir."""
+    from .fixtures.generator import generate_typed_chunks
+
+    tag = hashlib.sha1(f"{sf_dir}:typed:v1".encode()).hexdigest()[:12]
+    out = os.path.join(tempfile.gettempdir(), "mbs_fixtures", tag)
+    marker = os.path.join(out, "_COMPLETE")
+    if os.path.exists(marker):
+        return out
+    shutil.rmtree(out, ignore_errors=True)
+    os.makedirs(out, exist_ok=True)
+    _events(spark, sf_dir)
+    typed = spark.sql(spec.typed_rows_sql("spark"))
+    generate_typed_chunks(typed, out)
+    with open(marker, "w") as f:
+        f.write("ok")
+    return out
+
+
+TYPED_OUT_COLS = [
+    "c_tiny", "c_utiny", "c_short", "c_int24", "c_long", "c_big", "c_ubig",
+    "c_float", "c_double", "c_dec", "c_date", "c_dt", "c_time", "c_ts",
+    "c_bit", "c_enum", "c_set", "c_varchar", "c_blob", "c_bin",
+]
+
+
+def q_cdc_decode_types(spark, sf_dir):
+    """Every reference wire type through the DataFrame source (VERDICT
+    round-1 #1): TINY..LONGLONG±, FLOAT/DOUBLE, NEWDECIMAL→DecimalType,
+    DATE→DateType (zero-date→NULL), DATETIME2/TIME2/BIT/ENUM/SET strings,
+    TIMESTAMP2(fsp)→timestamp, unsigned BIGINT→DecimalType(20,0), and a
+    BINARY-collation BLOB→BinaryType.  The plan carries the native types;
+    only the final projection canonicalizes decimal/date→string and
+    binary→hex because pandas reprs differ across engines (the native
+    schema is pinned by tests/test_typed_source.py)."""
+    from .fixtures.generator import typed_image_cols
+
+    chunks = typed_fixture_dir(spark, sf_dir)
+    dec = read_binlog(
+        spark,
+        os.path.join(chunks, "typed.*[0-9]"),
+        image_cols=typed_image_cols(),
+    )
+    img = image_view(dec, [n for n, _ in typed_image_cols()])
+    return img.select(
+        F.col("row_id").cast("bigint").alias("row_id"),
+        *[
+            F.hex(c).alias(c) if c == "c_bin"
+            else F.col(c).cast("string").alias(c)
+            if c in ("c_ubig", "c_dec", "c_date")
+            else F.col(c)
+            for c in TYPED_OUT_COLS
+        ],
+    )
+
+
+def oracle_cdc_decode_types():
+    return f"""
+    WITH typed AS ({spec.typed_rows_sql('duckdb')})
+    SELECT row_id,
+           c_tiny, c_utiny, c_short, c_int24, c_long, c_big,
+           CAST(c_ubig AS VARCHAR) AS c_ubig,
+           c_float, c_double,
+           c_dec,
+           CASE WHEN c_date = '0000-00-00' THEN NULL ELSE c_date END AS c_date,
+           c_dt, c_time,
+           make_timestamp((1704067200 + row_id) * 1000000
+                          + (row_id % 10000) * 100) AS c_ts,
+           c_bit, c_enum, c_set, c_varchar, c_blob,
+           hex(c_bin) AS c_bin
+    FROM typed
+    """
+
+
 def q_cdc_apply_e2e(spark, sf_dir):
     """End-to-end engine run: binary chunks → decode → filter → dedup →
     last-writer → mini-lake MERGE epochs (schema evolution + exactly-once

@@ -27,9 +27,23 @@ from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from ..wire import (
+    CHARSET_BINARY,
+    TYPE_BIT,
     TYPE_BLOB,
+    TYPE_DATE,
+    TYPE_DATETIME2,
+    TYPE_DOUBLE,
+    TYPE_ENUM,
+    TYPE_FLOAT,
+    TYPE_INT24,
     TYPE_LONG,
+    TYPE_LONGLONG,
+    TYPE_NEWDECIMAL,
+    TYPE_SET,
+    TYPE_SHORT,
+    TYPE_TIME2,
     TYPE_TIMESTAMP2,
+    TYPE_TINY,
     TYPE_VARCHAR,
     BinlogWriter,
     TableSchema,
@@ -264,3 +278,112 @@ def generate_binlog_chunks(
         .reset_index(drop=True)
     )
     return stats
+
+
+# ------------------------------------------------------- 16-type fixture
+
+TYPED_TS_BASE = 1704067200  # 2024-01-01T00:00:00Z
+
+
+def typed_schema(table_id: int = 200) -> TableSchema:
+    """One table exercising every wire type the reference decodes
+    (RowFactory.php:72-165), including both LONGLONG signednesses and a
+    BINARY-collation BLOB with a 3-byte length prefix."""
+    return TableSchema(
+        "app", "typed",
+        [
+            WireColumn("row_id", TYPE_LONGLONG, nullable=False),
+            WireColumn("c_tiny", TYPE_TINY),
+            WireColumn("c_utiny", TYPE_TINY, signed=False),
+            WireColumn("c_short", TYPE_SHORT),
+            WireColumn("c_int24", TYPE_INT24),
+            WireColumn("c_long", TYPE_LONG),
+            WireColumn("c_big", TYPE_LONGLONG),
+            WireColumn("c_ubig", TYPE_LONGLONG, signed=False),
+            WireColumn("c_float", TYPE_FLOAT, meta=4),
+            WireColumn("c_double", TYPE_DOUBLE, meta=8),
+            WireColumn("c_dec", TYPE_NEWDECIMAL, meta=(12 << 8) | 3),
+            WireColumn("c_date", TYPE_DATE),
+            WireColumn("c_dt", TYPE_DATETIME2, meta=3),
+            WireColumn("c_time", TYPE_TIME2, meta=2),
+            WireColumn("c_ts", TYPE_TIMESTAMP2, nullable=False, meta=4),
+            WireColumn("c_bit", TYPE_BIT, meta=8),
+            WireColumn("c_enum", TYPE_ENUM, values=("alpha", "beta", "gamma")),
+            WireColumn("c_set", TYPE_SET, values=("x", "y", "z")),
+            WireColumn("c_varchar", TYPE_VARCHAR, meta=300),
+            WireColumn("c_blob", TYPE_BLOB, meta=2),
+            WireColumn("c_bin", TYPE_BLOB, meta=3, charset=CHARSET_BINARY),
+        ],
+        primary_key=(0,), table_id=table_id,
+    )
+
+
+def typed_image_cols() -> list[tuple[str, str]]:
+    """(name, spark type) pairs for read_binlog over the typed table."""
+    from ..sources.binlog import spark_type_of
+
+    return [(c.name, spark_type_of(c)) for c in typed_schema().columns]
+
+
+def generate_typed_chunks(
+    typed_rows: DataFrame, out_dir: str, rows_per_event: int = 64
+) -> pd.DataFrame:
+    """Encode spec.typed_rows_sql output into binary chunks (insert-only,
+    one Spark task per chunk file)."""
+    os.makedirs(out_dir, exist_ok=True)
+    cols = [c.name for c in typed_schema().columns]
+
+    def encode_file(pdf: pd.DataFrame):
+        pdf = pdf.sort_values("row_id").reset_index(drop=True)
+        log_file = pdf["log_file"].iloc[0]
+        writer = BinlogWriter(server_id=1, base_ts=TYPED_TS_BASE)
+        t = typed_schema()
+        writer.write_table_map(TYPED_TS_BASE, t)
+        rows_list = pdf.to_dict("records")
+        for i in range(0, len(rows_list), rows_per_event):
+            batch = []
+            for r in rows_list[i : i + rows_per_event]:
+                e = int(r["row_id"])
+                img = {}
+                for c in cols:
+                    if c == "c_ts":
+                        img[c] = (TYPED_TS_BASE + e, (e % 10000) * 100)
+                        continue
+                    v = r.get(c)
+                    if v is None or (isinstance(v, float) and v != v):
+                        img[c] = None
+                    elif c == "c_bin":
+                        img[c] = bytes(v)
+                    elif c == "c_ubig":
+                        img[c] = int(v)
+                    else:
+                        img[c] = v
+                batch.append(img)
+            writer.write_rows(TYPED_TS_BASE, t, "insert", batch)
+        data = writer.getvalue()
+        path = os.path.join(out_dir, log_file)
+        tmp = path + ".tmp"
+        with open(tmp, "wb") as f:
+            f.write(data)
+        os.rename(tmp, path)
+        with open(path + ".idx.json", "w") as f:
+            json.dump(
+                [{"offset": o, "type": ty, "size": s}
+                 for (o, ty, s) in writer.frames], f,
+            )
+        return pd.DataFrame(
+            [{"log_file": log_file, "n_frames": len(writer.frames),
+              "n_rows": len(pdf), "n_bytes": len(data)}]
+        )
+
+    return (
+        typed_rows.repartition("log_file")
+        .groupBy("log_file")
+        .applyInPandas(
+            encode_file,
+            schema="log_file string, n_frames long, n_rows long, n_bytes long",
+        )
+        .toPandas()
+        .sort_values("log_file")
+        .reset_index(drop=True)
+    )

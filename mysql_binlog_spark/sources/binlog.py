@@ -25,14 +25,103 @@ import pyarrow as pa
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from ..wire import TYPE_BLOB, TYPE_LONG, TYPE_TIMESTAMP2, TYPE_VARCHAR, decode_chunk
+from ..wire import (
+    CHARSET_BINARY,
+    TYPE_BIT,
+    TYPE_BLOB,
+    TYPE_DATE,
+    TYPE_DATETIME2,
+    TYPE_DOUBLE,
+    TYPE_ENUM,
+    TYPE_FLOAT,
+    TYPE_INT24,
+    TYPE_LONG,
+    TYPE_LONGLONG,
+    TYPE_NEWDECIMAL,
+    TYPE_SET,
+    TYPE_SHORT,
+    TYPE_TIME2,
+    TYPE_TIMESTAMP2,
+    TYPE_TINY,
+    TYPE_VARCHAR,
+    WireColumn,
+    decode_chunk,
+)
 
-_SPARK_TYPE = {
-    TYPE_LONG: "int",
-    TYPE_VARCHAR: "string",
-    TYPE_BLOB: "string",
-    TYPE_TIMESTAMP2: "timestamp",
-}
+ZERO_DATE = "0000-00-00"  # decoded sentinel → NULL at the DataFrame layer
+
+
+def spark_type_of(c: WireColumn) -> str:
+    """Spark SQL type carried by the decode source for a wire column —
+    the full reference type table (RowFactory.php:72-165) mapped onto
+    DataFrame types: exact decimals stay exact (NEWDECIMAL → DecimalType,
+    unsigned BIGINT → DecimalType(20,0) like the reference's GMP string),
+    temporals with calendar meaning become DATE/TIMESTAMP, and
+    rendering-defined types (DATETIME2 wall time, TIME2 durations, BIT,
+    ENUM/SET labels) stay strings exactly as the reference emits them."""
+    t = c.ctype
+    if t in (TYPE_TINY, TYPE_SHORT, TYPE_INT24):
+        return "int"
+    if t == TYPE_LONG:
+        return "int" if c.signed else "bigint"
+    if t == TYPE_LONGLONG:
+        return "bigint" if c.signed else "decimal(20,0)"
+    if t == TYPE_FLOAT:
+        return "float"
+    if t == TYPE_DOUBLE:
+        return "double"
+    if t == TYPE_NEWDECIMAL:
+        return f"decimal({c.meta >> 8},{c.meta & 0xFF})"
+    if t == TYPE_DATE:
+        return "date"
+    if t == TYPE_TIMESTAMP2:
+        return "timestamp"
+    if t in (TYPE_DATETIME2, TYPE_TIME2, TYPE_BIT, TYPE_ENUM, TYPE_SET):
+        return "string"
+    if t in (TYPE_VARCHAR, TYPE_BLOB):
+        return "binary" if c.charset == CHARSET_BINARY else "string"
+    raise ValueError(f"unsupported wire type {t:#x}")
+
+
+def _pa_type(t: str):
+    if t.startswith("decimal("):
+        p, s = (int(x) for x in t[8:-1].split(","))
+        return pa.decimal128(p, s)
+    return {
+        "string": pa.string(),
+        "int": pa.int32(),
+        "bigint": pa.int64(),
+        "float": pa.float32(),
+        "double": pa.float64(),
+        "timestamp": pa.timestamp("us"),
+        "date": pa.date32(),
+        "binary": pa.binary(),
+    }[t]
+
+
+def _make_converter(t: str):
+    """Python value list → Arrow array for one image column type."""
+    patype = _pa_type(t)
+    if t.startswith("decimal"):
+        def conv(vals):
+            # NEWDECIMAL decodes to exact strings, unsigned BIGINT to ints —
+            # Arrow accepts ints directly; strings go through a cast
+            if any(isinstance(v, str) for v in vals):
+                return pa.array(vals, pa.string()).cast(patype)
+            return pa.array(vals, patype)
+        return conv
+    if t == "date":
+        import pyarrow.compute as pc
+
+        def conv(vals):
+            arr = pa.array(vals, pa.string())
+            # zero-date policy (SURVEY §7.8): sentinel → NULL
+            arr = pc.if_else(
+                pc.equal(arr, ZERO_DATE), pa.scalar(None, pa.string()), arr
+            )
+            return arr.cast(patype)
+        return conv
+    return lambda vals: pa.array(vals, patype)
 
 META_COLS = [
     ("log_file", "string"),
@@ -73,7 +162,7 @@ def discover_tables(
                             "schema_name": schema,
                             "table_name": table,
                             "columns": [
-                                f"{c.name}:{_SPARK_TYPE[c.ctype]}" for c in t.columns
+                                f"{c.name}:{spark_type_of(c)}" for c in t.columns
                             ],
                         }
                     )
@@ -97,7 +186,7 @@ def discover_tables(
         cols = merged.setdefault(key, [])
         seen = {c[0] for c in cols}
         for spec in r["columns"]:
-            name, typ = spec.split(":")
+            name, typ = spec.split(":", 1)
             if name not in seen:
                 cols.append((name, typ))
                 seen.add(name)
@@ -166,14 +255,7 @@ def read_binlog(
         start_file, start_pos = "", 0
 
     col_names = [n for n, _ in image_cols]
-
-    type_by_name = dict(image_cols)
-    pa_image_type = {
-        "string": pa.string(),
-        "int": pa.int32(),
-        "bigint": pa.int64(),
-        "timestamp": pa.timestamp("us"),
-    }
+    converters = [_make_converter(t) for _, t in image_cols]
 
     def decode(it: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
         # Arrow-native emission: column lists from the compiled decoder go
@@ -221,9 +303,7 @@ def read_binlog(
                 for side, cols_ in (("before", batch.before_cols),
                                     ("after", batch.after_cols)):
                     for j, c in enumerate(col_names):
-                        arrays.append(
-                            pa.array(cols_[j], pa_image_type[type_by_name[c]])
-                        )
+                        arrays.append(converters[j](cols_[j]))
                         names.append(f"{side}_{c}")
                 yield pa.RecordBatch.from_arrays(arrays, names=names)
 

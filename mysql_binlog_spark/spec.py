@@ -133,6 +133,77 @@ def changelog_sql(
     return base + f"\n    SELECT {select_cols} FROM tagged\n"
 
 
+TYPED_SAMPLE_MOD = 5
+TYPED_ROWS_PER_FILE = 500
+
+
+def typed_rows_sql(dialect: str, events_rel: str = "events") -> str:
+    """Deterministic rows for the 16-wire-type fixture (VERDICT round-1 #1:
+    carry every reference type through the DataFrame source).
+
+    One template, two dialects: the Spark rendering feeds the fixture
+    encoder (these are the wire-input values), the DuckDB rendering is the
+    decode oracle.  Every value is a pure function of ``event_id``;
+    string-rendered values (decimal, temporal, bit, enum, set) are built
+    with printf so both engines produce byte-identical strings.
+
+    NULL coverage: c_dec (e%11), c_date (e%13 NULL, e%19 zero-date
+    sentinel), c_enum (e%17) — exercising the null bitmap and the
+    zero-date → NULL source policy (SURVEY §7.8).
+    """
+    assert dialect in ("spark", "duckdb")
+    idiv = lambda a, b: _idiv(dialect, a, b)  # noqa: E731
+    e = "e.event_id"
+    v_dec = f"(({e} * 37) % 1000000000)"
+    sql = f"""
+    SELECT
+      {e} AS row_id,
+      printf('typed.%06d',
+             1 + {idiv(idiv(e, str(TYPED_SAMPLE_MOD)), str(TYPED_ROWS_PER_FILE))})
+        AS log_file,
+      CAST(({e} % 251) - 125 AS INT) AS c_tiny,
+      CAST({e} % 256 AS INT) AS c_utiny,
+      CAST((({e} * 17) % 60001) - 30000 AS INT) AS c_short,
+      CAST((({e} * 131) % 16000001) - 8000000 AS INT) AS c_int24,
+      CAST((({e} * 7919) % 4000000001) - 2000000000 AS INT) AS c_long,
+      CAST({e} * 1000003 - 5000000000 AS BIGINT) AS c_big,
+      CAST(CAST('9223372036854775808' AS DECIMAL(20,0)) + {e}
+           AS DECIMAL(20,0)) AS c_ubig,
+      CAST(({e} % 1000) + 0.5 AS FLOAT) AS c_float,
+      CAST({e} * 0.25 AS DOUBLE) AS c_double,
+      CASE WHEN {e} % 11 = 0 THEN NULL
+           ELSE printf('%s%d.%03d',
+                       CASE WHEN {e} % 2 = 1 THEN '-' ELSE '' END,
+                       {idiv(v_dec, '1000')}, {v_dec} % 1000) END AS c_dec,
+      CASE WHEN {e} % 13 = 0 THEN NULL
+           WHEN {e} % 19 = 0 THEN '0000-00-00'
+           ELSE printf('2023-%02d-%02d', 1 + {e} % 12, 1 + {e} % 28) END
+        AS c_date,
+      printf('2024-03-%02d %02d:%02d:%02d.%03d',
+             1 + {e} % 28, {e} % 24, ({e} * 3) % 60, ({e} * 7) % 60,
+             {e} % 1000) AS c_dt,
+      printf('%s%02d:%02d:%02d.%02d',
+             CASE WHEN {e} % 5 = 0 THEN '-' ELSE '' END,
+             {e} % 100, ({e} * 11) % 60, 1 + ({e} * 7) % 59, {e} % 100)
+        AS c_time,
+      lpad(bin({e} % 256), 8, '0') AS c_bit,
+      CASE WHEN {e} % 17 = 0 THEN NULL
+           WHEN {e} % 3 = 0 THEN 'alpha'
+           WHEN {e} % 3 = 1 THEN 'beta' ELSE 'gamma' END AS c_enum,
+      substr(
+        CASE WHEN ({e} % 8) & 1 = 1 THEN ',x' ELSE '' END ||
+        CASE WHEN ({e} % 8) & 2 = 2 THEN ',y' ELSE '' END ||
+        CASE WHEN ({e} % 8) & 4 = 4 THEN ',z' ELSE '' END, 2) AS c_set,
+      printf('név_%d ✓', {e}) AS c_varchar,
+      repeat('lorem ', CAST({e} % 7 AS INT)) || printf('doc %d', {e})
+        AS c_blob,
+      unhex(md5(printf('%d', {e}))) AS c_bin
+    FROM {events_rel} e
+    WHERE {e} % {TYPED_SAMPLE_MOD} = 0
+    """
+    return sql
+
+
 def dedup_sql(dialect: str, events_rel: str = "events") -> str:
     """LSN-dedup (north-rule A1, first half): drop exact re-deliveries by
     (log_file, log_pos, server_id).  Equals the no-duplicates changelog."""
