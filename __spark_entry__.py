@@ -89,8 +89,7 @@ def oracle_sql() -> dict[str, str]:
         "doc_minhash_signatures": dq.oracle_doc_minhash_signatures(),
         "doc_neardup_minhash_lsh": dq.oracle_doc_neardup_minhash_lsh(),
         "doc_neardup_jaccard": dq.oracle_doc_neardup_jaccard(),
-        # doc_simhash: pandas-UDF sketch — rows-only driver check,
-        # pytest-verified against a pure-Python oracle.
+        "doc_simhash": dq.oracle_doc_simhash(),
         "doc_langid": dq.oracle_doc_langid(),
         "doc_quality": dq.oracle_doc_quality(),
         "doc_tokens": dq.oracle_doc_tokens(),
@@ -99,6 +98,6 @@ def oracle_sql() -> dict[str, str]:
         "emb_lsh_buckets": dq.oracle_emb_lsh_buckets(),
         "emb_neardup_cosine": dq.oracle_emb_neardup_cosine(),
         "multimodal_meta": dq.oracle_multimodal_meta(),
-        # multimodal_frames: stubbed decode kernel — rows-only check.
+        "multimodal_frames": dq.oracle_multimodal_frames(),
         "events_sessionize": dq.oracle_events_sessionize(),
     }

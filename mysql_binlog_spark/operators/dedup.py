@@ -125,6 +125,53 @@ def jaccard_verify(
     return joined.filter(F.col("jaccard") >= threshold)
 
 
+def jaccard_pairs_exact(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text",
+    shingle_n: int = 3, threshold: float = 0.8,
+) -> DataFrame:
+    """EXACT Jaccard near-dup pairs without the cartesian product.
+
+    Prefix filtering (the ALL-PAIRS/PPJoin lemma): order every shingle set
+    by one global total order (lexicographic here); if J(A,B) ≥ t, the
+    first ``|X| - ceil(t·|X|) + 1`` shingles of A and of B must share an
+    element.  So: explode only prefixes, equi-join on the shingle, verify
+    exact Jaccard on the candidates.  Same result set as the O(n²) scan —
+    the candidate join is a single shuffle keyed on (frequency-bounded)
+    prefix shingles, which is the 100 TB shape.
+    """
+    sh = df.select(
+        F.col(id_col), word_shingles(F.col(text_col), shingle_n).alias("s")
+    ).withColumn("s", F.array_sort("s")).persist()
+    plen = (
+        F.size("s") - F.ceil(F.lit(threshold) * F.size("s")) + F.lit(1)
+    ).cast("int")
+    ex = sh.select(F.col(id_col), F.explode(F.slice("s", 1, plen)).alias("tok"))
+    a, b = ex.alias("pa"), ex.alias("pb")
+    cands = (
+        a.join(
+            b,
+            (F.col("pa.tok") == F.col("pb.tok"))
+            & (F.col(f"pa.{id_col}") < F.col(f"pb.{id_col}")),
+        )
+        .select(
+            F.col(f"pa.{id_col}").alias("doc_a"),
+            F.col(f"pb.{id_col}").alias("doc_b"),
+        )
+        .distinct()
+    )
+    sa = sh.select(F.col(id_col).alias("_ia"), F.col("s").alias("sa"))
+    sb = sh.select(F.col(id_col).alias("_ib"), F.col("s").alias("sb"))
+    jac = F.size(F.array_intersect("sa", "sb")) / F.size(
+        F.array_union("sa", "sb")
+    )
+    return (
+        cands.join(sa, cands.doc_a == F.col("_ia"))
+        .join(sb, cands.doc_b == F.col("_ib"))
+        .select("doc_a", "doc_b", jac.alias("jaccard"))
+        .filter(F.col("jaccard") >= threshold)
+    )
+
+
 def minhash_dedup_pairs(
     df: DataFrame, id_col: str = "doc_id", text_col: str = "text",
     k: int = 12, rows_per_band: int = 2, shingle_n: int = 3,
@@ -142,7 +189,9 @@ def minhash_dedup_pairs(
 # ------------------------------------------------------------------ SimHash
 
 
-def _simhash64_py(text: str, shingle_n: int = 3) -> int:
+def _simhash48_py(text: str, shingle_n: int = 3) -> int:
+    """Pure-Python reference twin (pytest oracle).  Shingle semantics are
+    word_shingles' (lower, whitespace-split, distinct n-grams)."""
     words = text.lower().split()
     if len(words) >= shingle_n:
         shingles = {
@@ -163,24 +212,53 @@ def _simhash64_py(text: str, shingle_n: int = 3) -> int:
     return out
 
 
-def simhash48():
-    """48-bit SimHash over word-3-shingles (vectorized Arrow batch; the
-    popcount/bit-vote inner loop has no SQL builtin).  Built lazily — a
-    pandas_udf needs an active SparkSession."""
+def simhash48_from_shingles():
+    """48-bit SimHash over a pre-computed shingle array column.
 
-    def _f(text: pd.Series) -> pd.Series:
-        return text.map(lambda t: _simhash64_py(t) if t is not None else None)
+    The shingling runs JVM-side (word_shingles — same definition as the
+    MinHash path and the DuckDB oracle); the UDF only does the md5 digest
+    per shingle plus a numpy-vectorized 48-bit vote (the round-1 version
+    looped per bit per shingle in Python).  Built lazily — a pandas_udf
+    needs an active SparkSession."""
+    import hashlib
+
+    import numpy as np
+
+    bitpos = np.arange(48, dtype=np.int64)
+
+    def _one(shingles) -> int:
+        n = len(shingles)
+        hs = np.fromiter(
+            (
+                int.from_bytes(hashlib.md5(s.encode()).digest()[:6], "big")
+                for s in shingles
+            ),
+            dtype=np.int64,
+            count=n,
+        )
+        ones = ((hs[:, None] >> bitpos) & 1).sum(axis=0)  # per-bit 1-votes
+        return int(((ones * 2 > n).astype(np.int64) << bitpos).sum())
+
+    def _f(shingles: pd.Series) -> pd.Series:
+        return pd.Series(
+            [None if s is None else _one(s) for s in shingles], dtype="object"
+        )
 
     return pandas_udf(_f, "bigint")
 
 
 def simhash_buckets(
     df: DataFrame, id_col: str = "doc_id", text_col: str = "text",
-    band_bits: int = 12,
+    band_bits: int = 12, shingle_n: int = 3,
 ) -> DataFrame:
     """SimHash + banding: near-identical docs (small Hamming distance)
     collide on at least one of the 4 12-bit bands."""
-    sh = df.select(F.col(id_col), simhash48()(F.col(text_col)).alias("simhash"))
+    sh = df.select(
+        F.col(id_col),
+        simhash48_from_shingles()(
+            word_shingles(F.col(text_col), shingle_n)
+        ).alias("simhash"),
+    )
     bands = [
         F.shiftright(F.col("simhash"), b * band_bits)
         .bitwiseAND(F.lit((1 << band_bits) - 1))

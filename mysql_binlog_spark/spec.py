@@ -65,12 +65,15 @@ def changelog_sql(
     idiv = lambda a, b: _idiv(dialect, a, b)  # noqa: E731
 
     file_idx = idiv("e.event_id", str(events_per_file))
+    # scalar subquery, NOT a CROSS JOIN: Spark precomputes it as a reused
+    # subquery result (a literal in the plan) instead of a 1-row
+    # BroadcastNestedLoopJoin — keeps every derived plan join-free
+    evo_event = (
+        f"(SELECT {_idiv(dialect, '(MAX(event_id) + 1)', '2')} "
+        f"FROM {events_rel})"
+    )
     base = f"""
-    WITH evo AS (
-      SELECT {_idiv(dialect, "(MAX(event_id) + 1)", "2")} AS evo_event
-      FROM {events_rel}
-    ),
-    derived AS (
+    WITH derived AS (
       SELECT
         printf('binlog.%06d', 1 + {file_idx}) AS log_file,
         CAST(4 + (e.event_id % {events_per_file}) * {ROW_EVENT_STRIDE} AS BIGINT)
@@ -93,13 +96,13 @@ def changelog_sql(
         CASE WHEN e.event_id % 4 = 3
              THEN 'tool_' || CAST(e.event_id % 7 AS STRING)
              ELSE NULL END AS tool,
-        CASE WHEN e.event_id >= evo.evo_event AND e.event_id % 4 = 3
+        CASE WHEN e.event_id >= {evo_event} AND e.event_id % 4 = 3
              THEN 'v' || CAST(e.event_id % 3 AS STRING)
              ELSE NULL END AS tool_version,
         CASE WHEN e.event_id % {DELETE_MOD} = 0 THEN 'delete' ELSE NULL END
           AS forced_action,
         e.event_id AS event_id
-      FROM {events_rel} e CROSS JOIN evo
+      FROM {events_rel} e
     ),
     tagged AS (
       SELECT

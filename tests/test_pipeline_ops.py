@@ -7,7 +7,7 @@ import numpy as np
 from pyspark.sql import functions as F
 
 from mysql_binlog_spark.operators.dedup import (
-    _simhash64_py,
+    _simhash48_py,
     minhash_dedup_pairs,
     simhash_buckets,
 )
@@ -26,7 +26,7 @@ def test_simhash_matches_python_oracle(spark, sf_dir):
         for r in simhash_buckets(docs).select("doc_id", "simhash").collect()
     }
     for r in docs.select("doc_id", "text").collect():
-        assert got[r["doc_id"]] == _simhash64_py(r["text"])
+        assert got[r["doc_id"]] == _simhash48_py(r["text"])
 
 
 def test_simhash_bands_catch_neardups(spark, sf_dir):

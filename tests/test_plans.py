@@ -67,3 +67,41 @@ def test_whole_stage_codegen_covers_text_ops(spark, sf_dir):
     feats = quality_features(F.col("text"))
     df = docs.select("doc_id", *[v.alias(k) for k, v in feats.items()])
     assert "codegen id" in plan(df)  # JVM-side whole-stage codegen, no Python boundary
+
+
+def test_no_cartesian_in_any_driver_query(spark, sf_dir):
+    """No BroadcastNestedLoopJoin/CartesianProduct anywhere except the
+    intentional broadcast cross join in cosine_knn (VERDICT round-1 #7:
+    the all-pairs Jaccard baseline was a BNL join)."""
+    import __spark_entry__ as entry
+
+    allowed_bnlj = {"emb_cosine_knn"}  # broadcast query-side cross join
+    for name, fn in entry.queries().items():
+        if name in ("cdc_apply_e2e",):  # executes merges on construction
+            continue
+        p = plan(fn(spark, sf_dir))
+        if name not in allowed_bnlj:
+            assert "BroadcastNestedLoopJoin" not in p, name
+        assert "CartesianProduct" not in p, name
+
+
+def test_cosine_lsh_bucket_sizes_sublinear(spark, sf_dir):
+    """Banded sign-LSH (8 planes/band): no band bucket may hold a
+    constant fraction of the corpus (VERDICT round-1 #8)."""
+    from mysql_binlog_spark.operators.similarity import (
+        band_planes,
+        lsh_bucket_expr,
+    )
+
+    embs = spark.read.parquet(os.path.join(sf_dir, "embeddings.parquet"))
+    n = embs.count()
+    bands = band_planes(6, 8, 64)
+    for j, bp in enumerate(bands[:2]):  # two bands suffice as evidence
+        sizes = (
+            embs.select(lsh_bucket_expr(F.col("embedding"), bp).alias("b"))
+            .groupBy("b")
+            .count()
+            .agg(F.max("count").alias("mx"))
+            .collect()[0]["mx"]
+        )
+        assert sizes <= max(8, n // 5), (j, sizes, n)

@@ -1,0 +1,125 @@
+"""LakeTable maintenance: O(1) committed-epoch checks, vacuum of
+superseded files, compaction (VERDICT round-1 'what's wrong' #3/#6)."""
+
+from __future__ import annotations
+
+import glob
+import json
+import os
+import tempfile
+
+import pytest
+from pyspark.sql import functions as F
+
+from mysql_binlog_spark.table import LakeTable
+
+
+def _updates(spark, epoch: int, keys: list[str], action: str = "insert"):
+    rows = [
+        (k, epoch, action, "binlog.000001", 1000 * epoch + i, i, 1)
+        for i, k in enumerate(keys)
+    ]
+    return spark.createDataFrame(
+        rows,
+        "k string, v int, action string, log_file string, log_pos bigint,"
+        " batch_seq int, server_id bigint",
+    )
+
+
+@pytest.fixture()
+def table():
+    return LakeTable.create(
+        tempfile.mkdtemp(prefix="mbs_maint_"),
+        columns=[("k", "string"), ("v", "int")],
+        key_cols=["k"],
+        n_buckets=4,
+    )
+
+
+def test_epoch_check_is_o1_driver_io(spark, table):
+    """After the first read, committed_epochs never re-parses commit
+    manifests: a fresh instance reads only the append-only epochs.log."""
+    for e in range(6):
+        table.merge_into(spark, _updates(spark, e, ["a", "b"]), f"ep-{e}")
+    log = os.path.join(table.path, "_commits", "epochs.log")
+    assert os.path.exists(log)
+    assert sum(1 for _ in open(log)) == 6
+
+    fresh = LakeTable(table.path)
+    # manifest parsing (json.load) must not run for the epoch check
+    import mysql_binlog_spark.table as tmod
+
+    real = tmod.json.load
+    tmod.json.load = lambda *a, **k: (_ for _ in ()).throw(
+        AssertionError("committed_epochs parsed a manifest")
+    )
+    try:
+        eps = fresh.committed_epochs()
+        eps2 = fresh.committed_epochs()  # cached — no file I/O at all
+    finally:
+        tmod.json.load = real
+    assert eps == {f"ep-{e}" for e in range(6)} and eps2 is eps
+
+    # idempotence still holds through the log/cache path
+    r = table.merge_into(spark, _updates(spark, 0, ["a"]), "ep-0")
+    assert r["skipped"] is True
+
+
+def test_legacy_table_without_log_reconstructs(spark, table):
+    for e in range(3):
+        table.merge_into(spark, _updates(spark, e, ["a"]), f"ep-{e}")
+    os.remove(os.path.join(table.path, "_commits", "epochs.log"))
+    fresh = LakeTable(table.path)
+    assert fresh.committed_epochs() == {"ep-0", "ep-1", "ep-2"}
+    assert os.path.exists(os.path.join(table.path, "_commits", "epochs.log"))
+
+
+def test_vacuum_reclaims_superseded_files(spark, table):
+    keys = [f"k{i}" for i in range(16)]  # touch every bucket repeatedly
+    for e in range(5):
+        table.merge_into(spark, _updates(spark, e, keys), f"ep-{e}")
+    before = {
+        (r["k"], r["v"]) for r in table.snapshot_df(spark).collect()
+    }
+    n_files_before = len(
+        glob.glob(os.path.join(table.path, "data", "ep=*", "bucket=*", "*.parquet"))
+    )
+    stats = table.vacuum()
+    assert stats["files_removed"] > 0 and stats["bytes_reclaimed"] > 0
+    after = {(r["k"], r["v"]) for r in table.snapshot_df(spark).collect()}
+    assert after == before
+    n_files_after = len(
+        glob.glob(os.path.join(table.path, "data", "ep=*", "bucket=*", "*.parquet"))
+    )
+    assert n_files_after == n_files_before - stats["files_removed"]
+    # vacuum is idempotent
+    assert table.vacuum()["files_removed"] == 0
+
+
+def test_compact_preserves_snapshot_and_purges_tombstones(spark, table):
+    keys = [f"k{i}" for i in range(12)]
+    table.merge_into(spark, _updates(spark, 1, keys), "ep-1")
+    table.merge_into(
+        spark, _updates(spark, 2, keys[:4], action="delete"), "ep-2"
+    )
+    before = {(r["k"], r["v"]) for r in table.snapshot_df(spark).collect()}
+    assert len(before) == 8
+
+    stats = table.compact(spark)  # keep tombstones
+    assert not stats["skipped"] and stats["vacuum"]["files_removed"] > 0
+    assert {(r["k"], r["v"]) for r in table.snapshot_df(spark).collect()} == before
+    raw = spark.read.schema(table.ddl(True, True)).parquet(*table.live_files())
+    assert raw.filter(F.col("_deleted")).count() == 4  # tombstones retained
+
+    stats = table.compact(spark, purge_tombstones=True)
+    assert {(r["k"], r["v"]) for r in table.snapshot_df(spark).collect()} == before
+    raw = spark.read.schema(table.ddl(True, True)).parquet(*table.live_files())
+    assert raw.filter(F.col("_deleted")).count() == 0
+
+    # post-compaction merges still work and win by LSN
+    table.merge_into(spark, _updates(spark, 9, keys[4:6]), "ep-9")
+    got = {
+        r["k"]: r["v"]
+        for r in table.snapshot_df(spark).collect()
+    }
+    assert got["k4"] == 9 and got["k5"] == 9 and got["k6"] == 1
