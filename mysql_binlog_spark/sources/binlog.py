@@ -287,17 +287,16 @@ def read_binlog(
                     before_mode=before_mode,
                 )
                 n = len(batch)
+                m = batch.meta_numpy()  # np.repeat expansion, not per-row
                 arrays = [
                     pa.array([name] * n, pa.string()),
-                    pa.array(batch.log_pos, pa.int64()),
-                    pa.array(batch.server_id, pa.int64()),
-                    pa.array(
-                        [t * 1_000_000 for t in batch.ts], pa.timestamp("us")
-                    ),
-                    pa.array(batch.schema_name, pa.string()),
-                    pa.array(batch.table_name, pa.string()),
-                    pa.array(batch.action, pa.string()),
-                    pa.array(batch.batch_seq, pa.int32()),
+                    pa.array(m["log_pos"], pa.int64()),
+                    pa.array(m["server_id"], pa.int64()),
+                    pa.array(m["ts_us"], pa.timestamp("us")),
+                    pa.array(m["schema_name"], pa.string()),
+                    pa.array(m["table_name"], pa.string()),
+                    pa.array(m["action"], pa.string()),
+                    pa.array(m["batch_seq"], pa.int32()),
                 ]
                 names = [n_ for n_, _ in META_COLS]
                 for side, cols_ in (("before", batch.before_cols),

@@ -176,6 +176,8 @@ def _dec_bytes_for_digits(d: int) -> int:
 def encode_decimal(value: str, precision: int, scale: int) -> bytes:
     """MySQL packed base-10⁹ decimal with XOR'd sign bit."""
     neg = value.startswith("-")
+    if neg and set(value) <= {"-", "+", "0", "."}:
+        neg = False  # MySQL never stores negative zero
     digits = value.lstrip("-+")
     if "." in digits:
         intp, frac = digits.split(".")
@@ -605,25 +607,29 @@ class BinlogWriter:
 
 
 class DecodedBatch:
-    """All row-changes of one chunk, column-major: per-row metadata lists
-    plus per-image-column value lists aligned to ``columns`` (the union of
-    decoded tables' column names, or the caller-fixed ``image_cols``).
-    Column-major output feeds Arrow without per-row dicts."""
+    """All row-changes of one chunk, column-major: per-EVENT metadata lists
+    (one entry per row event, expanded to row granularity lazily or via
+    numpy at Arrow-conversion time) plus per-image-column value lists
+    aligned to ``columns`` (the union of decoded tables' column names, or
+    the caller-fixed ``image_cols``).  Column-major output feeds Arrow
+    without per-row dicts; per-event metadata avoids 7 list-extends per
+    event in the frame loop."""
 
     __slots__ = (
-        "log_pos", "server_id", "ts", "schema_name", "table_name", "action",
-        "batch_seq", "columns", "before_cols", "after_cols", "n_events",
-        "n_bytes", "tables_seen",
+        "ev_pos", "ev_server", "ev_ts", "ev_schema", "ev_table", "ev_action",
+        "ev_cnt", "n_rows", "columns", "before_cols", "after_cols",
+        "n_events", "n_bytes", "tables_seen",
     )
 
     def __init__(self, columns: list[str] | None = None):
-        self.log_pos: list[int] = []
-        self.server_id: list[int] = []
-        self.ts: list[int] = []  # epoch seconds of header
-        self.schema_name: list[str] = []
-        self.table_name: list[str] = []
-        self.action: list[str] = []
-        self.batch_seq: list[int] = []
+        self.ev_pos: list[int] = []
+        self.ev_server: list[int] = []
+        self.ev_ts: list[int] = []  # epoch seconds of header
+        self.ev_schema: list[str] = []
+        self.ev_table: list[str] = []
+        self.ev_action: list[str] = []
+        self.ev_cnt: list[int] = []
+        self.n_rows = 0
         self.columns: list[str] = list(columns or [])
         self.before_cols: list[list] = [[] for _ in self.columns]
         self.after_cols: list[list] = [[] for _ in self.columns]
@@ -632,11 +638,72 @@ class DecodedBatch:
         self.tables_seen: dict = {}
 
     def __len__(self) -> int:
-        return len(self.log_pos)
+        return self.n_rows
+
+    def _expand(self, values: list) -> list:
+        out: list = []
+        for v, c in zip(values, self.ev_cnt):
+            out.extend([v] * c)
+        return out
+
+    # row-granularity views (tests/debug; the Arrow path uses meta_numpy)
+    @property
+    def log_pos(self) -> list[int]:
+        return self._expand(self.ev_pos)
+
+    @property
+    def server_id(self) -> list[int]:
+        return self._expand(self.ev_server)
+
+    @property
+    def ts(self) -> list[int]:
+        return self._expand(self.ev_ts)
+
+    @property
+    def schema_name(self) -> list[str]:
+        return self._expand(self.ev_schema)
+
+    @property
+    def table_name(self) -> list[str]:
+        return self._expand(self.ev_table)
+
+    @property
+    def action(self) -> list[str]:
+        return self._expand(self.ev_action)
+
+    @property
+    def batch_seq(self) -> list[int]:
+        out: list = []
+        for c in self.ev_cnt:
+            out.extend(range(c))
+        return out
+
+    def meta_numpy(self) -> dict:
+        """Vectorized row-granularity metadata (np.repeat over event
+        counts) — the hot-path twin of the list properties above."""
+        import numpy as np
+
+        cnt = np.asarray(self.ev_cnt, dtype=np.int64)
+        total = int(cnt.sum())
+        starts = np.repeat(np.cumsum(cnt) - cnt, cnt)
+        return {
+            "log_pos": np.repeat(np.asarray(self.ev_pos, np.int64), cnt),
+            "server_id": np.repeat(np.asarray(self.ev_server, np.int64), cnt),
+            "ts_us": np.repeat(np.asarray(self.ev_ts, np.int64), cnt)
+            * 1_000_000,
+            "schema_name": np.repeat(
+                np.asarray(self.ev_schema, object), cnt
+            ),
+            "table_name": np.repeat(np.asarray(self.ev_table, object), cnt),
+            "action": np.repeat(np.asarray(self.ev_action, object), cnt),
+            "batch_seq": (np.arange(total, dtype=np.int64) - starts).astype(
+                np.int32
+            ),
+        }
 
     def _rows(self, cols: list[list]) -> list[dict | None]:
         out = []
-        for i in range(len(self.log_pos)):
+        for i in range(len(self)):
             vals = {c: cols[j][i] for j, c in enumerate(self.columns)}
             out.append(None if all(v is None for v in vals.values()) else vals)
         return out
@@ -656,153 +723,233 @@ class DecodedBatch:
 # Per-row Python interpretation of the 16-type switch (the reference's
 # RowFactory.php:72-165) is the decode bottleneck; instead we exec-compile a
 # specialized decoder per (table schema, union layout) with every field read
-# inlined — no per-field loop, no type branching at run time.
+# inlined — no per-field loop, no type branching at run time.  The row loop
+# itself is compiled too (one call per EVENT, not per row), with the output
+# appends pre-bound to locals and union-slot NULL backfill batched into one
+# ``extend`` per event.
 
 _DECODER_CACHE: dict = {}
 
 
-def _compile_image_decoder(t: TableSchema, columns: list[str]):
-    """Build ``dec(buf, off, outs) -> off``: decodes one row image of table
-    ``t`` appending one value (or None) to outs[slot] for EVERY union slot
-    (columns absent from this table get None — NULL backfill)."""
+def _field_lines(c: WireColumn, i: int, ns: dict, uniq: str) -> list[str]:
+    """Source lines computing ``v`` for column ``c`` and advancing ``off``.
+    ``uniq`` namespaces per-column constants in ``ns``."""
+    body: list[str] = []
+    if c.ctype == TYPE_TINY:
+        if c.signed:
+            body.append("v = buf[off]; off += 1")
+            body.append("if v >= 128: v -= 256")
+        else:
+            body.append("v = buf[off]; off += 1")
+    elif c.ctype == TYPE_SHORT:
+        body.append(f"v = u('<{'h' if c.signed else 'H'}', buf, off)[0]; off += 2")
+    elif c.ctype == TYPE_INT24:
+        body.append("v = buf[off] | (buf[off+1] << 8) | (buf[off+2] << 16); off += 3")
+        if c.signed:
+            body.append("if v >= 8388608: v -= 16777216")
+    elif c.ctype == TYPE_LONG:
+        body.append(f"v = u('<{'i' if c.signed else 'I'}', buf, off)[0]; off += 4")
+    elif c.ctype == TYPE_LONGLONG:
+        body.append(f"v = u('<{'q' if c.signed else 'Q'}', buf, off)[0]; off += 8")
+    elif c.ctype in (TYPE_VARCHAR, TYPE_BLOB):
+        if c.ctype == TYPE_VARCHAR:
+            lw = 1 if c.meta <= 255 else 2
+        else:
+            lw = c.meta or 2  # BLOB: length-prefix width from metadata
+        if lw == 1:
+            body.append("ln = buf[off]; off += 1")
+        elif lw == 2:
+            body.append("ln = buf[off] | (buf[off+1] << 8); off += 2")
+        else:
+            body.append(
+                f"ln = int.from_bytes(buf[off:off+{lw}], 'little'); off += {lw}"
+            )
+        if c.charset == CHARSET_BINARY:
+            # binary collation: raw bytes, never utf-8
+            # (reference base64-envelopes these, RowFactory.php:108,115)
+            body.append("v = bytes(buf[off:off+ln]); off += ln")
+        else:
+            # row payloads arrive as bytes (not memoryview): slice+decode
+            # is ~1.8x faster than str(mv_slice, 'utf-8')
+            body.append("v = buf[off:off+ln].decode('utf-8'); off += ln")
+    elif c.ctype == TYPE_TIMESTAMP2:
+        # 4-byte BE epoch seconds + (fsp+1)//2 fractional bytes sized from
+        # the column's fsp metadata
+        fnb = (c.meta + 1) // 2
+        if fnb == 0:
+            body.append("v = u('>I', buf, off)[0] * 1000000; off += 4")
+        elif fnb == 1:
+            body.append(
+                "v = u('>I', buf, off)[0] * 1000000 + buf[off+4] * 10000; "
+                "off += 5"
+            )
+        elif fnb == 2:
+            body.append(
+                "v = u('>I', buf, off)[0] * 1000000 + "
+                "((buf[off+4] << 8) | buf[off+5]) * 100; off += 6"
+            )
+        else:
+            body.append(
+                "v = u('>I', buf, off)[0] * 1000000 + "
+                "((buf[off+4] << 16) | (buf[off+5] << 8) | buf[off+6]); "
+                "off += 7"
+            )
+    elif c.ctype == TYPE_FLOAT:
+        # reference quirk: FLOAT rounded to its meta "size"
+        # (RowFactory.php:90-92)
+        body.append(f"v = round(u('<f', buf, off)[0], {c.meta or 4}); off += 4")
+    elif c.ctype == TYPE_DOUBLE:
+        body.append("v = u('<d', buf, off)[0]; off += 8")
+    elif c.ctype == TYPE_NEWDECIMAL:
+        body.append(
+            f"v, off = _decimal(buf, off, {c.meta >> 8}, {c.meta & 0xFF})"
+        )
+    elif c.ctype == TYPE_DATE:
+        body.append("p_ = int.from_bytes(buf[off:off+3], 'little'); off += 3")
+        body.append("v = f'{p_ >> 9:04d}-{(p_ >> 5) & 15:02d}-{p_ & 31:02d}'")
+    elif c.ctype == TYPE_DATETIME2:
+        body.append(f"v, off = _dt2(buf, off, {c.meta})")
+    elif c.ctype == TYPE_TIME2:
+        body.append(f"v, off = _t2(buf, off, {c.meta})")
+    elif c.ctype == TYPE_BIT:
+        w = (c.meta + 7) // 8
+        body.append(
+            f"v = format(int.from_bytes(buf[off:off+{w}], 'big'), "
+            f"'0{c.meta}b'); off += {w}"
+        )
+    elif c.ctype == TYPE_ENUM:
+        w = enum_width(len(c.values))
+        ns[f"_ev{uniq}"] = ("",) + c.values  # index 0 → '' (RowFactory quirk)
+        if w == 1:
+            body.append("ix = buf[off]; off += 1")
+        else:
+            body.append("ix = buf[off] | (buf[off+1] << 8); off += 2")
+        body.append(f"v = _ev{uniq}[ix] if ix < {len(c.values) + 1} else ''")
+    elif c.ctype == TYPE_SET:
+        w = set_width(len(c.values))
+        ns[f"_sv{uniq}"] = c.values
+        body.append(
+            f"m_ = int.from_bytes(buf[off:off+{w}], 'little'); off += {w}"
+        )
+        body.append(
+            f"v = ','.join(x for k, x in enumerate(_sv{uniq}) if m_ & (1 << k))"
+        )
+    else:  # pragma: no cover
+        raise ValueError(f"unsupported wire type {c.ctype:#x}")
+    return body
+
+
+def _image_lines(
+    t: TableSchema, slot: dict, ns: dict, prefix: str, store: bool,
+    ind: str,
+) -> list[str]:
+    """Row-image decode lines: one null-bitmap read + every field inlined.
+    With ``store``, values append via pre-bound locals ``{prefix}{slot}``;
+    union slots the table lacks are backfilled after the loop."""
+    n = len(t.columns)
+    nbb = (n + 7) // 8
+    L: list[str] = []
+    if nbb == 1:
+        L.append(f"{ind}nb = buf[off]; off += 1")
+    else:
+        L.append(
+            f"{ind}nb = int.from_bytes(buf[off:off+{nbb}], 'little'); "
+            f"off += {nbb}"
+        )
+    for i, c in enumerate(t.columns):
+        st = (
+            f"{prefix}{slot[c.name]}"
+            if store and c.name in slot
+            else None
+        )
+        body = _field_lines(c, i, ns, f"{prefix}{i}")
+        L.append(f"{ind}if nb & {1 << i}:")
+        L.append(f"{ind}    {st}(None)" if st else f"{ind}    pass")
+        L.append(f"{ind}else:")
+        for ln_ in body:
+            L.append(f"{ind}    {ln_}")
+        if st:
+            L.append(f"{ind}    {st}(v)")
+    return L
+
+
+def _compile_event_loop(t: TableSchema, columns: list[str], kind: str):
+    """Compile a whole-event row loop for table ``t`` against the union
+    column layout ``columns``.
+
+    kind: 'single'    → f(buf, off, end, outs)          decode each row
+          'pair'      → f(buf, off, end, bouts, aouts)  update before+after
+          'skip_then' → f(buf, off, end, aouts)         parse-skip before,
+                                                        decode after
+          'skip'      → f(buf, off, end)                parse-skip rows
+    All return (off, row_count).  Output appends are pre-bound locals and
+    union slots the table lacks are NULL-backfilled with one ``extend``
+    per event — the per-row call/indexing overhead of a per-image decoder
+    is gone (the decode hot loop is ~40% of e2e wall time).
+    """
     sig = (
         tuple(
             (c.name, c.ctype, c.meta, c.nullable, c.signed, c.values, c.charset)
             for c in t.columns
         ),
         tuple(columns),
+        kind,
     )
     fn = _DECODER_CACHE.get(sig)
     if fn is not None:
         return fn
     slot = {name: i for i, name in enumerate(columns)}
-    n = len(t.columns)
-    nbb = (n + 7) // 8
+    covered = {c.name for c in t.columns}
+    missing = [name for name in columns if name not in covered]
     ns: dict = {"_unpack_from": struct.unpack_from,
                 "_decimal": decode_decimal, "_dt2": decode_datetime2,
                 "_t2": decode_time2}
-    L = ["def _dec(buf, off, outs, u=_unpack_from):"]
-    if nbb == 1:
-        L.append("    nb = buf[off]; off += 1")
+
+    args = {
+        "single": "outs", "pair": "bouts, aouts", "skip_then": "aouts",
+        "skip": "",
+    }[kind]
+    L = [f"def _loop(buf, off, end, {args + ', ' if args else ''}"
+         "u=_unpack_from):"]
+
+    def bind(prefix: str, src: str) -> None:
+        for name in columns:
+            if name in covered:
+                L.append(f"    {prefix}{slot[name]} = {src}[{slot[name]}].append")
+
+    if kind == "single":
+        bind("a", "outs")
+    elif kind == "pair":
+        bind("b", "bouts")
+        bind("a", "aouts")
+    elif kind == "skip_then":
+        bind("a", "aouts")
+    L.append("    cnt = 0")
+    L.append("    while off < end:")
+    if kind == "single":
+        L += _image_lines(t, slot, ns, "a", True, "        ")
+    elif kind == "pair":
+        L += _image_lines(t, slot, ns, "b", True, "        ")
+        L += _image_lines(t, slot, ns, "a", True, "        ")
+    elif kind == "skip_then":
+        L += _image_lines(t, slot, ns, "s", False, "        ")
+        L += _image_lines(t, slot, ns, "a", True, "        ")
     else:
-        L.append(f"    nb = int.from_bytes(buf[off:off+{nbb}], 'little'); "
-                 f"off += {nbb}")
-    covered = set()
-    for i, c in enumerate(t.columns):
-        st = f"outs[{slot[c.name]}].append" if c.name in slot else None
-        covered.add(c.name)
-        body = []
-        if c.ctype == TYPE_LONG and c.signed:
-            body.append("v = u('<i', buf, off)[0]; off += 4")
-        elif c.ctype in INT_TYPES:
-            w = INT_WIDTH[c.ctype]
-            sgn = "True" if c.signed else "False"
-            body.append(
-                f"v = int.from_bytes(buf[off:off+{w}], 'little', "
-                f"signed={sgn}); off += {w}"
-            )
-        elif c.ctype in (TYPE_VARCHAR, TYPE_BLOB):
-            if c.ctype == TYPE_VARCHAR:
-                lw = 1 if c.meta <= 255 else 2
+        L += _image_lines(t, slot, ns, "s", False, "        ")
+    L.append("        cnt += 1")
+    if kind != "skip" and missing:
+        L.append("    _none = [None] * cnt")
+        for name in missing:
+            if kind == "pair":
+                L.append(f"    bouts[{slot[name]}].extend(_none)")
+                L.append(f"    aouts[{slot[name]}].extend(_none)")
+            elif kind == "single":
+                L.append(f"    outs[{slot[name]}].extend(_none)")
             else:
-                lw = c.meta or 2  # BLOB: length-prefix width from metadata
-            if lw == 1:
-                body.append("ln = buf[off]; off += 1")
-            elif lw == 2:
-                body.append("ln = buf[off] | (buf[off+1] << 8); off += 2")
-            else:
-                body.append(
-                    f"ln = int.from_bytes(buf[off:off+{lw}], 'little'); "
-                    f"off += {lw}"
-                )
-            if c.charset == CHARSET_BINARY:
-                # binary collation: raw bytes, never utf-8
-                # (reference base64-envelopes these, RowFactory.php:108,115)
-                body.append("v = bytes(buf[off:off+ln]); off += ln")
-            else:
-                body.append("v = str(buf[off:off+ln], 'utf-8'); off += ln")
-        elif c.ctype == TYPE_TIMESTAMP2:
-            # 4-byte BE epoch seconds + (fsp+1)//2 fractional bytes
-            # (ADVICE fix: size the fractional read from the column's fsp)
-            fnb = (c.meta + 1) // 2
-            if fnb == 0:
-                body.append("v = u('>I', buf, off)[0] * 1000000; off += 4")
-            elif fnb == 1:
-                body.append(
-                    "v = u('>I', buf, off)[0] * 1000000 + "
-                    "buf[off+4] * 10000; off += 5"
-                )
-            elif fnb == 2:
-                body.append(
-                    "v = u('>I', buf, off)[0] * 1000000 + "
-                    "((buf[off+4] << 8) | buf[off+5]) * 100; off += 6"
-                )
-            else:
-                body.append(
-                    "v = u('>I', buf, off)[0] * 1000000 + "
-                    "((buf[off+4] << 16) | (buf[off+5] << 8) | buf[off+6]); "
-                    "off += 7"
-                )
-        elif c.ctype == TYPE_FLOAT:
-            # reference quirk: FLOAT rounded to its meta "size"
-            # (RowFactory.php:90-92)
-            body.append(f"v = round(u('<f', buf, off)[0], {c.meta or 4}); "
-                        "off += 4")
-        elif c.ctype == TYPE_DOUBLE:
-            body.append("v = u('<d', buf, off)[0]; off += 8")
-        elif c.ctype == TYPE_NEWDECIMAL:
-            body.append(
-                f"v, off = _decimal(buf, off, {c.meta >> 8}, {c.meta & 0xFF})"
-            )
-        elif c.ctype == TYPE_DATE:
-            body.append("p_ = int.from_bytes(buf[off:off+3], 'little'); "
-                        "off += 3")
-            body.append(
-                "v = f'{p_ >> 9:04d}-{(p_ >> 5) & 15:02d}-{p_ & 31:02d}'"
-            )
-        elif c.ctype == TYPE_DATETIME2:
-            body.append(f"v, off = _dt2(buf, off, {c.meta})")
-        elif c.ctype == TYPE_TIME2:
-            body.append(f"v, off = _t2(buf, off, {c.meta})")
-        elif c.ctype == TYPE_BIT:
-            w = (c.meta + 7) // 8
-            body.append(
-                f"v = format(int.from_bytes(buf[off:off+{w}], 'big'), "
-                f"'0{c.meta}b'); off += {w}"
-            )
-        elif c.ctype == TYPE_ENUM:
-            w = enum_width(len(c.values))
-            ns[f"_ev{i}"] = ("",) + c.values  # index 0 → '' (RowFactory quirk)
-            body.append(
-                f"ix = int.from_bytes(buf[off:off+{w}], 'little'); off += {w}"
-            )
-            body.append(
-                f"v = _ev{i}[ix] if ix < {len(c.values) + 1} else ''"
-            )
-        elif c.ctype == TYPE_SET:
-            w = set_width(len(c.values))
-            ns[f"_sv{i}"] = c.values
-            body.append(
-                f"m_ = int.from_bytes(buf[off:off+{w}], 'little'); off += {w}"
-            )
-            body.append(
-                f"v = ','.join(x for k, x in enumerate(_sv{i}) "
-                "if m_ & (1 << k))"
-            )
-        else:  # pragma: no cover
-            raise ValueError(f"unsupported wire type {c.ctype:#x}")
-        L.append(f"    if nb & {1 << i}:")
-        L.append(f"        {st}(None)" if st else "        pass")
-        L.append("    else:")
-        for ln_ in body:
-            L.append(f"        {ln_}")
-        L.append(f"        {st}(v)" if st else "        pass")
-    for name in columns:
-        if name not in covered:  # union slot this table lacks: NULL backfill
-            L.append(f"    outs[{slot[name]}].append(None)")
-    L.append("    return off")
+                L.append(f"    aouts[{slot[name]}].extend(_none)")
+    L.append("    return off, cnt")
     exec("\n".join(L), ns)  # noqa: S102 - codegen from trusted schema
-    fn = ns["_dec"]
+    fn = ns["_loop"]
     _DECODER_CACHE[sig] = fn
     return fn
 
@@ -972,8 +1119,18 @@ def decode_chunk(
     fixed_union = image_cols is not None
     total = len(data)
     unpack = struct.unpack_from
+    ev_pos_a = out.ev_pos.append
+    ev_server_a = out.ev_server.append
+    ev_ts_a = out.ev_ts.append
+    ev_schema_a = out.ev_schema.append
+    ev_table_a = out.ev_table.append
+    ev_action_a = out.ev_action.append
+    ev_cnt_a = out.ev_cnt.append
     while off + HEADER_LEN <= total:
-        ts, etype, server_id, size, _end_pos, _flags = unpack("<IBIIIH", mv, off)
+        # header fast path: only the type byte and size are needed for
+        # control frames; ts/server_id are read for row events below
+        etype = mv[off + 4]
+        size = unpack("<I", mv, off + 9)[0]
         body_end = off + size - CRC_LEN
         if verify_crc:
             want = unpack("<I", mv, body_end)[0]
@@ -993,7 +1150,7 @@ def decode_chunk(
                     exclude is None or key not in exclude
                 )
                 if included:
-                    nrows = len(out.log_pos)
+                    nrows = len(out)
                     for c in t.columns:
                         if c.name not in out.columns:
                             out.columns.append(c.name)
@@ -1001,23 +1158,45 @@ def decode_chunk(
                             out.after_cols.append([None] * nrows)
                             decoders.clear()  # layouts changed
         elif etype in ACTION_BY_EVENT and off >= start_pos:
-            payload = mv[off + HEADER_LEN : body_end]
-            table_id = int.from_bytes(payload[0:6], "little")
-            t = tables.get(table_id)
-            if t is None:
-                raise ValueError(f"row event for unknown table id {table_id}")
-            key = (t.schema, t.table)
-            skip = (include is not None and key not in include) or (
-                exclude is not None and key in exclude
-            )
-            if not skip:
-                decs = decoders.get(table_id)
-                if decs is None:
-                    dec = _compile_image_decoder(t, out.columns)
-                    skip = _compile_image_decoder(t, [])  # parse-and-drop
-                    decoders[table_id] = decs = (dec, skip)
-                dec, dec_skip = decs
-                n = len(t.columns)
+            # bytes slice (one memcpy per event), NOT a memoryview: the
+            # row loop's string fields decode via bytes.decode
+            payload = data[off + HEADER_LEN : body_end]
+            # u48 table id via one masked u64 read (flags+extra follow, so
+            # 8 bytes are always available)
+            table_id = unpack("<Q", payload, 0)[0] & 0xFFFFFFFFFFFF
+            decs = decoders.get(table_id)
+            if decs is None:
+                t = tables.get(table_id)
+                if t is None:
+                    raise ValueError(
+                        f"row event for unknown table id {table_id}"
+                    )
+                key = (t.schema, t.table)
+                if (include is not None and key not in include) or (
+                    exclude is not None and key in exclude
+                ):
+                    # excluded table: cache the verdict — later events for
+                    # this id skip without key/set checks (reference F1
+                    # pushdown, EventsIterator.php:375-377)
+                    decoders[table_id] = decs = False
+                else:
+                    n_ = len(t.columns)
+                    nbb_ = (n_ + 7) // 8
+                    full = bytes([0xFF] * (nbb_ - 1)) + bytes(
+                        [(1 << (n_ - 8 * (nbb_ - 1))) - 1]
+                    )
+                    decoders[table_id] = decs = (
+                        t,
+                        _compile_event_loop(t, out.columns, "single"),
+                        _compile_event_loop(t, out.columns, "pair"),
+                        _compile_event_loop(t, out.columns, "skip_then"),
+                        _compile_event_loop(t, out.columns, "skip"),
+                        n_, nbb_, full,
+                    )
+            if decs is not False:
+                t, single, pair, skip_then, skip_all, n, nbb_, full = decs
+                ts = unpack("<I", mv, off)[0]
+                server_id = unpack("<I", mv, off + 5)[0]
                 p = 6 + 2 + 2  # table_id + flags + extra-data len
                 ccount, p = read_lenenc(payload, p)
                 assert ccount == n
@@ -1026,61 +1205,55 @@ def decode_chunk(
                 # NOBLOB) must fail loudly instead of desyncing the row
                 # decode (reference sizes null-bitmaps from the present
                 # count, RowFactory.php:28-40 — we reject instead).
-                nbb_ = (n + 7) // 8
-                full = bytes([0xFF] * (nbb_ - 1)) + bytes(
-                    [(1 << (n - 8 * (nbb_ - 1))) - 1]
-                )
                 n_bm = 2 if etype == UPDATE_ROWS_V2 else 1
-                for _ in range(n_bm):
-                    if bytes(payload[p : p + nbb_]) != full:
-                        raise ValueError(
-                            f"partial row image in {t.schema}.{t.table} "
-                            "(binlog_row_image != FULL is not supported)"
-                        )
-                    p += nbb_
+                if nbb_ == 1:
+                    full_i = full[0]
+                    for _ in range(n_bm):
+                        if payload[p] != full_i:
+                            raise ValueError(
+                                f"partial row image in {t.schema}.{t.table} "
+                                "(binlog_row_image != FULL is not supported)"
+                            )
+                        p += 1
+                else:
+                    for _ in range(n_bm):
+                        if bytes(payload[p : p + nbb_]) != full:
+                            raise ValueError(
+                                f"partial row image in {t.schema}.{t.table} "
+                                "(binlog_row_image != FULL is not supported)"
+                            )
+                        p += nbb_
                 bouts = out.before_cols
                 aouts = out.after_cols
                 plen = len(payload)
-                cnt = 0
                 if etype == UPDATE_ROWS_V2:
                     if before_mode == "full":
-                        while p < plen:
-                            p = dec(payload, p, bouts)
-                            p = dec(payload, p, aouts)
-                            cnt += 1
+                        p, cnt = pair(payload, p, plen, bouts, aouts)
                     else:
-                        while p < plen:
-                            p = dec_skip(payload, p, ())
-                            p = dec(payload, p, aouts)
-                            cnt += 1
+                        p, cnt = skip_then(payload, p, plen, aouts)
                         for lst in bouts:
                             lst.extend([None] * cnt)
                 elif etype == DELETE_ROWS_V2:
                     if before_mode == "none":
-                        while p < plen:
-                            p = dec_skip(payload, p, ())
-                            cnt += 1
+                        p, cnt = skip_all(payload, p, plen)
                         for lst in bouts:
                             lst.extend([None] * cnt)
                     else:
-                        while p < plen:
-                            p = dec(payload, p, bouts)
-                            cnt += 1
+                        p, cnt = single(payload, p, plen, bouts)
                     for lst in aouts:
                         lst.extend([None] * cnt)
                 else:
-                    while p < plen:
-                        p = dec(payload, p, aouts)
-                        cnt += 1
+                    p, cnt = single(payload, p, plen, aouts)
                     for lst in bouts:
                         lst.extend([None] * cnt)
-                out.log_pos.extend([off] * cnt)
-                out.server_id.extend([server_id] * cnt)
-                out.ts.extend([ts] * cnt)
-                out.schema_name.extend([t.schema] * cnt)
-                out.table_name.extend([t.table] * cnt)
-                out.action.extend([ACTION_BY_EVENT[etype]] * cnt)
-                out.batch_seq.extend(range(cnt))
+                ev_pos_a(off)
+                ev_server_a(server_id)
+                ev_ts_a(ts)
+                ev_schema_a(t.schema)
+                ev_table_a(t.table)
+                ev_action_a(ACTION_BY_EVENT[etype])
+                ev_cnt_a(cnt)
+                out.n_rows += cnt
         # ROTATE/XID/QUERY/HEARTBEAT/FDE are control frames: position
         # bookkeeping only (reference drops them too,
         # EventsIterator.php:153-173, :237-266).
