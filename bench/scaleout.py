@@ -32,6 +32,10 @@ EPF = int(os.environ.get("BENCH_EPF", "20000"))
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 WORKERS = int(os.environ.get("SCALE_OUT_WORKERS", "4"))
 CORES_PER = int(os.environ.get("CORES_PER", "8"))
+ROUNDS = int(os.environ.get("SCALE_OUT_ROUNDS", "3"))
+FIXTURE_TAG = os.environ.get("SCALE_OUT_TAG", "")  # full tag override
+WAIT_LOAD = float(os.environ.get("SCALE_OUT_WAIT_LOAD", "0"))  # 0 = no gate
+WAIT_MAX_SEC = float(os.environ.get("SCALE_OUT_WAIT_MAX", "600"))
 
 WORKER_SRC = r"""
 import json, os, sys, time
@@ -55,9 +59,22 @@ IMAGE_COLS = [("conv_id","string"),("turn_idx","int"),("role","string"),
               ("text","string"),("tool","string"),("ts","timestamp"),
               ("tool_version","string")]
 names = [n for n, _ in IMAGE_COLS]
-# warm: decode a single file end to end so JIT/workers are hot
-read_binlog(spark, paths[:1], image_cols=IMAGE_COLS,
-            include={{("app","transcripts")}}).count()
+# warm the FULL pipeline shape (decode -> winners -> lake MERGE) on one
+# file: JVM JIT + whole-stage codegen + python worker pool are steady
+# before the barrier, so the timed region measures SUSTAINED throughput
+# (the north rule's metric), not first-query compilation
+warm_lake = tempfile.mkdtemp(prefix="mbs_scaleout_warm_")
+wt = LakeTable.create(warm_lake, IMAGE_COLS[:6], ["conv_id","turn_idx"],
+                      n_buckets=64)
+wdec = read_binlog(spark, paths[:1], image_cols=IMAGE_COLS,
+                   include={{("app","transcripts")}},
+                   before_mode="delete_only")
+wt.merge_into(
+    spark,
+    last_writer(image_view(wdec, names), ["conv_id","turn_idx"],
+                [c for c in names if c not in ("conv_id","turn_idx")]),
+    "warm-epoch",
+)
 open(ready, "w").write("1")
 while not os.path.exists(go):
     time.sleep(0.05)
@@ -137,8 +154,20 @@ def run_fleet(chunks: list[str], k: int) -> dict:
     }
 
 
+def _wait_for_quiet() -> None:
+    """Optionally hold the next round until external load subsides (the
+    box is shared; see BENCH/ANALYSIS.md) — bounded by WAIT_MAX_SEC."""
+    if WAIT_LOAD <= 0:
+        return
+    t0 = time.time()
+    while _loadavg() > WAIT_LOAD and time.time() - t0 < WAIT_MAX_SEC:
+        time.sleep(10)
+
+
 def main() -> None:
-    tag = f"sf={os.path.basename(SF_DIR.rstrip('/'))}-amp={AMP}-epf={EPF}-v1"
+    tag = FIXTURE_TAG or (
+        f"sf={os.path.basename(SF_DIR.rstrip('/'))}-amp={AMP}-epf={EPF}-v1"
+    )
     chunk_dir = os.path.join(tempfile.gettempdir(), "mbs_bench", tag)
     if not os.path.exists(os.path.join(chunk_dir, "_COMPLETE")):
         raise SystemExit(f"fixture missing: run bench.py with AMP={AMP} first")
@@ -150,8 +179,24 @@ def main() -> None:
     meta = json.load(open(os.path.join(chunk_dir, "_COMPLETE")))
     n_events = meta["rows"]
 
-    r1 = run_fleet(chunks, 1)
-    rk = run_fleet(chunks, WORKERS)
+    # alternating rounds, best-of per config: both configs sample the same
+    # load regime; every round records loadavg at its GO barrier
+    runs1: list[dict] = []
+    runsk: list[dict] = []
+    for _ in range(ROUNDS):
+        _wait_for_quiet()
+        runs1.append(run_fleet(chunks, 1))
+        _wait_for_quiet()
+        runsk.append(run_fleet(chunks, WORKERS))
+        print(
+            f"# round: 1x{CORES_PER} {runs1[-1]['wall_sec']:.1f}s "
+            f"(load {runs1[-1]['load_at_go']:.1f}) | "
+            f"{WORKERS}x{CORES_PER} {runsk[-1]['wall_sec']:.1f}s "
+            f"(load {runsk[-1]['load_at_go']:.1f})",
+            file=sys.stderr,
+        )
+    r1 = min(runs1, key=lambda r: r["wall_sec"])
+    rk = min(runsk, key=lambda r: r["wall_sec"])
     tp1 = n_events / r1["wall_sec"]
     tpk = n_events / rk["wall_sec"]
     eff = round((tpk / tp1) / WORKERS, 3)
@@ -160,8 +205,15 @@ def main() -> None:
         "cores_per_executor": CORES_PER,
         "executors_low": 1,
         "executors_high": WORKERS,
+        "rounds": ROUNDS,
         "low": dict(r1, events_per_sec=round(tp1, 1)),
         "high": dict(rk, events_per_sec=round(tpk, 1)),
+        "all_rounds": {
+            "low_wall_sec": [round(r["wall_sec"], 1) for r in runs1],
+            "low_load": [r["load_at_go"] for r in runs1],
+            "high_wall_sec": [round(r["wall_sec"], 1) for r in runsk],
+            "high_load": [r["load_at_go"] for r in runsk],
+        },
         "scaling_efficiency": eff,
     }
     os.makedirs(os.path.join(REPO, "BENCH"), exist_ok=True)

@@ -15,12 +15,29 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 
-def to_json_events(decoded: DataFrame, image_cols: list[str]) -> DataFrame:
+def to_json_events(
+    decoded: DataFrame,
+    image_cols: list[str],
+    binary_cols: set[str] | None = None,
+) -> DataFrame:
     """One JSON string per change row, shaped like the reference's event
     JSON: action + position + before/after images (absent sides omitted —
-    jsonSerialize drops null members the same way)."""
-    before = F.struct(*[F.col(f"before_{c}").alias(c) for c in image_cols])
-    after = F.struct(*[F.col(f"after_{c}").alias(c) for c in image_cols])
+    jsonSerialize drops null members the same way).
+
+    ``binary_cols``: BINARY-collation columns (BinaryType from the decode
+    source) are enveloped as ``binary:base64,<b64>`` strings, the
+    reference's encoding for non-text payloads (RowFactory.php:108,115) —
+    raw bytes cannot ride JSON otherwise."""
+    binary_cols = binary_cols or set()
+
+    def img(c: str, side: str):
+        col = F.col(f"{side}_{c}")
+        if c in binary_cols:
+            return F.concat(F.lit("binary:base64,"), F.base64(col)).alias(c)
+        return col.alias(c)
+
+    before = F.struct(*[img(c, "before") for c in image_cols])
+    after = F.struct(*[img(c, "after") for c in image_cols])
     doc = F.struct(
         F.col("action"),
         F.struct(
