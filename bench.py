@@ -11,7 +11,7 @@ The CDC workload amplifies the sf-derived change log ``BENCH_AMP``×
 enough to measure sustained throughput; generation is distributed, cached
 under /tmp and NOT counted in query times.
 
-Env knobs: SPARK_GRAFT_SF_DIR, SPARK_GRAFT_CPUS, BENCH_AMP (default 20),
+Env knobs: SPARK_GRAFT_SF_DIR, SPARK_GRAFT_CPUS, BENCH_AMP (default 60),
 BENCH_EPF (events/chunk, default 5000), BENCH_RUNS (default 1).
 """
 
@@ -45,7 +45,7 @@ from mysql_binlog_spark.table import LakeTable  # noqa: E402
 
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
-AMP = int(os.environ.get("BENCH_AMP", "20"))
+AMP = int(os.environ.get("BENCH_AMP", "60"))
 EPF = int(os.environ.get("BENCH_EPF", "5000"))
 RUNS = int(os.environ.get("BENCH_RUNS", "2"))
 ONLY = set(filter(None, os.environ.get("BENCH_ONLY", "").split(",")))
