@@ -261,8 +261,23 @@ def read_binlog(
                 if local.startswith("//"):
                     local = local[local.index("/", 2):]
             paths = sorted(_glob.glob(local))
-        n_slices = max(1, min(len(paths),
-                              spark.sparkContext.defaultParallelism * 3))
+        # slice policy: every Python-runner task costs ~15-30ms of
+        # dispatch, so aim for ≥64MB of chunk bytes per task, floored at
+        # one wave (defaultParallelism) and capped at one file per task —
+        # at cluster scale (GB-sized chunks) this degenerates to
+        # one-task-per-file, at bench scale it avoids paying the task
+        # floor 3x over
+        total_bytes = 0
+        for p in paths:
+            try:
+                total_bytes += os.path.getsize(p)
+            except OSError:
+                pass
+        cores = spark.sparkContext.defaultParallelism
+        n_slices = max(1, min(
+            len(paths),
+            max(cores, -(-total_bytes // (64 * 1024 * 1024))),
+        ))
         files = spark.createDataFrame(
             [(p,) for p in paths], "path string"
         ).repartition(n_slices)
