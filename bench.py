@@ -157,11 +157,14 @@ def main() -> None:
         ).count()
         )
 
-    # q2: decode → dedup → last-writer winners (decode + one shuffle)
+    # q2: decode → dedup → last-writer winners (decode + one shuffle);
+    # delete_only before-images — the winners never read update befores,
+    # and the LSN dedup keys don't include image columns
     def winners():
         df = read_binlog(
             spark, glob, image_cols=IMAGE_COLS,
             include={("app", "transcripts")},
+            before_mode="delete_only",
         )
         from mysql_binlog_spark.sources.binlog import image_view
 
