@@ -102,6 +102,19 @@ def _pa_type(t: str):
 def _make_converter(t: str):
     """Python value list → Arrow array for one image column type."""
     patype = _pa_type(t)
+    if t == "string":
+        # VARCHAR/BLOB columns arrive as raw bytes slices (text_as_bytes):
+        # build a binary array and cast to utf8 — validation + conversion
+        # run in Arrow C++, never as Python strs.  Rendered string types
+        # (DATETIME2/TIME2/BIT/ENUM/SET) arrive as str and go in directly.
+        def conv(vals):
+            for v in vals:
+                if v is not None:
+                    if isinstance(v, (bytes, bytearray)):
+                        return pa.array(vals, pa.binary()).cast(patype)
+                    break
+            return pa.array(vals, patype)
+        return conv
     if t.startswith("decimal"):
         def conv(vals):
             # NEWDECIMAL decodes to exact strings, unsigned BIGINT to ints —
@@ -141,21 +154,67 @@ def _load_binary(spark: SparkSession, paths: str | list[str]) -> DataFrame:
     return spark.read.format("binaryFile").load(paths)
 
 
+def _local_path(path: str) -> str:
+    if path.startswith("file:"):
+        path = path[5:]
+        if path.startswith("//"):  # file://host/...
+            path = path[path.index("/", 2):]
+    return path
+
+
 def discover_tables(
     spark: SparkSession, chunk_glob: str | list[str]
 ) -> dict[tuple[str, str], list[tuple[str, str]]]:
-    """Cheap first pass: scan only TABLE_MAP frames of every chunk and merge
+    """Cheap first pass: read only TABLE_MAP frames of every chunk and merge
     each table's column sets across schema versions (first-seen order) —
     the distributed analog of the reference's TableMap registry (M5) plus
-    evolution detection (A4)."""
-    files = _load_binary(spark, chunk_glob)
+    evolution detection (A4).
+
+    When a chunk has a ``.idx.json`` frame index (the generator writes
+    one), only the TABLE_MAP byte ranges are read — discovery costs
+    O(table maps), not O(corpus bytes).  Chunks without an index fall
+    back to a row-skipping full scan."""
+    import json as _json
+
+    from ..wire import CRC_LEN, HEADER_LEN, TABLE_MAP_EVENT, _parse_table_map
+
+    if isinstance(chunk_glob, list):
+        paths = sorted(chunk_glob)
+    else:
+        import glob as _glob
+
+        paths = sorted(_glob.glob(_local_path(chunk_glob)))
+    n_slices = max(1, min(len(paths),
+                          spark.sparkContext.defaultParallelism))
+    files = spark.createDataFrame(
+        [(p,) for p in paths], "path string"
+    ).repartition(n_slices)
 
     def scan(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         rows = []
         for pdf in it:
-            for path, content in zip(pdf["path"], pdf["content"]):
-                batch = decode_chunk(bytes(content), include=frozenset())
-                for (schema, table), t in batch.tables_seen.items():
+            for path in pdf["path"]:
+                local = _local_path(path)
+                idx = local + ".idx.json"
+                seen: dict = {}
+                if os.path.exists(idx):
+                    with open(idx) as f:
+                        frames = _json.load(f)
+                    with open(local, "rb") as fh:
+                        for fr in frames:
+                            if fr["type"] != TABLE_MAP_EVENT:
+                                continue
+                            fh.seek(fr["offset"] + HEADER_LEN)
+                            payload = fh.read(
+                                fr["size"] - HEADER_LEN - CRC_LEN
+                            )
+                            t = _parse_table_map(memoryview(payload))
+                            seen[(t.schema, t.table)] = t
+                else:
+                    with open(local, "rb") as fh:
+                        batch = decode_chunk(fh.read(), include=frozenset())
+                    seen = batch.tables_seen
+                for (schema, table), t in seen.items():
                     rows.append(
                         {
                             "log_file": os.path.basename(path),
@@ -172,8 +231,7 @@ def discover_tables(
         )
 
     collected = (
-        files.select("path", "content")
-        .mapInPandas(
+        files.mapInPandas(
             scan,
             schema="log_file string, schema_name string, table_name string, "
             "columns array<string>",
@@ -324,6 +382,7 @@ def read_binlog(
                     verify_crc=verify_crc,
                     image_cols=col_names,
                     before_mode=before_mode,
+                    text_as_bytes=True,
                 )
                 n = len(batch)
                 m = batch.meta_numpy()  # np.repeat expansion, not per-row

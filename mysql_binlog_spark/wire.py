@@ -731,9 +731,15 @@ class DecodedBatch:
 _DECODER_CACHE: dict = {}
 
 
-def _field_lines(c: WireColumn, i: int, ns: dict, uniq: str) -> list[str]:
+def _field_lines(
+    c: WireColumn, i: int, ns: dict, uniq: str, text_as_bytes: bool = False
+) -> list[str]:
     """Source lines computing ``v`` for column ``c`` and advancing ``off``.
-    ``uniq`` namespaces per-column constants in ``ns``."""
+    ``uniq`` namespaces per-column constants in ``ns``.
+
+    ``text_as_bytes``: emit utf-8 VARCHAR/BLOB values as raw bytes slices
+    instead of Python strings — the Arrow sink casts binary→utf8 in C
+    (validation included), so no per-value Python str is ever built."""
     body: list[str] = []
     if c.ctype == TYPE_TINY:
         if c.signed:
@@ -764,10 +770,10 @@ def _field_lines(c: WireColumn, i: int, ns: dict, uniq: str) -> list[str]:
             body.append(
                 f"ln = int.from_bytes(buf[off:off+{lw}], 'little'); off += {lw}"
             )
-        if c.charset == CHARSET_BINARY:
+        if c.charset == CHARSET_BINARY or text_as_bytes:
             # binary collation: raw bytes, never utf-8
             # (reference base64-envelopes these, RowFactory.php:108,115)
-            body.append("v = bytes(buf[off:off+ln]); off += ln")
+            body.append("v = buf[off:off+ln]; off += ln")
         else:
             # row payloads arrive as bytes (not memoryview): slice+decode
             # is ~1.8x faster than str(mv_slice, 'utf-8')
@@ -841,7 +847,7 @@ def _field_lines(c: WireColumn, i: int, ns: dict, uniq: str) -> list[str]:
 
 def _image_lines(
     t: TableSchema, slot: dict, ns: dict, prefix: str, store: bool,
-    ind: str,
+    ind: str, text_as_bytes: bool = False,
 ) -> list[str]:
     """Row-image decode lines: one null-bitmap read + every field inlined.
     With ``store``, values append via pre-bound locals ``{prefix}{slot}``;
@@ -862,7 +868,7 @@ def _image_lines(
             if store and c.name in slot
             else None
         )
-        body = _field_lines(c, i, ns, f"{prefix}{i}")
+        body = _field_lines(c, i, ns, f"{prefix}{i}", text_as_bytes)
         L.append(f"{ind}if nb & {1 << i}:")
         L.append(f"{ind}    {st}(None)" if st else f"{ind}    pass")
         L.append(f"{ind}else:")
@@ -873,7 +879,10 @@ def _image_lines(
     return L
 
 
-def _compile_event_loop(t: TableSchema, columns: list[str], kind: str):
+def _compile_event_loop(
+    t: TableSchema, columns: list[str], kind: str,
+    text_as_bytes: bool = False,
+):
     """Compile a whole-event row loop for table ``t`` against the union
     column layout ``columns``.
 
@@ -894,6 +903,7 @@ def _compile_event_loop(t: TableSchema, columns: list[str], kind: str):
         ),
         tuple(columns),
         kind,
+        text_as_bytes,
     )
     fn = _DECODER_CACHE.get(sig)
     if fn is not None:
@@ -927,13 +937,13 @@ def _compile_event_loop(t: TableSchema, columns: list[str], kind: str):
     L.append("    cnt = 0")
     L.append("    while off < end:")
     if kind == "single":
-        L += _image_lines(t, slot, ns, "a", True, "        ")
+        L += _image_lines(t, slot, ns, "a", True, "        ", text_as_bytes)
     elif kind == "pair":
-        L += _image_lines(t, slot, ns, "b", True, "        ")
-        L += _image_lines(t, slot, ns, "a", True, "        ")
+        L += _image_lines(t, slot, ns, "b", True, "        ", text_as_bytes)
+        L += _image_lines(t, slot, ns, "a", True, "        ", text_as_bytes)
     elif kind == "skip_then":
-        L += _image_lines(t, slot, ns, "s", False, "        ")
-        L += _image_lines(t, slot, ns, "a", True, "        ")
+        L += _image_lines(t, slot, ns, "s", False, "        ", text_as_bytes)
+        L += _image_lines(t, slot, ns, "a", True, "        ", text_as_bytes)
     else:
         L += _image_lines(t, slot, ns, "s", False, "        ")
     L.append("        cnt += 1")
@@ -1091,6 +1101,7 @@ def decode_chunk(
     verify_crc: bool = False,
     image_cols: list[str] | None = None,
     before_mode: str = "full",
+    text_as_bytes: bool = False,
 ) -> DecodedBatch:
     """Decode one binlog chunk file into a column-major batch.
 
@@ -1158,12 +1169,10 @@ def decode_chunk(
                             out.after_cols.append([None] * nrows)
                             decoders.clear()  # layouts changed
         elif etype in ACTION_BY_EVENT and off >= start_pos:
-            # bytes slice (one memcpy per event), NOT a memoryview: the
-            # row loop's string fields decode via bytes.decode
-            payload = data[off + HEADER_LEN : body_end]
-            # u48 table id via one masked u64 read (flags+extra follow, so
-            # 8 bytes are always available)
-            table_id = unpack("<Q", payload, 0)[0] & 0xFFFFFFFFFFFF
+            # u48 table id via one masked u64 read straight off the frame
+            # (flags+extra follow, so 8 bytes are always available) — the
+            # payload bytes are only copied for INCLUDED tables
+            table_id = unpack("<Q", mv, off + HEADER_LEN)[0] & 0xFFFFFFFFFFFF
             decs = decoders.get(table_id)
             if decs is None:
                 t = tables.get(table_id)
@@ -1187,9 +1196,12 @@ def decode_chunk(
                     )
                     decoders[table_id] = decs = (
                         t,
-                        _compile_event_loop(t, out.columns, "single"),
-                        _compile_event_loop(t, out.columns, "pair"),
-                        _compile_event_loop(t, out.columns, "skip_then"),
+                        _compile_event_loop(t, out.columns, "single",
+                                            text_as_bytes),
+                        _compile_event_loop(t, out.columns, "pair",
+                                            text_as_bytes),
+                        _compile_event_loop(t, out.columns, "skip_then",
+                                            text_as_bytes),
                         _compile_event_loop(t, out.columns, "skip"),
                         n_, nbb_, full,
                     )
@@ -1197,6 +1209,9 @@ def decode_chunk(
                 t, single, pair, skip_then, skip_all, n, nbb_, full = decs
                 ts = unpack("<I", mv, off)[0]
                 server_id = unpack("<I", mv, off + 5)[0]
+                # bytes slice (one memcpy per included event), NOT a
+                # memoryview: the row loop's string fields use bytes.decode
+                payload = data[off + HEADER_LEN : body_end]
                 p = 6 + 2 + 2  # table_id + flags + extra-data len
                 ccount, p = read_lenenc(payload, p)
                 assert ccount == n
