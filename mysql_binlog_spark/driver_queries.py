@@ -736,6 +736,68 @@ def oracle_emb_neardup_cosine():
     """
 
 
+IVF_CELLS = 16
+IVF_NPROBE = 4
+
+
+def q_emb_ivf_knn(spark, sf_dir):
+    """IVF approximate kNN: corpus bucketed by nearest of 16 deterministic
+    centroids (corpus vectors 0,7,…,105 — the IVF seeding step), each
+    query probes its 4 closest cells, exact cosine inside them.  The
+    100 TB scale path complementing sign-LSH: one bounded-cardinality
+    shuffle, queries touch nprobe/n_cells of the corpus."""
+    from .operators.similarity import ivf_centroid_ids, ivf_knn
+
+    embs = _embs(spark, sf_dir)
+    ids = ivf_centroid_ids(IVF_CELLS)
+    cents = sorted(
+        (r["vec_id"], list(r["embedding"]))
+        for r in embs.filter(F.col("vec_id").isin(ids)).collect()
+    )
+    queries = embs.filter(F.col("vec_id") < KNN_QUERIES)
+    return ivf_knn(embs, queries, cents, k=KNN_K, nprobe=IVF_NPROBE)
+
+
+def oracle_emb_ivf_knn():
+    cos_ac = _duck_cos("e.embedding", "c.cvec")
+    cos_qc = _duck_cos("q.embedding", "c.cvec")
+    cos_qa = _duck_cos("p.qvec", "a.embedding")
+    return f"""
+    WITH cent AS (
+      SELECT CAST(vec_id // 7 AS INT) AS cell, embedding AS cvec
+      FROM embeddings
+      WHERE vec_id % 7 = 0 AND vec_id < {7 * IVF_CELLS}
+    ), assign AS (
+      SELECT vec_id, embedding, cell FROM (
+        SELECT e.vec_id, e.embedding, c.cell,
+               ROW_NUMBER() OVER (
+                 PARTITION BY e.vec_id
+                 ORDER BY round({cos_ac}, 4) DESC, c.cell) AS rn
+        FROM embeddings e CROSS JOIN cent c
+      ) WHERE rn = 1
+    ), probes AS (
+      SELECT query_id, qvec, cell FROM (
+        SELECT q.vec_id AS query_id, q.embedding AS qvec, c.cell,
+               ROW_NUMBER() OVER (
+                 PARTITION BY q.vec_id
+                 ORDER BY round({cos_qc}, 4) DESC, c.cell) AS rn
+        FROM embeddings q CROSS JOIN cent c
+        WHERE q.vec_id < {KNN_QUERIES}
+      ) WHERE rn <= {IVF_NPROBE}
+    ), cand AS (
+      SELECT p.query_id, a.vec_id AS neighbor_id,
+             round({cos_qa}, 4) AS cos_sim
+      FROM probes p JOIN assign a
+        ON a.cell = p.cell AND a.vec_id <> p.query_id
+    )
+    SELECT query_id, neighbor_id, cos_sim, rank FROM (
+      SELECT *, ROW_NUMBER() OVER (
+        PARTITION BY query_id ORDER BY cos_sim DESC, neighbor_id) AS rank
+      FROM cand
+    ) WHERE rank <= {KNN_K}
+    """
+
+
 # ------------------------------------------------------ multimodal plumbing
 
 

@@ -181,3 +181,107 @@ def cosine_neardup_pairs(
         )
         .filter(F.col("cos_sim") >= threshold)
     )
+
+
+# ------------------------------------------------------------------- IVF
+
+def ivf_centroid_ids(n_cells: int) -> list[int]:
+    """Deterministic centroid choice: corpus vectors with ids 0, 7, 14, …
+    (no RNG, no k-means iterations — the seeding step of IVF; shared with
+    the DuckDB oracle).  A production build would Lloyd-iterate from
+    these seeds; cell assignment/probing below is the part that matters
+    for the 100 TB plan shape."""
+    return [7 * j for j in range(n_cells)]
+
+
+def ivf_assign(
+    df: DataFrame,
+    centroids: list[tuple[int, list[float]]],
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Assign every vector to its nearest centroid by cosine (argmax, ties
+    to the lower cell id) — one narrow projection, no shuffle."""
+    scored = F.array(
+        *[
+            F.struct(
+                F.round(
+                    cosine(F.col(vec_col), F.array(*[F.lit(v) for v in c])),
+                    4,
+                ).alias("s"),
+                F.lit(-j).alias("negcell"),
+            )
+            for j, (_, c) in enumerate(centroids)
+        ]
+    )
+    best = F.array_max(scored)
+    return df.select(
+        F.col(id_col), F.col(vec_col), (-best["negcell"]).alias("cell")
+    )
+
+
+def ivf_knn(
+    corpus: DataFrame,
+    queries: DataFrame,
+    centroids: list[tuple[int, list[float]]],
+    k: int = 10,
+    nprobe: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    round_digits: int = 4,
+) -> DataFrame:
+    """IVF approximate kNN: corpus bucketed once by nearest centroid;
+    each query probes only its ``nprobe`` closest cells and ranks
+    exactly inside them.
+
+    100 TB shape: the corpus shuffles once on ``cell`` (bounded
+    cardinality, uniform-ish); a query touches nprobe/n_cells of the
+    data.  Queries are broadcast (small side).  Recall is the standard
+    IVF trade — governed by nprobe — and the oracle replicates the
+    probe rule exactly, so correctness checks stay deterministic.
+    """
+    from pyspark.sql import Window
+
+    assigned = ivf_assign(corpus, centroids, id_col, vec_col)
+    q = queries.select(
+        F.col(id_col).alias("query_id"), F.col(vec_col).alias("qvec")
+    )
+    # per-query probe list: rank all centroids by cosine to the query
+    cents = F.array(
+        *[
+            F.struct(
+                F.round(
+                    cosine(F.col("qvec"), F.array(*[F.lit(v) for v in c])),
+                    4,
+                ).alias("s"),
+                F.lit(-j).alias("negcell"),
+            )
+            for j, (_, c) in enumerate(centroids)
+        ]
+    )
+    probes = q.select(
+        "query_id", "qvec",
+        F.slice(F.reverse(F.array_sort(cents)), 1, nprobe).alias("_top"),
+    ).select(
+        "query_id", "qvec",
+        F.explode(F.transform(F.col("_top"), lambda s: -s["negcell"])).alias(
+            "cell"
+        ),
+    )
+    scored = (
+        assigned.join(F.broadcast(probes), on="cell")
+        .filter(F.col(id_col) != F.col("query_id"))
+        .select(
+            "query_id",
+            F.col(id_col).alias("neighbor_id"),
+            F.round(cosine(F.col("qvec"), F.col(vec_col)), round_digits).alias(
+                "cos_sim"
+            ),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("cos_sim"), F.asc("neighbor_id")
+    )
+    return scored.withColumn("rank", F.row_number().over(w)).filter(
+        F.col("rank") <= k
+    )

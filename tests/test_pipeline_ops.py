@@ -81,3 +81,36 @@ def test_knn_self_consistency(spark, sf_dir):
         sims = [s for _, s in rs]
         assert sims == sorted(sims, reverse=True)  # rank consistent with sim
         assert all(-1.0 <= s <= 1.0 for s in sims)
+
+
+def test_ivf_knn_recall_vs_exact(spark, sf_dir):
+    """IVF@nprobe=4/16 cells recovers most of the exact top-10 (recall is
+    the IVF trade; assert a sane floor) and never invents neighbors with
+    higher cosine than the exact list."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from mysql_binlog_spark.operators.similarity import (
+        cosine_knn,
+        ivf_centroid_ids,
+        ivf_knn,
+    )
+
+    embs = spark.read.parquet(os.path.join(sf_dir, "embeddings.parquet"))
+    queries = embs.filter(F.col("vec_id") < 5)
+    ids = ivf_centroid_ids(16)
+    cents = sorted(
+        (r["vec_id"], list(r["embedding"]))
+        for r in embs.filter(F.col("vec_id").isin(ids)).collect()
+    )
+    exact = {
+        (r["query_id"], r["neighbor_id"])
+        for r in cosine_knn(embs, queries, k=10).collect()
+    }
+    approx = {
+        (r["query_id"], r["neighbor_id"])
+        for r in ivf_knn(embs, queries, cents, k=10, nprobe=4).collect()
+    }
+    recall = len(exact & approx) / len(exact)
+    assert recall >= 0.3, recall  # nprobe=4/16 floor on this corpus
