@@ -70,8 +70,18 @@ def test_stream_dedup_within_watermark(spark, sf_dir):
     want = batch.dropDuplicates(["log_file", "log_pos", "server_id"]).count()
     assert got.count() == want
     assert batch.count() > want  # fixture really contained re-deliveries
+    # listener events are delivered asynchronously — poll before asserting
+    import time as _time
+
+    total = batch.count()
+    deadline = _time.time() + 30
+    while (
+        sum(p["num_input_rows"] for p in listener.progress) < total
+        and _time.time() < deadline
+    ):
+        _time.sleep(0.2)
     assert len(listener.progress) >= 1
-    assert sum(p["num_input_rows"] for p in listener.progress) == batch.count()
+    assert sum(p["num_input_rows"] for p in listener.progress) == total
 
 
 def test_stream_interval_stats_matches_batch(spark, sf_dir):
