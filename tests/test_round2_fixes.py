@@ -118,10 +118,11 @@ def test_binary_collation_round_trips_raw_bytes():
 
 
 @pytest.mark.parametrize("lw,size", [(1, 200), (2, 5000), (3, 70000),
-                                     (4, 2_000_000)])
+                                     (4, 20_000_000)])
 def test_blob_length_prefix_widths(lw, size):
-    """BLOB length-prefix width follows the column metadata (1-4 bytes) —
-    the ≥16 MB-event seam the chunk framing replaced (Connection.php:394)."""
+    """BLOB length-prefix width follows the column metadata (1-4 bytes);
+    the 20 MB case crosses the reference's ≥16 MB multi-packet stitch seam
+    that chunk framing replaced (Connection.php:394-417)."""
     payload = b"x" * size
     got = roundtrip([WireColumn("b", TYPE_BLOB, meta=lw)], {"b": payload})
     assert got == {"b": payload.decode()}
