@@ -1101,6 +1101,7 @@ def decode_chunk(
     verify_crc: bool = False,
     image_cols: list[str] | None = None,
     before_mode: str = "full",
+    tolerate_truncation: bool = False,
     text_as_bytes: bool = False,
 ) -> DecodedBatch:
     """Decode one binlog chunk file into a column-major batch.
@@ -1142,6 +1143,19 @@ def decode_chunk(
         # control frames; ts/server_id are read for row events below
         etype = mv[off + 4]
         size = unpack("<I", mv, off + 9)[0]
+        if off + size > total:
+            # partial trailing frame: a chunk cut mid-write (the recorded
+            # analog of the reference's dropped connection).  Complete
+            # frames already decoded stay valid; the caller resumes from
+            # this offset after the writer finishes / reconnects.
+            if tolerate_truncation:
+                break
+            raise ValueError(
+                f"truncated frame at offset {off}: header claims {size} "
+                f"bytes, {total - off} remain "
+                "(pass tolerate_truncation=True to stop at the last "
+                "complete frame)"
+            )
         body_end = off + size - CRC_LEN
         if verify_crc:
             want = unpack("<I", mv, body_end)[0]

@@ -231,3 +231,33 @@ def test_replay_batch_start_lsn(spark):
         r["turn_idx"] for r in table.snapshot_df(spark).collect()
     )
     assert got == [22, 23]
+
+
+# ------------------------------------------------- wire: truncated chunks
+
+
+def test_truncated_chunk_fails_loudly_or_stops_cleanly():
+    """A chunk cut mid-frame (crash during write / dropped connection)
+    raises by default; with tolerate_truncation=True decode stops at the
+    last complete frame and keeps everything before it."""
+    t = TableSchema(
+        "app", "t",
+        [WireColumn("a", TYPE_LONG, nullable=False),
+         WireColumn("s", TYPE_VARCHAR, meta=64)],
+        (0,), 100,
+    )
+    w = BinlogWriter()
+    w.write_table_map(0, t)
+    w.write_rows(0, t, "insert", [{"a": 1, "s": "one"}])
+    w.write_rows(0, t, "insert", [{"a": 2, "s": "two"}])
+    data = w.getvalue()
+    cut = data[:-10]  # slice into the last frame
+
+    with pytest.raises(ValueError, match="truncated frame"):
+        decode_chunk(cut)
+
+    b = decode_chunk(cut, tolerate_truncation=True)
+    assert [r["a"] for r in b.after] == [1]
+    # intact input is unaffected by the flag
+    b2 = decode_chunk(data, tolerate_truncation=True)
+    assert [r["a"] for r in b2.after] == [1, 2]
