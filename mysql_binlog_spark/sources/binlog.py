@@ -269,6 +269,7 @@ def read_binlog(
     files_df: DataFrame | None = None,
     before_mode: str = "full",
     task_side_read: bool = True,
+    tolerate_truncation: bool = False,
 ) -> DataFrame:
     """Decode binlog chunks into a flat change-row DataFrame.
 
@@ -383,6 +384,7 @@ def read_binlog(
                     image_cols=col_names,
                     before_mode=before_mode,
                     text_as_bytes=True,
+                    tolerate_truncation=tolerate_truncation,
                 )
                 n = len(batch)
                 m = batch.meta_numpy()  # np.repeat expansion, not per-row
