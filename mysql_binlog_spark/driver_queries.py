@@ -209,7 +209,7 @@ def typed_fixture_dir(spark: SparkSession, sf_dir: str) -> str:
     """Generate (once, cached) the 16-type binary chunks for sf_dir."""
     from .fixtures.generator import generate_typed_chunks
 
-    tag = hashlib.sha1(f"{sf_dir}:typed:v1".encode()).hexdigest()[:12]
+    tag = hashlib.sha1(f"{sf_dir}:typed:v2".encode()).hexdigest()[:12]
     out = os.path.join(tempfile.gettempdir(), "mbs_fixtures", tag)
     marker = os.path.join(out, "_COMPLETE")
     if os.path.exists(marker):
@@ -228,18 +228,23 @@ TYPED_OUT_COLS = [
     "c_tiny", "c_utiny", "c_short", "c_int24", "c_long", "c_big", "c_ubig",
     "c_float", "c_double", "c_dec", "c_date", "c_dt", "c_time", "c_ts",
     "c_bit", "c_enum", "c_set", "c_varchar", "c_blob", "c_bin",
+    "c_json", "c_geom", "c_latin1",
 ]
+HEX_OUT_COLS = {"c_bin", "c_json", "c_geom"}  # binary → hex for the compare
 
 
 def q_cdc_decode_types(spark, sf_dir):
     """Every reference wire type through the DataFrame source (VERDICT
-    round-1 #1): TINY..LONGLONG±, FLOAT/DOUBLE, NEWDECIMAL→DecimalType,
-    DATE→DateType (zero-date→NULL), DATETIME2/TIME2/BIT/ENUM/SET strings,
-    TIMESTAMP2(fsp)→timestamp, unsigned BIGINT→DecimalType(20,0), and a
-    BINARY-collation BLOB→BinaryType.  The plan carries the native types;
-    only the final projection canonicalizes decimal/date→string and
-    binary→hex because pandas reprs differ across engines (the native
-    schema is pinned by tests/test_typed_source.py)."""
+    round-1 #1 + round-2 #1): TINY..LONGLONG±, FLOAT/DOUBLE,
+    NEWDECIMAL→DecimalType, DATE→DateType (zero-date→NULL),
+    DATETIME2/TIME2/BIT/ENUM/SET strings, TIMESTAMP2(fsp)→timestamp,
+    unsigned BIGINT→DecimalType(20,0), a BINARY-collation
+    BLOB→BinaryType, JSON/GEOMETRY columns through the BLOB fold
+    (→BinaryType, ColumnMetadataFactory.php:59-62), and a latin1 VARCHAR
+    (Windows-1252 conversion, Collation.php:984-1001).  The plan carries
+    the native types; only the final projection canonicalizes
+    decimal/date→string and binary→hex because pandas reprs differ across
+    engines (the native schema is pinned by tests/test_typed_source.py)."""
     from .fixtures.generator import typed_image_cols
 
     chunks = typed_fixture_dir(spark, sf_dir)
@@ -252,7 +257,7 @@ def q_cdc_decode_types(spark, sf_dir):
     return img.select(
         F.col("row_id").cast("bigint").alias("row_id"),
         *[
-            F.hex(c).alias(c) if c == "c_bin"
+            F.hex(c).alias(c) if c in HEX_OUT_COLS
             else F.col(c).cast("string").alias(c)
             if c in ("c_ubig", "c_dec", "c_date")
             else F.col(c)
@@ -274,7 +279,10 @@ def oracle_cdc_decode_types():
            make_timestamp((1704067200 + row_id) * 1000000
                           + (row_id % 10000) * 100) AS c_ts,
            c_bit, c_enum, c_set, c_varchar, c_blob,
-           hex(c_bin) AS c_bin
+           hex(c_bin) AS c_bin,
+           hex(encode(c_json)) AS c_json,
+           hex(c_geom) AS c_geom,
+           c_latin1
     FROM typed
     """
 

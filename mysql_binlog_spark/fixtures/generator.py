@@ -28,6 +28,7 @@ from pyspark.sql import functions as F
 
 from ..wire import (
     CHARSET_BINARY,
+    CHARSET_LATIN1,
     TYPE_BIT,
     TYPE_BLOB,
     TYPE_DATE,
@@ -35,7 +36,9 @@ from ..wire import (
     TYPE_DOUBLE,
     TYPE_ENUM,
     TYPE_FLOAT,
+    TYPE_GEOMETRY,
     TYPE_INT24,
+    TYPE_JSON,
     TYPE_LONG,
     TYPE_LONGLONG,
     TYPE_NEWDECIMAL,
@@ -287,8 +290,10 @@ TYPED_TS_BASE = 1704067200  # 2024-01-01T00:00:00Z
 
 def typed_schema(table_id: int = 200) -> TableSchema:
     """One table exercising every wire type the reference decodes
-    (RowFactory.php:72-165), including both LONGLONG signednesses and a
-    BINARY-collation BLOB with a 3-byte length prefix."""
+    (RowFactory.php:72-165), including both LONGLONG signednesses, a
+    BINARY-collation BLOB with a 3-byte length prefix, JSON/GEOMETRY
+    columns through the BLOB fold (ColumnMetadataFactory.php:59-62), and
+    a latin1 VARCHAR (Windows-1252 conversion, Collation.php:984-1001)."""
     return TableSchema(
         "app", "typed",
         [
@@ -313,6 +318,10 @@ def typed_schema(table_id: int = 200) -> TableSchema:
             WireColumn("c_varchar", TYPE_VARCHAR, meta=300),
             WireColumn("c_blob", TYPE_BLOB, meta=2),
             WireColumn("c_bin", TYPE_BLOB, meta=3, charset=CHARSET_BINARY),
+            WireColumn("c_json", TYPE_JSON, meta=4),
+            WireColumn("c_geom", TYPE_GEOMETRY, meta=4),
+            WireColumn("c_latin1", TYPE_VARCHAR, meta=40,
+                       charset=CHARSET_LATIN1),
         ],
         primary_key=(0,), table_id=table_id,
     )
@@ -352,8 +361,8 @@ def generate_typed_chunks(
                     v = r.get(c)
                     if v is None or (isinstance(v, float) and v != v):
                         img[c] = None
-                    elif c == "c_bin":
-                        img[c] = bytes(v)
+                    elif isinstance(v, (bytes, bytearray)):
+                        img[c] = bytes(v)  # c_bin / c_geom binary payloads
                     elif c == "c_ubig":
                         img[c] = int(v)
                     else:

@@ -34,7 +34,9 @@ from ..wire import (
     TYPE_DOUBLE,
     TYPE_ENUM,
     TYPE_FLOAT,
+    TYPE_GEOMETRY,
     TYPE_INT24,
+    TYPE_JSON,
     TYPE_LONG,
     TYPE_LONGLONG,
     TYPE_NEWDECIMAL,
@@ -80,6 +82,10 @@ def spark_type_of(c: WireColumn) -> str:
         return "string"
     if t in (TYPE_VARCHAR, TYPE_BLOB):
         return "binary" if c.charset == CHARSET_BINARY else "string"
+    if t in (TYPE_JSON, TYPE_GEOMETRY):
+        # JSONB / SRID+WKB payloads carried opaque, like the reference's
+        # BLOB fold (ColumnMetadataFactory.php:59-62, RowFactory.php:113-118)
+        return "binary"
     raise ValueError(f"unsupported wire type {t:#x}")
 
 

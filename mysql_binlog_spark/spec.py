@@ -200,7 +200,13 @@ def typed_rows_sql(dialect: str, events_rel: str = "events") -> str:
       printf('név_%d ✓', {e}) AS c_varchar,
       repeat('lorem ', CAST({e} % 7 AS INT)) || printf('doc %d', {e})
         AS c_blob,
-      unhex(md5(printf('%d', {e}))) AS c_bin
+      unhex(md5(printf('%d', {e}))) AS c_bin,
+      CASE WHEN {e} % 23 = 0 THEN NULL
+           ELSE printf('{{"id": %d, "tag": "t%d"}}', {e}, {e} % 5) END
+        AS c_json,
+      unhex(md5(printf('g%d', {e}))) AS c_geom,
+      CASE WHEN {e} % 29 = 0 THEN NULL
+           ELSE printf('smörgås_%d €±ÿ', {e}) END AS c_latin1
     FROM {events_rel} e
     WHERE {e} % {TYPED_SAMPLE_MOD} = 0
     """

@@ -16,23 +16,30 @@ from pyspark.sql import DataFrame, Observation
 from pyspark.sql import functions as F
 
 
-def interval_stats(decoded: DataFrame, interval: str = "1 hour") -> DataFrame:
+def interval_stats(
+    decoded: DataFrame,
+    interval: str = "1 hour",
+    bytes_col: str | None = None,
+) -> DataFrame:
     """Tumbling-window per-table counters keyed on event time — the batch
     analog of the reference's per-interval flush (StatisticsCollector.php:50-66).
-    Uses date_trunc so the result is plain-SQL comparable."""
+    Uses date_trunc so the result is plain-SQL comparable.
+
+    ``bytes_col``: optional payload column whose length is summed per
+    bucket (e.g. ``after_text`` for the transcripts table); None (the
+    default for arbitrary tables) omits the ``payload_bytes`` column."""
     unit = interval.split()[-1].rstrip("s")
-    return (
-        decoded.groupBy(
-            F.date_trunc(unit, F.col("event_ts")).alias("bucket_ts"),
-            "schema_name",
-            "table_name",
-        )
-        .agg(
-            F.count(F.lit(1)).alias("n_rows"),
-            F.countDistinct("log_pos", "log_file").alias("n_events"),
-            F.sum(F.length("after_text")).alias("text_bytes"),
-        )
-    )
+    aggs = [
+        F.count(F.lit(1)).alias("n_rows"),
+        F.countDistinct("log_pos", "log_file").alias("n_events"),
+    ]
+    if bytes_col is not None:
+        aggs.append(F.sum(F.length(bytes_col)).alias("payload_bytes"))
+    return decoded.groupBy(
+        F.date_trunc(unit, F.col("event_ts")).alias("bucket_ts"),
+        "schema_name",
+        "table_name",
+    ).agg(*aggs)
 
 
 def lineage(decoded: DataFrame) -> DataFrame:

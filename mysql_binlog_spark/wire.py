@@ -56,11 +56,19 @@ TYPE_BIT = 0x10
 TYPE_TIMESTAMP2 = 0x11
 TYPE_DATETIME2 = 0x12
 TYPE_TIME2 = 0x13
+TYPE_JSON = 0xF5      # folds into the BLOB layout (BlobMeta,
 TYPE_NEWDECIMAL = 0xF6
 TYPE_ENUM = 0xF7  # on the wire: packed inside STRING meta (high byte)
 TYPE_SET = 0xF8   # same packing
 TYPE_STRING = 0xFE
 TYPE_BLOB = 0xFC
+TYPE_GEOMETRY = 0xFF  # ColumnMetadataFactory.php:59-62; codes ColumnType.php:31,41)
+
+# JSON/GEOMETRY values ride the BLOB value path (length-prefixed payload)
+# but are always opaque binary: JSON columns carry MySQL's JSONB encoding
+# and GEOMETRY carries SRID+WKB — neither is text (JSONB *path* decode is a
+# non-goal on both sides; carrying the bytes is the reference-parity part).
+BLOB_LIKE_TYPES = {TYPE_BLOB, TYPE_JSON, TYPE_GEOMETRY}
 
 INT_TYPES = {TYPE_TINY, TYPE_SHORT, TYPE_INT24, TYPE_LONG, TYPE_LONGLONG}
 INT_WIDTH = {TYPE_TINY: 1, TYPE_SHORT: 2, TYPE_INT24: 3, TYPE_LONG: 4,
@@ -77,6 +85,31 @@ META_SIMPLE_PRIMARY_KEY = 8
 
 CHARSET_UTF8MB4 = 45
 CHARSET_BINARY = 63  # collation 'binary' — payload is raw bytes, not text
+CHARSET_LATIN1 = 8   # latin1_swedish_ci (MySQL's default latin1 collation)
+
+# Collation ids whose charset is latin1 (Collation.php:664-926 mapping).
+# MySQL's "latin1" is Windows-1252 — NOT ISO-8859-1 ("Yes, really",
+# Collation.php:984-1001) — except the five cp1252-undefined bytes
+# 0x81/0x8d/0x8f/0x90/0x9d, which MySQL maps to U+0081/U+008D/U+008F/
+# U+0090/U+009D (identity), exactly what latin-1-decode + translate gives.
+LATIN1_COLLATIONS = frozenset({5, 8, 15, 31, 47, 48, 49, 94, 1032, 1071})
+
+_CP1252_FWD: dict[int, int] = {}
+for _b in range(0x80, 0xA0):
+    try:
+        _CP1252_FWD[_b] = ord(bytes([_b]).decode("cp1252"))
+    except UnicodeDecodeError:
+        pass  # 0x81 0x8d 0x8f 0x90 0x9d: keep identity (the MySQL quirk)
+_CP1252_INV = {v: k for k, v in _CP1252_FWD.items()}
+
+
+def latin1_to_str(b: bytes) -> str:
+    """MySQL latin1 bytes → text (Windows-1252 semantics, quirk included)."""
+    return b.decode("latin-1").translate(_CP1252_FWD)
+
+
+def str_to_latin1(s: str) -> bytes:
+    return s.translate(_CP1252_INV).encode("latin-1")
 
 # Fractional-second rendering for string-typed temporals (DATETIME2/TIME2):
 # "pad"  — right-pad to the column's fsp digits (normalized; round-trips)
@@ -426,8 +459,8 @@ class BinlogWriter:
         for c in cols:
             if c.ctype == TYPE_VARCHAR:
                 meta += struct.pack("<H", c.meta)
-            elif c.ctype in (TYPE_BLOB, TYPE_TIMESTAMP2, TYPE_DATETIME2,
-                             TYPE_TIME2):
+            elif c.ctype in (TYPE_BLOB, TYPE_JSON, TYPE_GEOMETRY,
+                             TYPE_TIMESTAMP2, TYPE_DATETIME2, TYPE_TIME2):
                 meta += bytes([c.meta])
             elif c.ctype in (TYPE_FLOAT, TYPE_DOUBLE):
                 meta += bytes([4 if c.ctype == TYPE_FLOAT else 8])
@@ -512,12 +545,20 @@ class BinlogWriter:
                 out += int(v).to_bytes(INT_WIDTH[c.ctype], "little",
                                        signed=c.signed)
             elif c.ctype == TYPE_VARCHAR:
-                b = v.encode() if isinstance(v, str) else bytes(v)
+                if isinstance(v, str):
+                    b = (str_to_latin1(v)
+                         if c.charset in LATIN1_COLLATIONS else v.encode())
+                else:
+                    b = bytes(v)
                 out += (
                     bytes([len(b)]) if c.meta <= 255 else struct.pack("<H", len(b))
                 ) + b
-            elif c.ctype == TYPE_BLOB:
-                b = v.encode() if isinstance(v, str) else bytes(v)
+            elif c.ctype in BLOB_LIKE_TYPES:
+                if isinstance(v, str):
+                    b = (str_to_latin1(v)
+                         if c.charset in LATIN1_COLLATIONS else v.encode())
+                else:
+                    b = bytes(v)
                 out += len(b).to_bytes(c.meta or 2, "little") + b
             elif c.ctype == TYPE_TIMESTAMP2:
                 sec, micro = v  # (epoch seconds, microseconds)
@@ -757,11 +798,13 @@ def _field_lines(
         body.append(f"v = u('<{'i' if c.signed else 'I'}', buf, off)[0]; off += 4")
     elif c.ctype == TYPE_LONGLONG:
         body.append(f"v = u('<{'q' if c.signed else 'Q'}', buf, off)[0]; off += 8")
-    elif c.ctype in (TYPE_VARCHAR, TYPE_BLOB):
+    elif c.ctype == TYPE_VARCHAR or c.ctype in BLOB_LIKE_TYPES:
         if c.ctype == TYPE_VARCHAR:
             lw = 1 if c.meta <= 255 else 2
-        else:
+        elif c.ctype == TYPE_BLOB:
             lw = c.meta or 2  # BLOB: length-prefix width from metadata
+        else:
+            lw = c.meta or 4  # JSON/GEOMETRY: MySQL uses a u32 prefix
         if lw == 1:
             body.append("ln = buf[off]; off += 1")
         elif lw == 2:
@@ -770,9 +813,18 @@ def _field_lines(
             body.append(
                 f"ln = int.from_bytes(buf[off:off+{lw}], 'little'); off += {lw}"
             )
-        if c.charset == CHARSET_BINARY or text_as_bytes:
-            # binary collation: raw bytes, never utf-8
-            # (reference base64-envelopes these, RowFactory.php:108,115)
+        if (c.charset == CHARSET_BINARY
+                or c.ctype in (TYPE_JSON, TYPE_GEOMETRY)):
+            # binary collation (and JSONB / SRID+WKB payloads): raw bytes,
+            # never text (reference base64-envelopes these,
+            # RowFactory.php:108,115)
+            body.append("v = buf[off:off+ln]; off += ln")
+        elif c.charset in LATIN1_COLLATIONS:
+            # latin1 → Windows-1252 conversion (Collation.php:984-1001);
+            # must run in Python — Arrow's binary→utf8 cast can't re-map
+            body.append("v = _l1(buf[off:off+ln]); off += ln")
+            ns["_l1"] = latin1_to_str
+        elif text_as_bytes:
             body.append("v = buf[off:off+ln]; off += ln")
         else:
             # row payloads arrive as bytes (not memoryview): slice+decode
@@ -984,8 +1036,10 @@ def _parse_table_map(payload: memoryview) -> TableSchema:
         if ct == TYPE_VARCHAR:
             metas.append(struct.unpack_from("<H", payload, off)[0])
             off += 2
-        elif ct in (TYPE_BLOB, TYPE_TIMESTAMP2, TYPE_DATETIME2, TYPE_TIME2,
-                    TYPE_FLOAT, TYPE_DOUBLE):
+        elif ct in (TYPE_BLOB, TYPE_JSON, TYPE_GEOMETRY, TYPE_TIMESTAMP2,
+                    TYPE_DATETIME2, TYPE_TIME2, TYPE_FLOAT, TYPE_DOUBLE):
+            # JSON/GEOMETRY fold into the BLOB metadata layout
+            # (BlobMeta, ColumnMetadataFactory.php:59-62)
             metas.append(payload[off])
             off += 1
         elif ct == TYPE_NEWDECIMAL:

@@ -42,6 +42,7 @@ def test_source_schema_is_native(spark, typed_chunks):
         "c_dt": "string", "c_time": "string", "c_ts": "timestamp",
         "c_bit": "string", "c_enum": "string", "c_set": "string",
         "c_varchar": "string", "c_blob": "string", "c_bin": "binary",
+        "c_json": "binary", "c_geom": "binary", "c_latin1": "string",
     }
     for k, v in want.items():
         assert got[k] == v, (k, got[k], v)
@@ -63,6 +64,15 @@ def test_native_values_spot_check(spark, typed_chunks):
     assert r[95]["c_date"] is None
     # e=95: 95%5=0 → negative TIME2
     assert r[95]["c_time"].startswith("-")
+    # JSON/GEOMETRY carried opaque through the BLOB fold (round-2 #1)
+    assert bytes(r[5]["c_json"]) == b'{"id": 5, "tag": "t0"}'
+    assert len(bytes(r[5]["c_geom"])) == 16
+    # latin1 VARCHAR converted via Windows-1252 (Collation.php:984-1001)
+    assert r[5]["c_latin1"] == "smörgås_5 €±ÿ"
+    # NULL coverage of the new columns: e=115 → 115%23=0 → NULL JSON
+    r115 = df.filter(F.col("row_id") == 115).collect()[0]
+    assert r115["c_json"] is None
+    assert df.filter(F.col("row_id") == 145).collect()[0]["c_latin1"] is None
 
 
 def test_cdc_decode_types_matches_oracle(spark, ddb, sf_dir):

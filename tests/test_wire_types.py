@@ -166,3 +166,51 @@ def test_mixed_all_types_with_nulls():
     row = {"id": 7, "amount": None, "ratio": None, "day": "1999-12-31",
            "flags": "00000001", "size": "l"}
     assert roundtrip(cols, row) == row
+
+
+def test_json_geometry_blob_fold():
+    """JSON (0xf5) / GEOMETRY (0xff) fold into the BLOB layout — 1-byte
+    length-prefix-width metadata, length-prefixed opaque payload
+    (ColumnMetadataFactory.php:59-62; type codes ColumnType.php:31,41)."""
+    from mysql_binlog_spark.wire import TYPE_GEOMETRY, TYPE_JSON
+
+    cols = [
+        WireColumn("j", TYPE_JSON, meta=4),
+        WireColumn("g", TYPE_GEOMETRY, meta=4),
+    ]
+    jb = b'{"k": [1, 2, null]}'
+    gb = bytes(range(32))  # SRID+WKB-ish opaque payload
+    got = roundtrip(cols, {"j": jb, "g": gb})
+    assert got == {"j": jb, "g": gb}
+    assert isinstance(got["j"], (bytes, bytearray))
+    # NULLs ride the null bitmap like any BLOB
+    assert roundtrip(cols, {"j": None, "g": gb}) == {"j": None, "g": gb}
+
+
+def test_latin1_windows1252_conversion():
+    """latin1 text decodes via Windows-1252 ("Yes, really",
+    Collation.php:984-1001) including the Euro sign at 0x80 and MySQL's
+    identity mapping for the five cp1252-undefined bytes."""
+    from mysql_binlog_spark.wire import (
+        CHARSET_LATIN1,
+        TYPE_VARCHAR,
+        latin1_to_str,
+        str_to_latin1,
+    )
+
+    cols = [WireColumn("s", TYPE_VARCHAR, meta=80, charset=CHARSET_LATIN1)]
+    text = "smörgås € ±ÿ – “quoted”"
+    assert roundtrip(cols, {"s": text}) == {"s": text}
+    # byte-level spot checks against MySQL's documented mapping
+    assert latin1_to_str(b"\x80") == "€"   # Euro sign
+    assert latin1_to_str(b"\x93ok\x94") == "“ok”"
+    assert str_to_latin1("€") == b"\x80"
+    # the five cp1252-undefined bytes map to identity codepoints
+    for b in (0x81, 0x8D, 0x8F, 0x90, 0x9D):
+        assert latin1_to_str(bytes([b])) == chr(b)
+        assert str_to_latin1(chr(b)) == bytes([b])
+    # a latin1 BLOB converts too (the charset TLV covers BLOB columns)
+    from mysql_binlog_spark.wire import TYPE_BLOB
+
+    bcols = [WireColumn("b", TYPE_BLOB, meta=2, charset=CHARSET_LATIN1)]
+    assert roundtrip(bcols, {"b": "déjà vu €"}) == {"b": "déjà vu €"}
