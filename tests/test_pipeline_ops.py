@@ -114,3 +114,59 @@ def test_ivf_knn_recall_vs_exact(spark, sf_dir):
     }
     recall = len(exact & approx) / len(exact)
     assert recall >= 0.3, recall  # nprobe=4/16 floor on this corpus
+
+
+def test_jaccard_prefix_freq_order_bounds_hot_shingle(spark):
+    """Prefix filtering with frequency-ascending order (VERDICT round-2
+    #3): a shingle planted in EVERY document (and lexicographically first,
+    the worst case for the old array_sort order) must stay out of the
+    prefixes, so no candidate bucket goes quadratic — while the pair
+    result still equals the brute-force Jaccard scan."""
+    from mysql_binlog_spark.functions.text import word_shingles
+    from mysql_binlog_spark.operators.dedup import (
+        jaccard_pairs_exact,
+        jaccard_prefix_tokens,
+    )
+
+    n = 40
+    # every doc opens with the same 3 words -> hot shingle "aaa aaa aaa";
+    # docs 0 and 1 are near-identical (the one true pair); the rest are
+    # pairwise-distinct tails
+    rows = []
+    for i in range(n):
+        tail = f"unique{i} " * 10 if i > 1 else "shared tail words here five "
+        suffix = "" if i == 0 else f"extra{i}"
+        rows.append((i, f"aaa aaa aaa {tail}{suffix}"))
+    docs = spark.createDataFrame(rows, "doc_id int, text string")
+
+    sh = docs.select(
+        "doc_id", word_shingles(F.col("text"), 3).alias("s")
+    )
+    pref = jaccard_prefix_tokens(sh, "doc_id", threshold=0.8)
+    per_tok = {r["tok"]: r["cnt"] for r in
+               pref.groupBy("tok").agg(F.count(F.lit(1)).alias("cnt")).collect()}
+    # the planted hot shingle appears in all n docs but in (almost) no
+    # prefix: rare-first ordering pushes it to the tail of every doc
+    assert per_tok.get("aaa aaa aaa", 0) <= 2, per_tok.get("aaa aaa aaa")
+    assert max(per_tok.values()) <= max(4, n // 10), max(per_tok.values())
+
+    # result parity vs brute force
+    got = {
+        (r["doc_a"], r["doc_b"])
+        for r in jaccard_pairs_exact(docs, threshold=0.8).collect()
+    }
+    a = sh.select(F.col("doc_id").alias("ia"), F.col("s").alias("sa"))
+    b = sh.select(F.col("doc_id").alias("ib"), F.col("s").alias("sb"))
+    brute = {
+        (r["ia"], r["ib"])
+        for r in a.crossJoin(b)
+        .filter(F.col("ia") < F.col("ib"))
+        .withColumn(
+            "j",
+            F.size(F.array_intersect("sa", "sb"))
+            / F.size(F.array_union("sa", "sb")),
+        )
+        .filter(F.col("j") >= 0.8)
+        .collect()
+    }
+    assert got == brute and (0, 1) in got
