@@ -67,6 +67,7 @@ def replay_batch(
     files_per_epoch: int = 4,
     stop_after_epochs: int | None = None,
     start_lsn: tuple[str, int] | None = None,
+    maintain_every: int | None = 16,
 ) -> ReplayStats:
     """Batch replay with epoch granularity = ``files_per_epoch`` chunks.
 
@@ -75,6 +76,10 @@ def replay_batch(
     pruned from the epoch plan entirely; events before the position inside
     the start file are skipped by the decode source (reference's
     start-position semantics, EventsIterator.php:207-215).
+    ``maintain_every``: run ``table.maintain()`` (vacuum superseded epoch
+    files; compact if buckets fragmented) after every N applied epochs,
+    so a 10⁴-epoch replay's disk footprint stays bounded without a manual
+    maintenance pass; None disables.
     """
     chunks = sorted(
         f for f in os.listdir(chunk_dir)
@@ -109,6 +114,8 @@ def replay_batch(
         stats.epochs.append(
             _apply_epoch(spark, table, decoded, epoch_id, include, cols)
         )
+        if maintain_every and stats.applied % maintain_every == 0:
+            table.maintain(spark)
         if stop_after_epochs is not None and stats.applied >= stop_after_epochs:
             break
     return stats
@@ -124,6 +131,7 @@ def replay_stream(
     max_files_per_trigger: int = 4,
     timeout_sec: float = 300.0,
     start_lsn: tuple[str, int] | None = None,
+    maintain_every: int | None = 16,
 ) -> ReplayStats:
     """Structured Streaming replay over the chunk directory.
 
@@ -168,6 +176,8 @@ def replay_stream(
         stats.epochs.append(
             _apply_epoch(spark, table, decoded, epoch_id, include, cols)
         )
+        if maintain_every and stats.applied % maintain_every == 0:
+            table.maintain(spark)
 
     q = (
         refs.writeStream.foreachBatch(apply_batch)
