@@ -276,6 +276,7 @@ def read_binlog(
     before_mode: str = "full",
     task_side_read: bool = True,
     tolerate_truncation: bool = False,
+    vectorize: bool = True,
 ) -> DataFrame:
     """Decode binlog chunks into a flat change-row DataFrame.
 
@@ -289,6 +290,12 @@ def read_binlog(
     data movement).  Requires chunks readable from every worker (local FS
     here; NFS/fuse mounts on a cluster — set False to route bytes through
     Spark's Hadoop FS layer instead).
+
+    ``vectorize``: use the offset-scan kernels + numpy/Arrow column
+    gathers when every included table's stored columns allow it (decided
+    per chunk from a TABLE_MAP pre-scan; chunks with decimal / rendered
+    temporal / ENUM / latin1 / FLOAT columns fall back to the compiled
+    value loops automatically).
     """
     if image_cols is None:
         discovered = discover_tables(spark, chunk_glob)
@@ -360,10 +367,16 @@ def read_binlog(
 
     col_names = [n for n, _ in image_cols]
     converters = [_make_converter(t) for _, t in image_cols]
+    pa_types = [_pa_type(t) for _, t in image_cols]
 
     def decode(it: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
         # Arrow-native emission: column lists from the compiled decoder go
         # straight into pa.array() — no pandas object Series in between.
+        import numpy as np
+
+        from .vector import chunk_vector_kinds, materialize_column
+        from .wavefront import decode_chunk_wavefront
+
         for rb in it:
             paths = rb.column(rb.schema.get_field_index("path")).to_pylist()
             if not task_side_read:
@@ -381,17 +394,34 @@ def read_binlog(
                         data = fh.read()
                 else:
                     data = contents[row_i].as_py()
-                batch = decode_chunk(
-                    data,
-                    include=include,
-                    exclude=exclude,
-                    start_pos=sp,
-                    verify_crc=verify_crc,
-                    image_cols=col_names,
-                    before_mode=before_mode,
-                    text_as_bytes=True,
-                    tolerate_truncation=tolerate_truncation,
+                kinds = (
+                    chunk_vector_kinds(data, include, exclude, col_names)
+                    if vectorize
+                    else None
                 )
+                if kinds is not None:
+                    batch = decode_chunk_wavefront(
+                        data,
+                        image_cols=col_names,
+                        include=include,
+                        exclude=exclude,
+                        start_pos=sp,
+                        verify_crc=verify_crc,
+                        before_mode=before_mode,
+                        tolerate_truncation=tolerate_truncation,
+                    )
+                else:
+                    batch = decode_chunk(
+                        data,
+                        include=include,
+                        exclude=exclude,
+                        start_pos=sp,
+                        verify_crc=verify_crc,
+                        image_cols=col_names,
+                        before_mode=before_mode,
+                        text_as_bytes=True,
+                        tolerate_truncation=tolerate_truncation,
+                    )
                 n = len(batch)
                 m = batch.meta_numpy()  # np.repeat expansion, not per-row
                 arrays = [
@@ -405,11 +435,24 @@ def read_binlog(
                     pa.array(m["batch_seq"], pa.int32()),
                 ]
                 names = [n_ for n_, _ in META_COLS]
-                for side, cols_ in (("before", batch.before_cols),
-                                    ("after", batch.after_cols)):
-                    for j, c in enumerate(col_names):
-                        arrays.append(converters[j](cols_[j]))
-                        names.append(f"{side}_{c}")
+                if kinds is not None:
+                    np_buf = np.frombuffer(data, dtype=np.uint8)
+                    for side, cols_ in (("before", batch.before_cols),
+                                        ("after", batch.after_cols)):
+                        for j, c in enumerate(col_names):
+                            arrays.append(
+                                materialize_column(
+                                    np_buf, kinds.get(c), cols_[j], n,
+                                    pa_types[j],
+                                )
+                            )
+                            names.append(f"{side}_{c}")
+                else:
+                    for side, cols_ in (("before", batch.before_cols),
+                                        ("after", batch.after_cols)):
+                        for j, c in enumerate(col_names):
+                            arrays.append(converters[j](cols_[j]))
+                            names.append(f"{side}_{c}")
                 yield pa.RecordBatch.from_arrays(arrays, names=names)
 
     cols_in = ["path"] if task_side_read else ["path", "content"]

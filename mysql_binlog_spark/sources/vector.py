@@ -1,0 +1,187 @@
+"""Vectorized Arrow materialization for the offset-scan decode path.
+
+The compiled offset loops (wire.py ``_compile_offset_loop``) walk row
+events recording each value's absolute byte offset (+ length for varlen)
+into the chunk buffer — no per-value Python objects.  This module turns
+those offset columns into Arrow arrays with numpy gathers and
+``pa.Array.from_buffers``: integers/doubles via one fancy-index gather +
+dtype view, TIMESTAMP2 via big-endian byte recombination, strings/binary
+via the classic ragged gather (one ``np.repeat``-built index, one take,
+buffers handed to Arrow zero-copy).
+
+This is the decode hot path's "next multiple" (VERDICT round-2 #2): the
+per-field work left in Python is offset arithmetic only; value
+construction and UTF-8 validation run in C.  Chunks whose included tables
+carry types that need per-value Python (decimals, rendered temporals,
+ENUM/SET, latin1, FLOAT's reference rounding quirk) fall back to the
+compiled value loops — decided per chunk by ``chunk_vector_kinds`` from a
+TABLE_MAP-only pre-scan (header walk, O(frames)).
+"""
+
+from __future__ import annotations
+
+import struct
+
+import numpy as np
+import pyarrow as pa
+
+from ..wire import (
+    CRC_LEN,
+    HEADER_LEN,
+    TABLE_MAP_EVENT,
+    _frac_nbytes,
+    _FRAC_UNIT,
+    _parse_table_map,
+    offset_scannable,
+    vector_kind,
+)
+
+
+def chunk_table_maps(data: bytes) -> list:
+    """Parse only the TABLE_MAP frames of a chunk (frames skipped by
+    size; truncated trailing frames ignored)."""
+    out = []
+    total = len(data)
+    off = 4
+    u = struct.unpack_from
+    mv = memoryview(data)
+    while off + HEADER_LEN <= total:
+        etype = data[off + 4]
+        size = u("<I", data, off + 9)[0]
+        if off + size > total:
+            break
+        if etype == TABLE_MAP_EVENT:
+            out.append(
+                _parse_table_map(mv[off + HEADER_LEN : off + size - CRC_LEN])
+            )
+        off += size
+    return out
+
+
+def chunk_vector_kinds(
+    data: bytes,
+    include: set | None,
+    exclude: set | None,
+    col_names: list[str],
+) -> dict | None:
+    """Per-column materialization kinds if the whole chunk can use the
+    offset-scan path, else None.  Qualifies when every included table is
+    ``offset_scannable`` for the stored columns and tables agree on each
+    shared column's kind (e.g. same int width across schema versions)."""
+    kinds: dict[str, tuple] = {}
+    stored = set(col_names)
+    for t in chunk_table_maps(data):
+        key = (t.schema, t.table)
+        if include is not None and key not in include:
+            continue
+        if exclude is not None and key in exclude:
+            continue
+        if not offset_scannable(t, stored):
+            return None
+        for c in t.columns:
+            if c.name not in stored:
+                continue
+            k = vector_kind(c)
+            prev = kinds.get(c.name)
+            if prev is not None and prev != k:
+                return None  # conflicting layouts → value loops
+            kinds[c.name] = k
+    return kinds
+
+
+def materialize_column(
+    np_buf: np.ndarray,
+    kind: tuple | None,
+    col,
+    n: int,
+    pa_type: pa.DataType,
+) -> pa.Array:
+    """One column: array('q') descriptors → Arrow array of ``pa_type``.
+    Fixed-width descriptors are absolute byte offsets; varlen pack
+    (offset << 32) | length; NULL is -1 (DecodedBatch docstring)."""
+    if kind is None:
+        # column never appeared in this chunk's included tables
+        return pa.nulls(n, pa_type)
+    if isinstance(col, np.ndarray):
+        d = col  # wavefront path hands ndarrays directly
+    else:
+        d = np.frombuffer(col, dtype=np.int64)  # zero-copy over array('q')
+    valid = d >= 0
+    nulls = int(n - int(valid.sum()))
+    vbuf = (
+        pa.py_buffer(np.packbits(valid, bitorder="little")) if nulls else None
+    )
+    k = kind[0]
+    if k in ("s", "b"):
+        oo = np.where(valid, d >> 32, 0).astype(np.int32)
+        vl = np.where(valid, d & 0xFFFFFFFF, 0).astype(np.int32)
+        total = int(vl.sum())
+        offsets = np.zeros(n + 1, dtype=np.int32)
+        offsets[1:] = np.cumsum(vl)
+        # ragged gather via the delta/cumsum trick (≈2-3x faster than the
+        # np.repeat construction): start each value with a jump delta,
+        # fill +1 inside values, cumsum → flat source indices
+        nz = vl > 0
+        vz = vl[nz]
+        ozz = oo[nz]
+        if total:
+            pz = np.empty(len(vz), dtype=np.int32)
+            pz[0] = 0
+            np.cumsum(vz[:-1], dtype=np.int32, out=pz[1:])
+            delta = np.ones(total, dtype=np.int32)
+            delta[0] = ozz[0]
+            delta[pz[1:]] = ozz[1:] - (ozz[:-1] + vz[:-1] - 1)
+            idx = np.cumsum(delta, dtype=np.int32)
+            dbuf = np_buf[idx]
+        else:
+            dbuf = np_buf[:0]
+        arr = pa.Array.from_buffers(
+            pa_type, n, [vbuf, pa.py_buffer(offsets), pa.py_buffer(dbuf)],
+            nulls,
+        )
+        if k == "s":
+            arr.validate(full=True)  # UTF-8 validation in C++
+        return arr
+    oo = np.where(valid, d, 0)
+    if k == "i":
+        w, signed = kind[1], kind[2]
+        m = np_buf[oo[:, None] + np.arange(w)]
+        m = np.ascontiguousarray(m)
+        if w == 8:
+            vals = m.view("<i8").ravel()  # unsigned u64 never vectorizes
+        else:
+            wide = np.zeros((len(oo), 8), dtype=np.uint8)
+            wide[:, :w] = m
+            vals = wide.view("<u8").ravel().astype(np.int64)
+            if signed:
+                neg = (m[:, w - 1] & 0x80) != 0
+                vals = vals - (neg.astype(np.int64) << (8 * w))
+        data = vals.astype(np.int32) if pa.types.is_int32(pa_type) else vals
+        return pa.Array.from_buffers(
+            pa_type, n, [vbuf, pa.py_buffer(np.ascontiguousarray(data))],
+            nulls,
+        )
+    if k == "d":
+        m = np_buf[oo[:, None] + np.arange(8)]
+        vals = m.view("<f8").ravel()
+        return pa.Array.from_buffers(
+            pa_type, n, [vbuf, pa.py_buffer(np.ascontiguousarray(vals))],
+            nulls,
+        )
+    if k == "ts":
+        fsp = kind[1]
+        m = np_buf[oo[:, None] + np.arange(4)].astype(np.int64)
+        sec = (m[:, 0] << 24) | (m[:, 1] << 16) | (m[:, 2] << 8) | m[:, 3]
+        micro = sec * 1_000_000
+        fnb = _frac_nbytes(fsp)
+        if fnb:
+            f = np_buf[oo[:, None] + 4 + np.arange(fnb)].astype(np.int64)
+            frac = f[:, 0]
+            for j in range(1, fnb):
+                frac = (frac << 8) | f[:, j]
+            micro = micro + frac * _FRAC_UNIT[fnb]
+        return pa.Array.from_buffers(
+            pa_type, n, [vbuf, pa.py_buffer(np.ascontiguousarray(micro))],
+            nulls,
+        )
+    raise ValueError(f"unknown vector kind {kind!r}")  # pragma: no cover

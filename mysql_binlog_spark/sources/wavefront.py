@@ -1,0 +1,360 @@
+"""Wavefront decoder: numpy-vectorized row scanning ACROSS events.
+
+The compiled offset loops (wire.py) still interpret ~1.4µs of Python per
+row.  This module removes the per-row Python entirely: since every
+included row event's first row offset is known from a cheap frame walk,
+row ``r`` of EVERY event can be decoded simultaneously — one numpy
+"wavefront" per row index, vector width = number of events.  Each
+iteration advances a cursor vector through one row image per event using
+byte gathers (length prefixes, null bitmaps) and records the same packed
+int64 descriptors the offset-scan path uses ((offset << 32) | length for
+varlen, plain offset for fixed, -1 for NULL); materialization is shared
+(sources/vector.py).
+
+Measured ~6-8x faster than the compiled per-row loops on the bench
+transcripts shape (64-row events).  Wall time scales with
+max-rows-per-event × n_columns numpy calls, so chunks with very FEW, very
+LONG events degrade — the entry point falls back to the offset-scan path
+below ``min_events`` included row events.  (MySQL caps row events at
+binlog-row-event-max-size ≈ 8KB by default, so real streams are
+many-small-events shaped.)
+
+Same correctness surface as decode_chunk: include/exclude pushdown before
+row decode, start-position skip, CRC verify, FULL-image validation,
+truncation policy, update before/after pairing with before_mode.
+Malformed streams fail loudly: gathers past the buffer raise IndexError
+and a cursor that does not land exactly on each event's end raises
+ValueError (desync check, stricter than the sequential decoder).
+"""
+
+from __future__ import annotations
+
+import struct
+import zlib
+
+import numpy as np
+
+from ..wire import (
+    ACTION_BY_EVENT,
+    CRC_LEN,
+    DELETE_ROWS_V2,
+    HEADER_LEN,
+    MAGIC,
+    TABLE_MAP_EVENT,
+    UPDATE_ROWS_V2,
+    DecodedBatch,
+    TableSchema,
+    _advance_width,
+    _DECODER_CACHE,
+    _parse_table_map,
+    _varlen_prefix,
+    read_lenenc,
+)
+
+MIN_WAVEFRONT_EVENTS = 16
+
+
+# ------------------------------------------------------------- kernel codegen
+
+def _wf_image_lines(
+    t: TableSchema, slot: dict, store_prefix: str | None, ind: str
+) -> list[str]:
+    """Numpy lines advancing cursor vector ``c`` through one row image of
+    every active event; stored slots append per-iteration vectors to
+    ``{store_prefix}{slot}`` lists."""
+    n = len(t.columns)
+    nbb = (n + 7) // 8
+    L: list[str] = [f"{ind}nb = buf[c].astype(i64)"]
+    for k in range(1, nbb):
+        L.append(f"{ind}nb |= buf[c + {k}].astype(i64) << {8 * k}")
+    L.append(f"{ind}c = c + {nbb}")
+    for i, c_ in enumerate(t.columns):
+        s = slot.get(c_.name) if store_prefix is not None else None
+        st = f"{store_prefix}{s}.append" if s is not None else None
+        varlen = _advance_width(c_) is None
+        if c_.nullable:
+            L.append(f"{ind}nm = (nb >> {i}) & 1")
+            if varlen:
+                lw = _varlen_prefix(c_)
+                if lw == 1:
+                    L.append(f"{ind}ln = buf[c].astype(i64)")
+                else:
+                    L.append(f"{ind}ln = buf[c].astype(i64)")
+                    for k in range(1, lw):
+                        L.append(
+                            f"{ind}ln |= buf[c + {k}].astype(i64) << {8 * k}"
+                        )
+                L.append(f"{ind}ln = np.where(nm == 1, 0, ln)")
+                if st:
+                    L.append(
+                        f"{ind}{st}(np.where(nm == 1, -1, "
+                        f"((c + {lw}) << 32) | ln))"
+                    )
+                L.append(f"{ind}c = c + np.where(nm == 1, 0, {lw} + ln)")
+            else:
+                w = _advance_width(c_)
+                if st:
+                    L.append(f"{ind}{st}(np.where(nm == 1, -1, c))")
+                L.append(f"{ind}c = c + {w} * (1 - nm)")
+        else:
+            if varlen:
+                lw = _varlen_prefix(c_)
+                L.append(f"{ind}ln = buf[c].astype(i64)")
+                for k in range(1, lw):
+                    L.append(f"{ind}ln |= buf[c + {k}].astype(i64) << {8 * k}")
+                if st:
+                    L.append(f"{ind}{st}(((c + {lw}) << 32) | ln)")
+                L.append(f"{ind}c = c + {lw} + ln")
+            else:
+                w = _advance_width(c_)
+                if st:
+                    L.append(f"{ind}{st}(c)")
+                L.append(f"{ind}c = c + {w}")
+    return L
+
+
+def _compile_wavefront(t: TableSchema, columns: list[str], mode: str):
+    """f(buf, starts, ends) → (counts, hist, S1, S2)
+
+    mode: 'single'    — one stored image          (S1 = stores, S2 = None)
+          'pair'      — two stored images         (S1 = image1, S2 = image2)
+          'skip_then' — advance one, store second (S1 = None, S2 = stores)
+          'skip'      — advance only              (both None)
+    counts: rows per event; hist: per-iteration active-event index
+    vectors; S*: per-union-slot lists of per-iteration descriptor vectors
+    (None for slots the table does not cover)."""
+    sig = (
+        tuple(
+            (c.name, c.ctype, c.meta, c.nullable, c.signed, c.values,
+             c.charset)
+            for c in t.columns
+        ),
+        tuple(columns), mode, "wavefront",
+    )
+    fn = _DECODER_CACHE.get(sig)
+    if fn is not None:
+        return fn
+    slot = {name: i for i, name in enumerate(columns)}
+    covered = [slot[c.name] for c in t.columns if c.name in slot]
+    ns: dict = {"np": np, "i64": np.int64}
+    L = ["def _wf(buf, starts, ends):"]
+    L.append("    cur = starts.copy()")
+    L.append("    counts = np.zeros(len(cur), np.int64)")
+    L.append("    idx_all = np.arange(len(cur))")
+    L.append("    hist = []")
+
+    def declare(prefix: str) -> None:
+        for s in covered:
+            L.append(f"    {prefix}{s} = []")
+
+    if mode == "single":
+        declare("x")
+    elif mode == "pair":
+        declare("x")
+        declare("y")
+    elif mode == "skip_then":
+        declare("y")
+    L.append("    active = cur < ends")
+    L.append("    while active.any():")
+    L.append("        ai = idx_all[active]")
+    L.append("        c = cur[active]")
+    if mode == "single":
+        L += _wf_image_lines(t, slot, "x", "        ")
+    elif mode == "pair":
+        L += _wf_image_lines(t, slot, "x", "        ")
+        L += _wf_image_lines(t, slot, "y", "        ")
+    elif mode == "skip_then":
+        L += _wf_image_lines(t, slot, None, "        ")
+        L += _wf_image_lines(t, slot, "y", "        ")
+    else:
+        L += _wf_image_lines(t, slot, None, "        ")
+    L.append("        counts[ai] += 1")
+    L.append("        hist.append(ai)")
+    L.append("        cur[active] = c")
+    L.append("        active = cur < ends")
+    L.append("    if not (cur == ends).all():")
+    L.append("        raise ValueError('wavefront row decode desync')")
+
+    def pack(prefix: str, n_slots: int) -> str:
+        cells = [
+            f"{prefix}{s}" if s in covered else "None"
+            for s in range(n_slots)
+        ]
+        return "[" + ", ".join(cells) + "]"
+
+    n_slots = len(columns)
+    if mode == "single":
+        L.append(f"    return counts, hist, {pack('x', n_slots)}, None")
+    elif mode == "pair":
+        L.append(
+            f"    return counts, hist, {pack('x', n_slots)}, "
+            f"{pack('y', n_slots)}"
+        )
+    elif mode == "skip_then":
+        L.append(f"    return counts, hist, None, {pack('y', n_slots)}")
+    else:
+        L.append("    return counts, hist, None, None")
+    exec("\n".join(L), ns)  # noqa: S102 - codegen from trusted schema
+    fn = ns["_wf"]
+    _DECODER_CACHE[sig] = fn
+    return fn
+
+
+# ------------------------------------------------------------------ decode
+
+def decode_chunk_wavefront(
+    data: bytes,
+    image_cols: list[str],
+    include: set[tuple[str, str]] | None = None,
+    exclude: set[tuple[str, str]] | None = None,
+    start_pos: int = 0,
+    verify_crc: bool = False,
+    before_mode: str = "full",
+    tolerate_truncation: bool = False,
+) -> DecodedBatch:
+    """decode_chunk twin returning offsets-mode columns as numpy int64
+    arrays, produced by the wavefront kernels.  Falls back to
+    decode_chunk(value_mode='offsets') for chunks with fewer than
+    MIN_WAVEFRONT_EVENTS included row events (vector width too small to
+    amortize numpy call overhead)."""
+    assert before_mode in ("full", "delete_only", "none")
+    mv = memoryview(data)
+    assert bytes(mv[:4]) == MAGIC, "bad binlog magic"
+    np_buf = np.frombuffer(data, dtype=np.uint8)
+    out = DecodedBatch(image_cols, value_mode="offsets")
+    tables: dict[int, TableSchema] = {}
+    verdicts: dict[int, object] = {}  # table_id → (t, full_bm) | False
+    groups: dict = {}  # (id(t), etype) → [t, etype, ev_idx[], starts[], ends[]]
+    n_included = 0
+    off = 4
+    total = len(data)
+    unpack = struct.unpack_from
+    while off + HEADER_LEN <= total:
+        etype = mv[off + 4]
+        size = unpack("<I", mv, off + 9)[0]
+        if off + size > total:
+            if tolerate_truncation:
+                break
+            raise ValueError(
+                f"truncated frame at offset {off}: header claims {size} "
+                f"bytes, {total - off} remain "
+                "(pass tolerate_truncation=True to stop at the last "
+                "complete frame)"
+            )
+        body_end = off + size - CRC_LEN
+        if verify_crc:
+            want = unpack("<I", mv, body_end)[0]
+            got = zlib.crc32(mv[off:body_end]) & 0xFFFFFFFF
+            assert want == got, f"CRC mismatch at offset {off}"
+        out.n_events += 1
+        out.n_bytes += size
+        if etype == TABLE_MAP_EVENT:
+            t = _parse_table_map(mv[off + HEADER_LEN : body_end])
+            tables[t.table_id] = t
+            verdicts.pop(t.table_id, None)
+            out.tables_seen[(t.schema, t.table)] = t
+        elif etype in ACTION_BY_EVENT and off >= start_pos:
+            table_id = unpack("<Q", mv, off + HEADER_LEN)[0] & 0xFFFFFFFFFFFF
+            v = verdicts.get(table_id)
+            if v is None:
+                t = tables.get(table_id)
+                if t is None:
+                    raise ValueError(
+                        f"row event for unknown table id {table_id}"
+                    )
+                key = (t.schema, t.table)
+                if (include is not None and key not in include) or (
+                    exclude is not None and key in exclude
+                ):
+                    verdicts[table_id] = v = False
+                else:
+                    n_ = len(t.columns)
+                    nbb_ = (n_ + 7) // 8
+                    full = bytes([0xFF] * (nbb_ - 1)) + bytes(
+                        [(1 << (n_ - 8 * (nbb_ - 1))) - 1]
+                    )
+                    verdicts[table_id] = v = (t, nbb_, full)
+            if v is not False:
+                t, nbb_, full = v
+                p = off + HEADER_LEN + 10
+                ccount, p = read_lenenc(mv, p)
+                assert ccount == len(t.columns)
+                n_bm = 2 if etype == UPDATE_ROWS_V2 else 1
+                for _ in range(n_bm):
+                    if bytes(mv[p : p + nbb_]) != full:
+                        raise ValueError(
+                            f"partial row image in {t.schema}.{t.table} "
+                            "(binlog_row_image != FULL is not supported)"
+                        )
+                    p += nbb_
+                g = groups.get((id(t), etype))
+                if g is None:
+                    groups[(id(t), etype)] = g = [t, etype, [], [], []]
+                g[2].append(n_included)
+                g[3].append(p)
+                g[4].append(body_end)
+                out.ev_pos.append(off)
+                out.ev_server.append(unpack("<I", mv, off + 5)[0])
+                out.ev_ts.append(unpack("<I", mv, off)[0])
+                out.ev_schema.append(t.schema)
+                out.ev_table.append(t.table)
+                out.ev_action.append(ACTION_BY_EVENT[etype])
+                n_included += 1
+        off += size
+
+    if n_included < MIN_WAVEFRONT_EVENTS:
+        from ..wire import decode_chunk
+
+        return decode_chunk(
+            data, include=include, exclude=exclude, start_pos=start_pos,
+            verify_crc=verify_crc, image_cols=image_cols,
+            before_mode=before_mode,
+            tolerate_truncation=tolerate_truncation, value_mode="offsets",
+        )
+
+    n_slots = len(out.columns)
+    counts = np.zeros(n_included, dtype=np.int64)
+    results = []
+    for t, etype, ev_idx, starts, ends in groups.values():
+        if etype == UPDATE_ROWS_V2:
+            mode = "pair" if before_mode == "full" else "skip_then"
+        elif etype == DELETE_ROWS_V2:
+            mode = "skip" if before_mode == "none" else "single"
+        else:
+            mode = "single"
+        fn = _compile_wavefront(t, out.columns, mode)
+        g_counts, hist, s1, s2 = fn(
+            np_buf, np.asarray(starts, np.int64), np.asarray(ends, np.int64)
+        )
+        ev_idx = np.asarray(ev_idx, np.int64)
+        counts[ev_idx] = g_counts
+        # map stored images to before/after sides
+        if etype == UPDATE_ROWS_V2:
+            before_s, after_s = s1, s2  # s1 None in skip_then mode
+        elif etype == DELETE_ROWS_V2:
+            before_s, after_s = s1, None  # delete image IS the before
+        else:
+            before_s, after_s = None, s1
+        results.append((ev_idx, hist, before_s, after_s))
+
+    base = np.zeros(n_included, dtype=np.int64)
+    np.cumsum(counts[:-1], out=base[1:])
+    total_rows = int(counts.sum())
+    before_cols = [np.full(total_rows, -1, np.int64) for _ in range(n_slots)]
+    after_cols = [np.full(total_rows, -1, np.int64) for _ in range(n_slots)]
+    for ev_idx, hist, before_s, after_s in results:
+        gbase = base[ev_idx]
+        for r, ai in enumerate(hist):
+            pos = gbase[ai] + r
+            for side_s, side_out in ((before_s, before_cols),
+                                     (after_s, after_cols)):
+                if side_s is None:
+                    continue
+                for s in range(n_slots):
+                    if side_s[s] is not None:
+                        side_out[s][pos] = side_s[s][r]
+    out.before_cols = before_cols
+    out.after_cols = after_cols
+    out.ev_cnt = counts.tolist()
+    out.n_rows = total_rows
+    return out

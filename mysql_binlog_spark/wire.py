@@ -659,10 +659,11 @@ class DecodedBatch:
     __slots__ = (
         "ev_pos", "ev_server", "ev_ts", "ev_schema", "ev_table", "ev_action",
         "ev_cnt", "n_rows", "columns", "before_cols", "after_cols",
-        "n_events", "n_bytes", "tables_seen",
+        "n_events", "n_bytes", "tables_seen", "value_mode",
     )
 
-    def __init__(self, columns: list[str] | None = None):
+    def __init__(self, columns: list[str] | None = None,
+                 value_mode: str = "python"):
         self.ev_pos: list[int] = []
         self.ev_server: list[int] = []
         self.ev_ts: list[int] = []  # epoch seconds of header
@@ -672,11 +673,23 @@ class DecodedBatch:
         self.ev_cnt: list[int] = []
         self.n_rows = 0
         self.columns: list[str] = list(columns or [])
-        self.before_cols: list[list] = [[] for _ in self.columns]
-        self.after_cols: list[list] = [[] for _ in self.columns]
+        # python mode: lists of decoded values.  offsets mode: array('q')
+        # of per-value descriptors into the chunk buffer — fixed-width
+        # columns store the absolute byte offset, varlen columns pack
+        # (value_offset << 32) | byte_length, NULL is -1; numpy reads them
+        # zero-copy (sources/vector.py materializes the Arrow arrays).
+        if value_mode == "offsets":
+            from array import array
+
+            self.before_cols: list = [array("q") for _ in self.columns]
+            self.after_cols: list = [array("q") for _ in self.columns]
+        else:
+            self.before_cols = [[] for _ in self.columns]
+            self.after_cols = [[] for _ in self.columns]
         self.n_events = 0
         self.n_bytes = 0
         self.tables_seen: dict = {}
+        self.value_mode = value_mode
 
     def __len__(self) -> int:
         return self.n_rows
@@ -757,6 +770,45 @@ class DecodedBatch:
     @property
     def before(self) -> list[dict | None]:
         return self._rows(self.before_cols)
+
+
+# ---------------------------------------------------- vectorizable kinds
+#
+# The offset-scan decode path (sources/vector.py) records per-value BYTE
+# OFFSETS into the chunk buffer instead of decoding values in Python; a
+# numpy gather + Arrow from_buffers materializes each column in C.  Only
+# types whose wire bytes map to an Arrow buffer without per-value Python
+# qualify; the rest (string-rendered temporals, decimals, enums, latin1
+# conversion, FLOAT's reference rounding quirk, unsigned BIGINT→decimal)
+# fall back to the compiled value loops below.
+
+def vector_kind(c: WireColumn) -> tuple | None:
+    """Materialization descriptor for the offset-scan path, or None if the
+    column requires per-value Python decode."""
+    t = c.ctype
+    if t in INT_TYPES:
+        if t == TYPE_LONGLONG and not c.signed:
+            return None  # > 2^63-1 kept exact as DecimalType
+        return ("i", INT_WIDTH[t], c.signed)
+    if t == TYPE_DOUBLE:
+        return ("d",)
+    if t == TYPE_TIMESTAMP2:
+        return ("ts", c.meta)
+    if t == TYPE_VARCHAR or t in BLOB_LIKE_TYPES:
+        if c.charset == CHARSET_BINARY or t in (TYPE_JSON, TYPE_GEOMETRY):
+            return ("b",)
+        if c.charset in LATIN1_COLLATIONS:
+            return None  # cp1252 re-map is per-value Python
+        return ("s",)
+    return None
+
+
+def _varlen_prefix(c: WireColumn) -> int:
+    if c.ctype == TYPE_VARCHAR:
+        return 1 if c.meta <= 255 else 2
+    if c.ctype == TYPE_BLOB:
+        return c.meta or 2
+    return c.meta or 4  # JSON/GEOMETRY
 
 
 # --------------------------------------------------- compiled image decoders
@@ -1016,6 +1068,182 @@ def _compile_event_loop(
     return fn
 
 
+# ----------------------------------------------- compiled offset-scan loops
+#
+# The offsets twin of the value loops: identical row walk, but instead of
+# decoding values it appends each value's absolute byte offset (and length
+# for varlen columns) into the CHUNK buffer — no per-value Python objects,
+# no per-event payload copy.  Columns are materialized afterwards with one
+# numpy gather + Arrow from_buffers per column (sources/vector.py).  Only
+# compiled when every *stored* column has a vector_kind; other columns in
+# the table advance by width only (cheaper than the value-skip path).
+
+def _advance_width(c: WireColumn) -> int | None:
+    """Constant byte width of column c's wire value, or None if varlen."""
+    t = c.ctype
+    if t in INT_TYPES:
+        return INT_WIDTH[t]
+    if t == TYPE_FLOAT:
+        return 4
+    if t == TYPE_DOUBLE:
+        return 8
+    if t == TYPE_NEWDECIMAL:
+        p_, s_ = c.meta >> 8, c.meta & 0xFF
+        return _dec_bytes_for_digits(p_ - s_) + _dec_bytes_for_digits(s_)
+    if t == TYPE_DATE:
+        return 3
+    if t == TYPE_TIMESTAMP2:
+        return 4 + _frac_nbytes(c.meta)
+    if t == TYPE_DATETIME2:
+        return 5 + _frac_nbytes(c.meta)
+    if t == TYPE_TIME2:
+        nb = _frac_nbytes(c.meta)
+        return 6 if nb == 3 else 3 + nb
+    if t == TYPE_BIT:
+        return (c.meta + 7) // 8
+    if t == TYPE_ENUM:
+        return enum_width(len(c.values))
+    if t == TYPE_SET:
+        return set_width(len(c.values))
+    return None  # VARCHAR / BLOB-like
+
+
+def offset_scannable(t: TableSchema, stored: set[str]) -> bool:
+    """True iff table t can run the offset-scan path for output columns
+    ``stored``: stored columns need a vector_kind; the rest only need a
+    computable advance (always true)."""
+    return all(
+        vector_kind(c) is not None for c in t.columns if c.name in stored
+    )
+
+
+def _offset_image_lines(
+    t: TableSchema, slot: dict, prefix: str, store: bool, ind: str
+) -> list[str]:
+    n = len(t.columns)
+    nbb = (n + 7) // 8
+    L: list[str] = []
+    if nbb == 1:
+        L.append(f"{ind}nb = buf[off]; off += 1")
+    else:
+        L.append(
+            f"{ind}nb = int.from_bytes(buf[off:off+{nbb}], 'little'); "
+            f"off += {nbb}"
+        )
+    for i, c in enumerate(t.columns):
+        s = slot.get(c.name) if store else None
+        varlen = _advance_width(c) is None
+        # non-nullable columns never set their null-bitmap bit (the image
+        # bitmap covers every column but bits can only be 1 for nullable
+        # ones) — skip the per-row branch entirely
+        branch = c.nullable
+        if branch:
+            L.append(f"{ind}if nb & {1 << i}:")
+            L.append(f"{ind}    {prefix}{s}(-1)" if s is not None
+                     else f"{ind}    pass")
+            L.append(f"{ind}else:")
+            bi = ind + "    "
+        else:
+            bi = ind
+        if varlen:
+            lw = _varlen_prefix(c)
+            if lw == 1:
+                ln_expr = "buf[off]"
+            elif lw == 2:
+                ln_expr = "buf[off] | (buf[off+1] << 8)"
+            else:
+                ln_expr = f"int.from_bytes(buf[off:off+{lw}], 'little')"
+            if s is not None:
+                # one packed descriptor: (value offset << 32) | length
+                L.append(f"{bi}ln = {ln_expr}")
+                L.append(
+                    f"{bi}{prefix}{s}(((off + {lw}) << 32) | ln); "
+                    f"off += {lw} + ln"
+                )
+            else:
+                L.append(f"{bi}off += {lw} + ({ln_expr})")
+        else:
+            w = _advance_width(c)
+            if s is not None:
+                L.append(f"{bi}{prefix}{s}(off); off += {w}")
+            else:
+                L.append(f"{bi}off += {w}")
+    return L
+
+
+def _compile_offset_loop(t: TableSchema, columns: list[str], kind: str):
+    """Whole-event offset-scan loop.  Same signatures and output-list
+    protocol as the value loops (``_compile_event_loop``), but appends
+    int64 descriptors (see DecodedBatch) into array('q') columns instead
+    of decoded values; ``buf`` is the WHOLE chunk buffer and recorded
+    offsets are absolute into it.  Parse-skip images advance by width
+    only — no value work at all."""
+    sig = (
+        tuple(
+            (c.name, c.ctype, c.meta, c.nullable, c.signed, c.values, c.charset)
+            for c in t.columns
+        ),
+        tuple(columns),
+        kind,
+        "offsets",
+    )
+    fn = _DECODER_CACHE.get(sig)
+    if fn is not None:
+        return fn
+    from array import array
+
+    slot = {name: i for i, name in enumerate(columns)}
+    covered = {c.name for c in t.columns}
+    missing = [name for name in columns if name not in covered]
+    ns: dict = {"_T": array("q", [-1])}
+    args = {
+        "single": "outs", "pair": "bouts, aouts", "skip_then": "aouts",
+        "skip": "",
+    }[kind]
+    L = [f"def _loop(buf, off, end{', ' + args if args else ''}):"]
+
+    def bind(prefix: str, src: str) -> None:
+        for name in columns:
+            if name in covered:
+                L.append(f"    {prefix}{slot[name]} = {src}[{slot[name]}].append")
+
+    if kind == "single":
+        bind("a", "outs")
+    elif kind == "pair":
+        bind("b", "bouts")
+        bind("a", "aouts")
+    elif kind == "skip_then":
+        bind("a", "aouts")
+    L.append("    cnt = 0")
+    L.append("    while off < end:")
+    if kind == "single":
+        L += _offset_image_lines(t, slot, "a", True, "        ")
+    elif kind == "pair":
+        L += _offset_image_lines(t, slot, "b", True, "        ")
+        L += _offset_image_lines(t, slot, "a", True, "        ")
+    elif kind == "skip_then":
+        L += _offset_image_lines(t, slot, "s", False, "        ")
+        L += _offset_image_lines(t, slot, "a", True, "        ")
+    else:
+        L += _offset_image_lines(t, slot, "s", False, "        ")
+    L.append("        cnt += 1")
+    if kind != "skip" and missing:
+        L.append("    _none = _T * cnt")  # array('q') repeat: one memcpy
+        for name in missing:
+            if kind == "pair":
+                L.append(f"    bouts[{slot[name]}].extend(_none)")
+                L.append(f"    aouts[{slot[name]}].extend(_none)")
+            elif kind == "single":
+                L.append(f"    outs[{slot[name]}].extend(_none)")
+            else:
+                L.append(f"    aouts[{slot[name]}].extend(_none)")
+    L.append("    return off, cnt")
+    exec("\n".join(L), ns)  # noqa: S102 - codegen from trusted schema
+    fn = ns["_loop"]
+    _DECODER_CACHE[sig] = fn
+    return fn
+
+
 def _parse_table_map(payload: memoryview) -> TableSchema:
     off = 0
     table_id = int.from_bytes(payload[0:6], "little")
@@ -1157,6 +1385,7 @@ def decode_chunk(
     before_mode: str = "full",
     tolerate_truncation: bool = False,
     text_as_bytes: bool = False,
+    value_mode: str = "python",
 ) -> DecodedBatch:
     """Decode one binlog chunk file into a column-major batch.
 
@@ -1174,14 +1403,30 @@ def decode_chunk(
     reads them — delete rows keep theirs, it IS the row image); 'none'
     parse-skips all before-images.  Skipping avoids the list appends and
     Arrow conversion for half the output columns.
+
+    ``value_mode='offsets'`` runs the offset-scan kernels: the output
+    column lists hold absolute byte offsets (+ lengths) into ``data``
+    instead of values — no per-value Python objects, no per-event payload
+    copy; sources/vector.py turns them into Arrow arrays with numpy
+    gathers.  Requires every stored column of every included table to
+    have a ``vector_kind`` (checked per table; ValueError otherwise —
+    callers pre-check with ``offset_scannable``).
     """
     assert before_mode in ("full", "delete_only", "none")
+    assert value_mode in ("python", "offsets")
+    offsets_mode = value_mode == "offsets"
+    if offsets_mode:
+        from array import array
+
+        mk_null = array("q", [-1]).__mul__  # NULL-image backfill template
+    else:
+        mk_null = [None].__mul__
     mv = memoryview(data)
     assert bytes(mv[:4]) == MAGIC, "bad binlog magic"
     off = 4
     tables: dict[int, TableSchema] = {}
     decoders: dict[int, object] = {}
-    out = DecodedBatch(image_cols)
+    out = DecodedBatch(image_cols, value_mode=value_mode)
     fixed_union = image_cols is not None
     total = len(data)
     unpack = struct.unpack_from
@@ -1233,8 +1478,8 @@ def decode_chunk(
                     for c in t.columns:
                         if c.name not in out.columns:
                             out.columns.append(c.name)
-                            out.before_cols.append([None] * nrows)
-                            out.after_cols.append([None] * nrows)
+                            out.before_cols.append(mk_null(nrows))
+                            out.after_cols.append(mk_null(nrows))
                             decoders.clear()  # layouts changed
         elif etype in ACTION_BY_EVENT and off >= start_pos:
             # u48 table id via one masked u64 read straight off the frame
@@ -1262,25 +1507,49 @@ def decode_chunk(
                     full = bytes([0xFF] * (nbb_ - 1)) + bytes(
                         [(1 << (n_ - 8 * (nbb_ - 1))) - 1]
                     )
+                    if offsets_mode:
+                        if not offset_scannable(t, set(out.columns)):
+                            raise ValueError(
+                                f"table {t.schema}.{t.table} has columns "
+                                "without a vector_kind; use "
+                                "value_mode='python'"
+                            )
+                        compile_ = (
+                            lambda k: _compile_offset_loop(t, out.columns, k)
+                        )
+                    else:
+                        compile_ = (
+                            lambda k: _compile_event_loop(
+                                t, out.columns, k, text_as_bytes
+                            )
+                            if k != "skip"
+                            else _compile_event_loop(t, out.columns, "skip")
+                        )
                     decoders[table_id] = decs = (
                         t,
-                        _compile_event_loop(t, out.columns, "single",
-                                            text_as_bytes),
-                        _compile_event_loop(t, out.columns, "pair",
-                                            text_as_bytes),
-                        _compile_event_loop(t, out.columns, "skip_then",
-                                            text_as_bytes),
-                        _compile_event_loop(t, out.columns, "skip"),
+                        compile_("single"),
+                        compile_("pair"),
+                        compile_("skip_then"),
+                        compile_("skip"),
                         n_, nbb_, full,
                     )
             if decs is not False:
                 t, single, pair, skip_then, skip_all, n, nbb_, full = decs
                 ts = unpack("<I", mv, off)[0]
                 server_id = unpack("<I", mv, off + 5)[0]
-                # bytes slice (one memcpy per included event), NOT a
-                # memoryview: the row loop's string fields use bytes.decode
-                payload = data[off + HEADER_LEN : body_end]
-                p = 6 + 2 + 2  # table_id + flags + extra-data len
+                if offsets_mode:
+                    # offsets are absolute → scan the chunk buffer in
+                    # place, no per-event payload copy at all
+                    payload = data
+                    p = off + HEADER_LEN + 10  # header + id/flags/extra
+                    plen = body_end
+                else:
+                    # bytes slice (one memcpy per included event), NOT a
+                    # memoryview: the row loop's string fields use
+                    # bytes.decode
+                    payload = data[off + HEADER_LEN : body_end]
+                    p = 6 + 2 + 2  # table_id + flags + extra-data len
+                    plen = len(payload)
                 ccount, p = read_lenenc(payload, p)
                 assert ccount == n
                 # columns-present bitmap(s): the decoder assumes FULL row
@@ -1308,27 +1577,30 @@ def decode_chunk(
                         p += nbb_
                 bouts = out.before_cols
                 aouts = out.after_cols
-                plen = len(payload)
                 if etype == UPDATE_ROWS_V2:
                     if before_mode == "full":
                         p, cnt = pair(payload, p, plen, bouts, aouts)
                     else:
                         p, cnt = skip_then(payload, p, plen, aouts)
+                        nulls_ = mk_null(cnt)
                         for lst in bouts:
-                            lst.extend([None] * cnt)
+                            lst.extend(nulls_)
                 elif etype == DELETE_ROWS_V2:
                     if before_mode == "none":
                         p, cnt = skip_all(payload, p, plen)
+                        nulls_ = mk_null(cnt)
                         for lst in bouts:
-                            lst.extend([None] * cnt)
+                            lst.extend(nulls_)
                     else:
                         p, cnt = single(payload, p, plen, bouts)
+                    nulls_ = mk_null(cnt)
                     for lst in aouts:
-                        lst.extend([None] * cnt)
+                        lst.extend(nulls_)
                 else:
                     p, cnt = single(payload, p, plen, aouts)
+                    nulls_ = mk_null(cnt)
                     for lst in bouts:
-                        lst.extend([None] * cnt)
+                        lst.extend(nulls_)
                 ev_pos_a(off)
                 ev_server_a(server_id)
                 ev_ts_a(ts)

@@ -1,0 +1,198 @@
+"""Wavefront decoder parity: the numpy-vectorized scan must produce
+byte-identical columns to the sequential python decoder on every event
+type, before_mode, null pattern, multi-table interleave, filter, and
+start-position — plus the small-chunk fallback."""
+
+from __future__ import annotations
+
+import datetime as dt
+
+import numpy as np
+import pytest
+
+from mysql_binlog_spark.sources.binlog import _pa_type, spark_type_of
+from mysql_binlog_spark.sources.vector import (
+    chunk_vector_kinds,
+    materialize_column,
+)
+from mysql_binlog_spark.sources.wavefront import decode_chunk_wavefront
+from mysql_binlog_spark.wire import (
+    CHARSET_BINARY,
+    TYPE_BLOB,
+    TYPE_DOUBLE,
+    TYPE_LONG,
+    TYPE_LONGLONG,
+    TYPE_SHORT,
+    TYPE_TIMESTAMP2,
+    TYPE_TINY,
+    TYPE_VARCHAR,
+    BinlogWriter,
+    TableSchema,
+    WireColumn,
+    decode_chunk,
+)
+
+T1 = TableSchema(
+    "app", "transcripts",
+    [
+        WireColumn("conv_id", TYPE_VARCHAR, nullable=False, meta=64),
+        WireColumn("turn_idx", TYPE_LONG, nullable=False),
+        WireColumn("role", TYPE_VARCHAR, nullable=False, meta=32),
+        WireColumn("text", TYPE_BLOB, nullable=False, meta=2),
+        WireColumn("tool", TYPE_VARCHAR, nullable=True, meta=64),
+        WireColumn("ts", TYPE_TIMESTAMP2, nullable=False, meta=6),
+        WireColumn("tool_version", TYPE_VARCHAR, nullable=True, meta=32),
+    ],
+    (0, 1), 100,
+)
+# second table: different layout, >8 columns (multi-byte null bitmap),
+# wide varchar (2-byte prefix), binary blob, int width spread
+T2 = TableSchema(
+    "app", "wide",
+    [
+        # conv_id shared with T1 (same kind); w_turn is a SHORT on purpose
+        # (different width than T1's LONG turn_idx → must NOT share a name)
+        WireColumn("conv_id", TYPE_VARCHAR, nullable=False, meta=300),
+        WireColumn("w_turn", TYPE_SHORT, nullable=False),
+        WireColumn("a", TYPE_TINY),
+        WireColumn("b", TYPE_LONGLONG),
+        WireColumn("c", TYPE_DOUBLE),
+        WireColumn("d", TYPE_VARCHAR, meta=40),
+        WireColumn("e", TYPE_BLOB, meta=3, charset=CHARSET_BINARY),
+        WireColumn("f", TYPE_TIMESTAMP2, meta=0),
+        WireColumn("g", TYPE_VARCHAR, meta=40),
+        WireColumn("h", TYPE_LONG),
+    ],
+    (0, 1), 200,
+)
+UNION = ["conv_id", "turn_idx", "role", "text", "tool", "ts",
+         "tool_version", "w_turn", "a", "b", "c", "d", "e", "f", "g", "h"]
+
+
+def _t1_row(i):
+    return {
+        "conv_id": f"conv_{i % 31:03d}", "turn_idx": i % 40,
+        "role": ("user", "assistant")[i % 2],
+        "text": f"msg {i} " * (i % 4 + 1),
+        "tool": None if i % 3 == 0 else f"tool_{i % 5}",
+        "ts": (1704067200 + i, (i * 137) % 1000000),
+        "tool_version": None if i % 4 else f"v{i % 3}",
+    }
+
+
+def _t2_row(i):
+    return {
+        "conv_id": f"w{i}" * (i % 7 + 1), "w_turn": i % 100 - 50,
+        "a": None if i % 5 == 0 else (i % 251) - 125,
+        "b": None if i % 6 == 0 else i * 999999937 - 4_000_000_000,
+        "c": None if i % 7 == 0 else i * 0.125,
+        "d": None if i % 2 == 0 else f"dval_{i} é",
+        "e": None if i % 3 == 0 else bytes([i % 256, 0, 255, i % 7]),
+        "f": (1600000000 + i, 0),
+        "g": None if i % 11 == 0 else "",  # empty string ≠ NULL
+        "h": None if i % 4 == 0 else -i,
+    }
+
+
+def build_chunk(n_events: int = 40, rows_per_event: int = 9) -> bytes:
+    w = BinlogWriter()
+    w.write_table_map(0, T1)
+    w.write_table_map(0, T2)
+    k = 0
+    for e in range(n_events):
+        tab, mk = (T1, _t1_row) if e % 2 == 0 else (T2, _t2_row)
+        rows = [mk(k + j) for j in range(rows_per_event)]
+        if e % 5 == 3:
+            befores = [mk(k + j + 1000) for j in range(rows_per_event)]
+            w.write_rows(e, tab, "update", rows, befores)
+        elif e % 5 == 4:
+            w.write_rows(e, tab, "delete", rows)
+        else:
+            w.write_rows(e, tab, "insert", rows)
+        if e % 7 == 0:
+            w.write_heartbeat("binlog.000001")
+        k += rows_per_event
+    return w.getvalue()
+
+
+def assert_parity(data, union, include=None, exclude=None, start_pos=0,
+                  before_mode="full"):
+    kinds = chunk_vector_kinds(data, include, exclude, union)
+    assert kinds is not None
+    bp = decode_chunk(data, include=include, exclude=exclude,
+                      start_pos=start_pos, image_cols=union,
+                      before_mode=before_mode, verify_crc=True)
+    bw = decode_chunk_wavefront(data, image_cols=union, include=include,
+                                exclude=exclude, start_pos=start_pos,
+                                before_mode=before_mode, verify_crc=True)
+    assert len(bp) == len(bw)
+    assert list(bp.ev_cnt) == list(bw.ev_cnt)
+    assert bp.ev_pos == bw.ev_pos and bp.ev_action == bw.ev_action
+    assert bp.ev_ts == bw.ev_ts and bp.ev_server == bw.ev_server
+    np_buf = np.frombuffer(data, np.uint8)
+    all_cols = {c.name: c for t in (T1, T2) for c in t.columns}
+    for side, pcols, wcols in (("before", bp.before_cols, bw.before_cols),
+                               ("after", bp.after_cols, bw.after_cols)):
+        for j, name in enumerate(union):
+            pt = _pa_type(spark_type_of(all_cols[name]))
+            got = materialize_column(
+                np_buf, kinds.get(name), wcols[j], len(bw), pt
+            ).to_pylist()
+            want = pcols[j]
+            if kinds.get(name) == ("ts", all_cols[name].meta) or (
+                kinds.get(name) and kinds[name][0] == "ts"
+            ):
+                want = [
+                    None if v is None
+                    else dt.datetime(1970, 1, 1) + dt.timedelta(microseconds=v)
+                    for v in want
+                ]
+            if kinds.get(name) and kinds[name][0] == "b":
+                want = [None if v is None else bytes(v) for v in want]
+            assert got == want, (side, name, got[:6], want[:6])
+
+
+def test_wavefront_parity_full():
+    assert_parity(build_chunk(), UNION, before_mode="full")
+
+
+def test_wavefront_parity_delete_only_and_none():
+    data = build_chunk()
+    assert_parity(data, UNION, before_mode="delete_only")
+    assert_parity(data, UNION, before_mode="none")
+
+
+def test_wavefront_parity_with_filters_and_start_pos():
+    data = build_chunk()
+    assert_parity(data, UNION, include={("app", "transcripts")})
+    assert_parity(data, UNION, exclude={("app", "wide")})
+    # start mid-chunk: pick an offset between events
+    bp = decode_chunk(data, image_cols=UNION)
+    mid = bp.ev_pos[len(bp.ev_pos) // 2]
+    assert_parity(data, UNION, start_pos=mid)
+
+
+def test_wavefront_small_chunk_falls_back():
+    data = build_chunk(n_events=4)  # < MIN_WAVEFRONT_EVENTS
+    bw = decode_chunk_wavefront(data, image_cols=UNION)
+    bp = decode_chunk(data, image_cols=UNION, value_mode="offsets")
+    assert len(bw) == len(bp)
+    for j in range(len(UNION)):
+        assert np.array_equal(
+            np.frombuffer(bw.after_cols[j], np.int64)
+            if not isinstance(bw.after_cols[j], np.ndarray)
+            else bw.after_cols[j],
+            np.frombuffer(bp.after_cols[j], np.int64),
+        )
+
+
+def test_wavefront_desync_raises():
+    data = bytearray(build_chunk())
+    # corrupt a varchar length byte inside the first T1 insert event's rows
+    bp = decode_chunk(bytes(data), image_cols=UNION)
+    first = bp.ev_pos[0]
+    data[first + 30 : first + 40] = bytes([250] * 10)
+    with pytest.raises((ValueError, IndexError, AssertionError)):
+        decode_chunk_wavefront(
+            bytes(data), image_cols=UNION, before_mode="full"
+        )
