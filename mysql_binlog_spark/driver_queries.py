@@ -746,35 +746,84 @@ def oracle_emb_neardup_cosine():
 
 IVF_CELLS = 16
 IVF_NPROBE = 4
+IVF_LLOYD_ITERS = 2
 
 
 def q_emb_ivf_knn(spark, sf_dir):
-    """IVF approximate kNN: corpus bucketed by nearest of 16 deterministic
-    centroids (corpus vectors 0,7,…,105 — the IVF seeding step), each
-    query probes its 4 closest cells, exact cosine inside them.  The
-    100 TB scale path complementing sign-LSH: one bounded-cardinality
-    shuffle, queries touch nprobe/n_cells of the corpus."""
-    from .operators.similarity import ivf_centroid_ids, ivf_knn
+    """IVF approximate kNN with Lloyd-refined centroids (VERDICT round-2
+    #5): 16 deterministic seeds (corpus vectors 0,7,…,105) refined by 2
+    exact-integer-sum k-means iterations, corpus bucketed by nearest
+    refined centroid, each query probes its 4 closest cells, exact cosine
+    inside them.  The 100 TB scale path complementing sign-LSH: one
+    bounded-cardinality shuffle, queries touch nprobe/n_cells of the
+    corpus."""
+    from .operators.similarity import (
+        ivf_centroid_ids,
+        ivf_knn,
+        ivf_lloyd_refine,
+    )
 
     embs = _embs(spark, sf_dir)
     ids = ivf_centroid_ids(IVF_CELLS)
-    cents = sorted(
+    seeds = sorted(
         (r["vec_id"], list(r["embedding"]))
         for r in embs.filter(F.col("vec_id").isin(ids)).collect()
     )
+    cents = ivf_lloyd_refine(embs, seeds, iters=IVF_LLOYD_ITERS, dim=EMB_DIM)
     queries = embs.filter(F.col("vec_id") < KNN_QUERIES)
     return ivf_knn(embs, queries, cents, k=KNN_K, nprobe=IVF_NPROBE)
+
+
+def _ivf_lloyd_cents_cte(iters: int) -> tuple[str, str]:
+    """DuckDB CTE chain replicating ivf_lloyd_refine exactly: scaled-int
+    sums are associative, so the refined centroids match Spark's
+    bit-for-bit.  Returns (cte_sql, final_cent_relation)."""
+    from .operators.similarity import IVF_SCALE
+
+    cos_sc = _duck_cos("s.ev", "c.cvec")
+    parts = [f"""scaled AS (
+      SELECT vec_id,
+             list_transform(embedding, x -> CAST(x AS DOUBLE)) AS ev,
+             list_transform(embedding,
+               x -> CAST(round(CAST(x AS DOUBLE) * {IVF_SCALE}) AS BIGINT))
+               AS iv
+      FROM embeddings
+    ), cent0 AS (
+      SELECT CAST(vec_id // 7 AS INT) AS cell,
+             list_transform(embedding, x -> CAST(x AS DOUBLE)) AS cvec
+      FROM embeddings
+      WHERE vec_id % 7 = 0 AND vec_id < {7 * IVF_CELLS}
+    )"""]
+    for k in range(iters):
+        parts.append(f""", assign_l{k} AS (
+      SELECT vec_id, iv, cell FROM (
+        SELECT s.vec_id, s.iv, c.cell,
+               ROW_NUMBER() OVER (PARTITION BY s.vec_id
+                 ORDER BY round({cos_sc}, 4) DESC, c.cell) AS rn
+        FROM scaled s CROSS JOIN cent{k} c
+      ) WHERE rn = 1
+    ), sums_l{k} AS (
+      SELECT cell, i AS pos, SUM(iv[i]) AS s
+      FROM assign_l{k}, range(1, {EMB_DIM + 1}) t(i)
+      GROUP BY cell, i
+    ), cent{k + 1} AS (
+      SELECT c.cell, COALESCE(n.cvec, c.cvec) AS cvec
+      FROM cent{k} c LEFT JOIN (
+        SELECT cell, list(CAST(s AS DOUBLE) ORDER BY pos) AS cvec
+        FROM sums_l{k} GROUP BY cell
+      ) n USING (cell)
+    )""")
+    return "".join(parts), f"cent{iters}"
 
 
 def oracle_emb_ivf_knn():
     cos_ac = _duck_cos("e.embedding", "c.cvec")
     cos_qc = _duck_cos("q.embedding", "c.cvec")
     cos_qa = _duck_cos("p.qvec", "a.embedding")
+    cents_cte, cent_rel = _ivf_lloyd_cents_cte(IVF_LLOYD_ITERS)
     return f"""
-    WITH cent AS (
-      SELECT CAST(vec_id // 7 AS INT) AS cell, embedding AS cvec
-      FROM embeddings
-      WHERE vec_id % 7 = 0 AND vec_id < {7 * IVF_CELLS}
+    WITH {cents_cte}, cent AS (
+      SELECT cell, cvec FROM {cent_rel}
     ), assign AS (
       SELECT vec_id, embedding, cell FROM (
         SELECT e.vec_id, e.embedding, c.cell,

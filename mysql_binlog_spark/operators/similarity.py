@@ -185,13 +185,30 @@ def cosine_neardup_pairs(
 
 # ------------------------------------------------------------------- IVF
 
+IVF_SCALE = 10_000_000  # float→scaled-int quantum for exact Lloyd sums
+
+
 def ivf_centroid_ids(n_cells: int) -> list[int]:
-    """Deterministic centroid choice: corpus vectors with ids 0, 7, 14, …
-    (no RNG, no k-means iterations — the seeding step of IVF; shared with
-    the DuckDB oracle).  A production build would Lloyd-iterate from
-    these seeds; cell assignment/probing below is the part that matters
-    for the 100 TB plan shape."""
+    """Deterministic centroid seeds: corpus vectors with ids 0, 7, 14, …
+    (no RNG; shared with the DuckDB oracle).  ``ivf_lloyd_refine`` runs
+    fixed-count k-means iterations from these seeds."""
     return [7 * j for j in range(n_cells)]
+
+
+def ivf_cell_expr(vec_col, centroids: list[tuple[int, list[float]]]):
+    """argmax-cosine cell index (ties to the lower cell) as a column."""
+    scored = F.array(
+        *[
+            F.struct(
+                F.round(
+                    cosine(vec_col, F.array(*[F.lit(v) for v in c])), 4
+                ).alias("s"),
+                F.lit(-j).alias("negcell"),
+            )
+            for j, (_, c) in enumerate(centroids)
+        ]
+    )
+    return -F.array_max(scored)["negcell"]
 
 
 def ivf_assign(
@@ -202,22 +219,70 @@ def ivf_assign(
 ) -> DataFrame:
     """Assign every vector to its nearest centroid by cosine (argmax, ties
     to the lower cell id) — one narrow projection, no shuffle."""
-    scored = F.array(
-        *[
-            F.struct(
-                F.round(
-                    cosine(F.col(vec_col), F.array(*[F.lit(v) for v in c])),
-                    4,
-                ).alias("s"),
-                F.lit(-j).alias("negcell"),
-            )
-            for j, (_, c) in enumerate(centroids)
-        ]
-    )
-    best = F.array_max(scored)
     return df.select(
-        F.col(id_col), F.col(vec_col), (-best["negcell"]).alias("cell")
+        F.col(id_col), F.col(vec_col),
+        ivf_cell_expr(F.col(vec_col), centroids).alias("cell"),
     )
+
+
+def ivf_lloyd_refine(
+    embs: DataFrame,
+    centroids: list[tuple[int, list[float]]],
+    iters: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    dim: int = 64,
+) -> list[tuple[int, list[float]]]:
+    """Fixed-count deterministic Lloyd refinement (VERDICT round-2 #5).
+
+    Each iteration reassigns every vector to its argmax-cosine cell
+    (round-4, ties to the lower cell) and replaces each centroid with the
+    elementwise SUM of its members' scaled-integer vectors
+    (``round(x·10⁷)`` as BIGINT), cast to double.  Cosine is
+    scale-invariant, so the sum points exactly where the mean does — and
+    integer sums are associative/order-independent, so a SQL oracle
+    reproduces the refined centroids bit-for-bit (float means would drift
+    with Spark's nondeterministic reduce order).  Empty cells keep their
+    previous centroid.
+
+    100 TB shape: per iteration one narrow projection (assignment is a
+    literal expression, no join) + one groupBy("cell", "pos") partial-agg
+    shuffle bounded by n_cells × dim; the driver collects only
+    n_cells × dim longs.
+    """
+    cents = [(cid, [float(v) for v in vec]) for cid, vec in centroids]
+    scaled = embs.select(
+        F.col(id_col),
+        F.col(vec_col),
+        F.transform(
+            F.col(vec_col),
+            lambda x: F.round(x.cast("double") * IVF_SCALE).cast("bigint"),
+        ).alias("_iv"),
+    ).persist()
+    for _ in range(iters):
+        sums = (
+            scaled.withColumn(
+                "cell", ivf_cell_expr(F.col(vec_col), cents)
+            )
+            .select("cell", F.posexplode("_iv").alias("pos", "v"))
+            .groupBy("cell", "pos")
+            .agg(F.sum("v").alias("s"))
+            .collect()
+        )
+        by_cell: dict[int, dict[int, int]] = {}
+        for r in sums:
+            by_cell.setdefault(r["cell"], {})[r["pos"]] = r["s"]
+        cents = [
+            (
+                cid,
+                [float(by_cell[j].get(p, 0)) for p in range(dim)]
+                if j in by_cell
+                else old,
+            )
+            for j, (cid, old) in enumerate(cents)
+        ]
+    scaled.unpersist(blocking=False)
+    return cents
 
 
 def ivf_knn(
