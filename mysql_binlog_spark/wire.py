@@ -13,12 +13,21 @@ Type coverage (the reference's full decoded table, SURVEY.md §1.2):
 TINY/SHORT/INT24/LONG/LONGLONG with SIGNEDNESS (uint64 > 2⁶³-1 kept exact
 like the reference's GMP path), FLOAT (display-size rounding quirk
 replicated) / DOUBLE, packed NEWDECIMAL, DATE (zero-date sentinel),
-DATETIME2/TIME2/TIMESTAMP2 with fsp, VARCHAR/BLOB (utf8), BIT ('0'/'1'
-strings), ENUM/SET via the packed-STRING metadata trick with value lists
-from optional metadata.  Event types: FORMAT_DESCRIPTION, ROTATE,
-TABLE_MAP, QUERY, XID, HEARTBEAT, WRITE/UPDATE/DELETE_ROWS v2; CRC32
-trailers; optional metadata SIGNEDNESS / DEFAULT_CHARSET / COLUMN_NAME /
-ENUM_STR_VALUE / SET_STR_VALUE / SIMPLE_PRIMARY_KEY.
+DATETIME2/TIME2/TIMESTAMP2 with fsp, VARCHAR/BLOB (utf8 / latin1 via
+Windows-1252 / BINARY collation), JSON (0xf5) + GEOMETRY (0xff) carried
+opaque through the BLOB fold, BIT ('0'/'1' strings), ENUM/SET via the
+packed-STRING metadata trick with value lists from optional metadata.
+Event types: FORMAT_DESCRIPTION, ROTATE, TABLE_MAP, QUERY, XID,
+HEARTBEAT, WRITE/UPDATE/DELETE_ROWS v2; CRC32 trailers; optional
+metadata SIGNEDNESS / DEFAULT_CHARSET / COLUMN_NAME / ENUM_STR_VALUE /
+SET_STR_VALUE / SIMPLE_PRIMARY_KEY.
+
+Decode kernels (round 3): three interchangeable shapes — per-row value
+loops (any schema), offset-scan loops (packed int64 descriptors, no
+per-value objects), and the numpy wavefront decoder in
+sources/wavefront.py (zero per-row Python) — all exec-compiled per
+(table schema, union layout) and proven byte-identical by
+tests/test_wavefront.py.
 """
 
 from __future__ import annotations
