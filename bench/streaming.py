@@ -99,6 +99,23 @@ def main() -> None:
         )
         return t, tempfile.mkdtemp(prefix="mbs_stream_ckpt_")
 
+    # 0. batch replay at the SAME epoch granularity — the fair comparator:
+    # every full-key-coverage epoch rewrites all touched buckets, so the
+    # meaningful streaming question is what the streaming machinery adds
+    # over batch at equal epochs, not over a single-epoch batch run
+    from mysql_binlog_spark.streaming.replay import replay_batch
+
+    btable, _ = fresh()
+    tb = time.time()
+    replay_batch(
+        spark, chunks, btable, include=[("app", "transcripts")],
+        image_cols=IMAGE_COLS, files_per_epoch=MAX_FILES,
+    )
+    batch_wall = time.time() - tb
+    batch_eps = n_rows / batch_wall
+    print(f"# batch@{MAX_FILES}/epoch: {batch_wall:.1f}s "
+          f"({batch_eps:,.0f} ev/s)", file=sys.stderr)
+
     # 1. sustained throughput (full drain)
     table, ckpt = fresh()
     t0 = time.time()
@@ -149,6 +166,11 @@ def main() -> None:
         "events_total": n_rows,
         "cpus": CPUS,
         "max_files_per_trigger": MAX_FILES,
+        "batch_same_granularity": {
+            "wall_sec": round(batch_wall, 1),
+            "events_per_sec": round(batch_eps, 1),
+        },
+        "stream_over_batch_ratio": round(wall / batch_wall, 3),
         "sustained": {
             "wall_sec": round(wall, 1),
             "events_per_sec": round(eps, 1),
@@ -179,6 +201,16 @@ local[{CPUS}].
 | sustained throughput | {eps:,.0f} events/s |
 | micro-batch epochs | {n_epochs} |
 | final snapshot rows | {final_count:,} |
+| batch replay at the SAME epoch granularity | {batch_wall:.1f} s ({batch_eps:,.0f} ev/s) |
+| streaming / batch wall ratio | **{wall / batch_wall:.2f}×** |
+
+Epoch granularity dominates both paths identically: this synthetic log's
+keys are uniform, so EVERY epoch touches every bucket and the merge
+rewrites the whole accumulated table state per epoch — the worst case
+for incremental MERGE (production CDC epochs touch a small key/bucket
+fraction and prune).  The streaming machinery itself (file-source
+offsets, foreachBatch, checkpointing) adds only the ratio above over
+batch at equal epochs.
 
 ## Hard-kill mid-replay + resume (exactly-once)
 
