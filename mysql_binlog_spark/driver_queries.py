@@ -554,6 +554,45 @@ def oracle_doc_neardup_jaccard():
     """
 
 
+def q_doc_dedup_clusters(spark, sf_dir):
+    """Near-dup CLUSTER assembly: MinHash-LSH pairs → connected components
+    (min-label propagation to convergence) → canonical doc + cluster size
+    per clustered document.  The oracle computes true components with a
+    recursive CTE over the identical pair set, so the fixed-point loop is
+    verified against exact transitive closure."""
+    from .operators.dedup import dedup_clusters
+
+    return dedup_clusters(
+        _docs(spark, sf_dir), k=MINHASH_K, rows_per_band=2,
+        shingle_n=SHINGLE_N, threshold=JACCARD_T,
+    )
+
+
+def oracle_doc_dedup_clusters():
+    pairs = oracle_doc_neardup_minhash_lsh()
+    return f"""
+    WITH RECURSIVE pairs AS ({pairs}),
+    edges AS (
+      SELECT doc_a AS u, doc_b AS v FROM pairs
+      UNION
+      SELECT doc_b AS u, doc_a AS v FROM pairs
+    ),
+    walk(node, label) AS (
+      SELECT u, u FROM edges
+      UNION
+      SELECT e.u, w.label FROM edges e JOIN walk w ON w.node = e.v
+    ),
+    comp AS (
+      SELECT node, MIN(label) AS cluster_id FROM walk GROUP BY node
+    ),
+    sizes AS (
+      SELECT cluster_id, COUNT(*) AS cluster_size FROM comp GROUP BY 1
+    )
+    SELECT c.node AS doc_id, c.cluster_id AS canonical_id, s.cluster_size
+    FROM comp c JOIN sizes s USING (cluster_id)
+    """
+
+
 def q_doc_simhash(spark, sf_dir):
     """SimHash sketch + bands: shingles JVM-side (word_shingles), md5 +
     numpy-vectorized 48-bit vote in an Arrow-batched pandas UDF."""

@@ -216,6 +216,95 @@ def minhash_dedup_pairs(
     return jaccard_verify(cands, df, id_col, text_col, shingle_n, threshold)
 
 
+# ------------------------------------------------- dedup cluster assembly
+
+
+def connected_components(
+    pairs: DataFrame, a_col: str = "doc_a", b_col: str = "doc_b",
+    max_iters: int = 50,
+) -> DataFrame:
+    """Connected components over near-duplicate pairs → (node, cluster_id)
+    with cluster_id = min node id reachable (the canonical-doc choice for
+    dedup: keep one representative per cluster).
+
+    Min-label propagation to convergence: every node repeatedly adopts
+    the smallest label among itself and its neighbors; terminates when an
+    iteration changes nothing (≤ graph diameter rounds).  100 TB shape:
+    each round is one groupBy(node).min shuffle over the edge list —
+    near-dup graphs are sparse (edges ≪ corpus) and shatter into tiny
+    components, so rounds are few and shuffles small; this is the
+    standard large-star/small-star simplification for dedup-sized graphs.
+    Driver-side loop checks a single count per round (bounded collect).
+    """
+    edges = (
+        pairs.select(F.col(a_col).alias("u"), F.col(b_col).alias("v"))
+        .union(pairs.select(F.col(b_col).alias("u"), F.col(a_col).alias("v")))
+        .distinct()
+        .persist()
+    )
+    labels = (
+        edges.select(F.col("u").alias("node"))
+        .distinct()
+        .withColumn("label", F.col("node"))
+        .persist()
+    )
+    for _ in range(max_iters):
+        neigh_min = (
+            edges.join(labels, edges.v == labels.node)
+            .groupBy("u")
+            .agg(F.min("label").alias("nmin"))
+        )
+        new_labels = (
+            labels.join(neigh_min, labels.node == neigh_min.u, "left")
+            .select(
+                "node",
+                F.least(
+                    F.col("label"), F.coalesce(F.col("nmin"), F.col("label"))
+                ).alias("label"),
+            )
+            .persist()
+        )
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), F.col("n.node") == F.col("o.node"))
+            .filter(F.col("n.label") != F.col("o.label"))
+            .limit(1)
+            .count()
+        )
+        labels.unpersist(blocking=False)
+        labels = new_labels
+        if changed == 0:
+            break
+    edges.unpersist(blocking=False)
+    return labels.select(F.col("node"), F.col("label").alias("cluster_id"))
+
+
+def dedup_clusters(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text",
+    k: int = 12, rows_per_band: int = 2, shingle_n: int = 3,
+    threshold: float = 0.8,
+) -> DataFrame:
+    """Full near-dup clustering: MinHash-LSH pairs → connected components
+    → one row per clustered document with its canonical (min) id and the
+    cluster size.  Documents with no near-duplicate are absent (they are
+    their own cluster)."""
+    pairs = minhash_dedup_pairs(
+        df, id_col, text_col, k, rows_per_band, shingle_n, threshold
+    )
+    comp = connected_components(pairs)
+    sizes = comp.groupBy("cluster_id").agg(
+        F.count(F.lit(1)).alias("cluster_size")
+    )
+    return (
+        comp.join(sizes, "cluster_id")
+        .select(
+            F.col("node").alias(id_col),
+            F.col("cluster_id").alias("canonical_id"),
+            "cluster_size",
+        )
+    )
+
+
 # ------------------------------------------------------------------ SimHash
 
 

@@ -182,3 +182,22 @@ def test_jaccard_prefix_freq_order_bounds_hot_shingle(spark):
         .collect()
     }
     assert got == brute and (0, 1) in got
+
+
+def test_connected_components_chain_and_clusters(spark):
+    """Min-label propagation converges on a chain longer than one hop and
+    assigns every member the component's min id (the canonical doc)."""
+    from mysql_binlog_spark.operators.dedup import connected_components
+
+    pairs = spark.createDataFrame(
+        # chain 1-2-3-4-5-6 (diameter 5), triangle 10-11-12, pair 20-21
+        [(1, 2), (2, 3), (3, 4), (4, 5), (5, 6),
+         (10, 11), (11, 12), (10, 12), (20, 21)],
+        "doc_a int, doc_b int",
+    )
+    got = {
+        r["node"]: r["cluster_id"]
+        for r in connected_components(pairs).collect()
+    }
+    assert got == {1: 1, 2: 1, 3: 1, 4: 1, 5: 1, 6: 1,
+                   10: 10, 11: 10, 12: 10, 20: 20, 21: 20}
