@@ -554,6 +554,69 @@ def oracle_doc_neardup_jaccard():
     """
 
 
+NOVELTY_SPLIT = 250  # corpus: doc_id < split; incoming batch: >= split
+
+
+def q_doc_novelty_filter(spark, sf_dir):
+    """Incremental-ingest novelty filter (the production dedup shape):
+    documents of the incoming batch (doc_id >= 250) that neither exactly
+    duplicate nor near-duplicate (MinHash-LSH + Jaccard >= 0.8) the
+    standing corpus (doc_id < 250)."""
+    from .operators.dedup import novel_documents
+
+    docs = _docs(spark, sf_dir)
+    corpus = docs.filter(F.col("doc_id") < NOVELTY_SPLIT)
+    new = docs.filter(F.col("doc_id") >= NOVELTY_SPLIT)
+    out = novel_documents(
+        new, corpus, k=MINHASH_K, rows_per_band=2, shingle_n=SHINGLE_N,
+        threshold=JACCARD_T,
+    )
+    return out.select("doc_id", F.length("text").alias("n_chars"))
+
+
+def oracle_doc_novelty_filter():
+    sig = minhash_signature_sql("s", MINHASH_K)
+    n_bands = MINHASH_K // 2
+    band_exprs = ", ".join(
+        f"(CAST(mh{2 * b} AS VARCHAR) || ':' || CAST(mh{2 * b + 1} AS VARCHAR))"
+        f" AS band{b}"
+        for b in range(n_bands)
+    )
+    band_match = " OR ".join(f"a.band{b} = b.band{b}" for b in range(n_bands))
+    fp = T.fingerprint_sql("text")
+    return f"""
+    WITH corpus AS (
+      SELECT doc_id, text FROM documents WHERE doc_id < {NOVELTY_SPLIT}
+    ), newdocs AS (
+      SELECT doc_id, text FROM documents WHERE doc_id >= {NOVELTY_SPLIT}
+    ), surv AS (
+      SELECT n.doc_id, n.text FROM newdocs n
+      WHERE {fp} NOT IN (SELECT {T.fingerprint_sql('text')} FROM corpus)
+    ), sh_new AS (
+      SELECT doc_id, text, {T.word_shingles_sql('text', SHINGLE_N)} AS s
+      FROM surv
+    ), sh_corp AS (
+      SELECT doc_id, {T.word_shingles_sql('text', SHINGLE_N)} AS s
+      FROM corpus
+    ), sig_new AS (
+      SELECT doc_id, s, {', '.join(sig)} FROM sh_new
+    ), sig_corp AS (
+      SELECT doc_id, s, {', '.join(sig)} FROM sh_corp
+    ), banded_new AS (
+      SELECT doc_id, s, {band_exprs} FROM sig_new
+    ), banded_corp AS (
+      SELECT doc_id, s, {band_exprs} FROM sig_corp
+    ), neardup AS (
+      SELECT DISTINCT a.doc_id
+      FROM banded_new a JOIN banded_corp b ON ({band_match})
+      WHERE len(list_intersect(a.s, b.s))::DOUBLE
+              / len(list_distinct(list_concat(a.s, b.s))) >= {JACCARD_T}
+    )
+    SELECT doc_id, length(text) AS n_chars FROM surv
+    WHERE doc_id NOT IN (SELECT doc_id FROM neardup)
+    """
+
+
 def q_doc_dedup_clusters(spark, sf_dir):
     """Near-dup CLUSTER assembly: MinHash-LSH pairs → connected components
     (min-label propagation to convergence) → canonical doc + cluster size

@@ -216,6 +216,97 @@ def minhash_dedup_pairs(
     return jaccard_verify(cands, df, id_col, text_col, shingle_n, threshold)
 
 
+# ------------------------------------------- incremental novelty filtering
+
+
+def lsh_band_join(
+    sigs_a: DataFrame, sigs_b: DataFrame, id_col: str = "doc_id",
+    k: int = 12, rows_per_band: int = 2,
+) -> DataFrame:
+    """Two-sided LSH candidate join (A-ids × B-ids sharing any band
+    bucket) — the cross-corpus variant of ``lsh_candidate_pairs``."""
+    n_bands = k // rows_per_band
+
+    def banded(sigs, out):
+        bands = F.array(
+            *[
+                F.struct(
+                    F.lit(b).alias("band_idx"),
+                    F.concat_ws(
+                        ":",
+                        *[
+                            F.col(f"mh{b * rows_per_band + r}")
+                            for r in range(rows_per_band)
+                        ],
+                    ).alias("band_key"),
+                )
+                for b in range(n_bands)
+            ]
+        )
+        return sigs.select(
+            F.col(id_col).alias(out), F.explode(bands).alias("b")
+        ).select(out, "b.band_idx", "b.band_key")
+    ea = banded(sigs_a, "id_a")
+    eb = banded(sigs_b, "id_b")
+    return (
+        ea.join(eb, ["band_idx", "band_key"])
+        .select("id_a", "id_b")
+        .distinct()
+    )
+
+
+def novel_documents(
+    new_df: DataFrame, corpus_df: DataFrame, id_col: str = "doc_id",
+    text_col: str = "text", k: int = 12, rows_per_band: int = 2,
+    shingle_n: int = 3, threshold: float = 0.8,
+) -> DataFrame:
+    """Incremental-ingest novelty filter: keep only NEW documents that
+    neither exactly duplicate nor near-duplicate (Jaccard ≥ t) the
+    existing corpus — the production shape of dedup, where a pipeline
+    adds a batch against a standing lake instead of self-joining it.
+
+    Stage 1: fingerprint LEFT ANTI join kills exact copies (one uniform
+    hash-key shuffle).  Stage 2: MinHash-LSH band join NEW × CORPUS
+    (bucketed, never all-pairs) proposes near-dup candidates; exact
+    shingle-Jaccard verifies; survivors anti-join out.  100 TB shape:
+    corpus signatures are computed once and persistable; the new batch
+    side is small, so its exploded bands broadcast and the corpus never
+    reshuffles per batch.
+    """
+    fp_new = new_df.select(
+        F.col(id_col), F.col(text_col), fingerprint(F.col(text_col)).alias("fp")
+    )
+    fp_corpus = corpus_df.select(
+        fingerprint(F.col(text_col)).alias("fp")
+    ).distinct()
+    survivors = fp_new.join(fp_corpus, "fp", "left_anti").drop("fp")
+
+    sig_new = minhash_signatures(survivors, id_col, text_col, k, shingle_n)
+    sig_corpus = minhash_signatures(corpus_df, id_col, text_col, k, shingle_n)
+    cands = lsh_band_join(sig_new, sig_corpus, id_col, k, rows_per_band)
+    sh_new = survivors.select(
+        F.col(id_col).alias("_ia"),
+        word_shingles(F.col(text_col), shingle_n).alias("sa"),
+    )
+    sh_corpus = corpus_df.select(
+        F.col(id_col).alias("_ib"),
+        word_shingles(F.col(text_col), shingle_n).alias("sb"),
+    )
+    jac = F.size(F.array_intersect("sa", "sb")) / F.size(
+        F.array_union("sa", "sb")
+    )
+    near_dup_ids = (
+        cands.join(sh_new, cands.id_a == F.col("_ia"))
+        .join(sh_corpus, cands.id_b == F.col("_ib"))
+        .filter(jac >= threshold)
+        .select(F.col("id_a").alias(id_col))
+        .distinct()
+    )
+    return survivors.join(near_dup_ids, id_col, "left_anti").select(
+        id_col, text_col
+    )
+
+
 # ------------------------------------------------- dedup cluster assembly
 
 
