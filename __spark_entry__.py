@@ -61,6 +61,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_fingerprint": dq.q_doc_fingerprint,
         # similarity search / ANN
         "emb_cosine_knn": dq.q_emb_cosine_knn,
+        "emb_sq8_knn": dq.q_emb_sq8_knn,
         "emb_ivf_knn": dq.q_emb_ivf_knn,
         "emb_lsh_buckets": dq.q_emb_lsh_buckets,
         "emb_neardup_cosine": dq.q_emb_neardup_cosine,
@@ -100,6 +101,7 @@ def oracle_sql() -> dict[str, str]:
         "doc_tokens": dq.oracle_doc_tokens(),
         "doc_fingerprint": dq.oracle_doc_fingerprint(),
         "emb_cosine_knn": dq.oracle_emb_cosine_knn(),
+        "emb_sq8_knn": dq.oracle_emb_sq8_knn(),
         "emb_ivf_knn": dq.oracle_emb_ivf_knn(),
         "emb_lsh_buckets": dq.oracle_emb_lsh_buckets(),
         "emb_neardup_cosine": dq.oracle_emb_neardup_cosine(),

@@ -846,6 +846,48 @@ def oracle_emb_neardup_cosine():
     """
 
 
+def q_emb_sq8_knn(spark, sf_dir):
+    """Top-k cosine over int8 scalar-quantized embeddings (4× memory
+    compression; scales cancel in cosine, so integer dot products make
+    the ranking bit-deterministic)."""
+    from .operators.similarity import sq8_knn
+
+    embs = _embs(spark, sf_dir)
+    queries = embs.filter(F.col("vec_id") < KNN_QUERIES)
+    return sq8_knn(embs, queries, k=KNN_K)
+
+
+def oracle_emb_sq8_knn():
+    def sq8(col):
+        scale = (
+            f"greatest(list_max(list_transform({col}, "
+            f"x -> abs(CAST(x AS DOUBLE)))) / 127.0, 1e-12)"
+        )
+        return (
+            f"list_transform({col}, x -> CAST(round(CAST(x AS DOUBLE) "
+            f"/ {scale}) AS INT))"
+        )
+
+    cos = _duck_cos("q.qv", "c.cv")
+    return f"""
+    WITH qz AS (
+      SELECT vec_id, {sq8('embedding')} AS qv FROM embeddings
+      WHERE vec_id < {KNN_QUERIES}
+    ), cz AS (
+      SELECT vec_id, {sq8('embedding')} AS cv FROM embeddings
+    ), scored AS (
+      SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+             round({cos}, 4) AS cos_sim
+      FROM qz q JOIN cz c ON c.vec_id <> q.vec_id
+    )
+    SELECT query_id, neighbor_id, cos_sim, rank FROM (
+      SELECT *, ROW_NUMBER() OVER (
+        PARTITION BY query_id ORDER BY cos_sim DESC, neighbor_id) AS rank
+      FROM scored
+    ) WHERE rank <= {KNN_K}
+    """
+
+
 IVF_CELLS = 16
 IVF_NPROBE = 4
 IVF_LLOYD_ITERS = 2

@@ -201,3 +201,21 @@ def test_connected_components_chain_and_clusters(spark):
     }
     assert got == {1: 1, 2: 1, 3: 1, 4: 1, 5: 1, 6: 1,
                    10: 10, 11: 10, 12: 10, 20: 20, 21: 20}
+
+
+def test_sq8_knn_recall_vs_float(spark, sf_dir):
+    """Int8 scalar quantization at dim 64 should be near-lossless for
+    top-10 cosine ranking (it compresses the store 4×)."""
+    from mysql_binlog_spark.operators.similarity import cosine_knn, sq8_knn
+
+    embs = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    queries = embs.filter(F.col("vec_id") < 5)
+    exact = {
+        (r["query_id"], r["neighbor_id"])
+        for r in cosine_knn(embs, queries, k=10).collect()
+    }
+    quant = {
+        (r["query_id"], r["neighbor_id"])
+        for r in sq8_knn(embs, queries, k=10).collect()
+    }
+    assert len(exact & quant) / len(exact) >= 0.9
