@@ -75,7 +75,8 @@ def test_no_cartesian_in_any_driver_query(spark, sf_dir):
     the all-pairs Jaccard baseline was a BNL join)."""
     import __spark_entry__ as entry
 
-    allowed_bnlj = {"emb_cosine_knn"}  # broadcast query-side cross join
+    # broadcast query-side cross joins (intentional: corpus never shuffles)
+    allowed_bnlj = {"emb_cosine_knn", "emb_sq8_knn"}
     for name, fn in entry.queries().items():
         if name in ("cdc_apply_e2e",):  # executes merges on construction
             continue
