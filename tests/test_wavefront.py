@@ -196,3 +196,115 @@ def test_wavefront_desync_raises():
         decode_chunk_wavefront(
             bytes(data), image_cols=UNION, before_mode="full"
         )
+
+
+# ------------------------------------------------- property-based parity
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from mysql_binlog_spark.wire import TYPE_LONGLONG as _I8
+from mysql_binlog_spark.wire import TYPE_TINY as _I1
+
+_COLUMN_MAKERS = [
+    lambda i, null: WireColumn(f"c{i}", TYPE_VARCHAR, nullable=null, meta=40),
+    lambda i, null: WireColumn(f"c{i}", TYPE_VARCHAR, nullable=null, meta=300),
+    lambda i, null: WireColumn(f"c{i}", TYPE_BLOB, nullable=null, meta=2),
+    lambda i, null: WireColumn(f"c{i}", TYPE_BLOB, nullable=null, meta=3,
+                               charset=CHARSET_BINARY),
+    lambda i, null: WireColumn(f"c{i}", _I1, nullable=null),
+    lambda i, null: WireColumn(f"c{i}", _I1, nullable=null, signed=False),
+    lambda i, null: WireColumn(f"c{i}", TYPE_SHORT, nullable=null),
+    lambda i, null: WireColumn(f"c{i}", TYPE_LONG, nullable=null),
+    lambda i, null: WireColumn(f"c{i}", _I8, nullable=null),
+    lambda i, null: WireColumn(f"c{i}", TYPE_DOUBLE, nullable=null),
+    lambda i, null: WireColumn(f"c{i}", TYPE_TIMESTAMP2, nullable=null,
+                               meta=3),
+    lambda i, null: WireColumn(f"c{i}", TYPE_TIMESTAMP2, nullable=null,
+                               meta=0),
+]
+
+_INT_RANGE = {
+    _I1: (-128, 127), TYPE_SHORT: (-32768, 32767),
+    TYPE_LONG: (-(2**31), 2**31 - 1), _I8: (-(2**63), 2**63 - 1),
+}
+
+
+def _value_for(c, rnd):
+    if c.nullable and rnd.random() < 0.3:
+        return None
+    t = c.ctype
+    if t == TYPE_VARCHAR:
+        return "".join(rnd.choice("aé 7✓x") for _ in range(rnd.randrange(0, 12)))
+    if t == TYPE_BLOB:
+        if c.charset == CHARSET_BINARY:
+            return bytes(rnd.randrange(256) for _ in range(rnd.randrange(0, 9)))
+        return "b" * rnd.randrange(0, 20)
+    if t in _INT_RANGE:
+        lo, hi = _INT_RANGE[t]
+        if not c.signed:
+            lo, hi = 0, 2 * hi + 1
+        return rnd.randrange(lo, hi + 1)
+    if t == TYPE_DOUBLE:
+        return rnd.choice([0.0, -1.5, 3.25e10, -7e-3, 123456.789])
+    if t == TYPE_TIMESTAMP2:
+        return (rnd.randrange(0, 2**31), rnd.randrange(0, 1000) * 1000)
+    raise AssertionError(t)
+
+
+@settings(max_examples=25, deadline=None)
+@given(
+    st.lists(st.tuples(st.integers(0, len(_COLUMN_MAKERS) - 1),
+                       st.booleans()),
+             min_size=1, max_size=11),
+    st.integers(0, 2**32 - 1),
+)
+def test_wavefront_random_schema_parity(col_spec, seed):
+    """Random vectorizable schemas/rows/null patterns: the wavefront
+    kernels must reproduce the python decoder exactly (including update
+    pairing), beyond the hand-written cases above."""
+    import random
+
+    rnd = random.Random(seed)
+    cols = [_COLUMN_MAKERS[k](i, null) for i, (k, null) in enumerate(col_spec)]
+    t = TableSchema("db", "t", cols, (0,), 300)
+    union = [c.name for c in cols]
+    w = BinlogWriter()
+    w.write_table_map(0, t)
+    for e in range(18):  # ≥ MIN_WAVEFRONT_EVENTS
+        rows = [
+            {c.name: _value_for(c, rnd) for c in cols}
+            for _ in range(rnd.randrange(1, 5))
+        ]
+        action = ("insert", "update", "delete")[e % 3]
+        if action == "update":
+            befores = [
+                {c.name: _value_for(c, rnd) for c in cols} for _ in rows
+            ]
+            w.write_rows(e, t, action, rows, befores)
+        else:
+            w.write_rows(e, t, action, rows)
+    data = w.getvalue()
+    kinds = chunk_vector_kinds(data, None, None, union)
+    assert kinds is not None
+    bp = decode_chunk(data, image_cols=union, verify_crc=True)
+    bw = decode_chunk_wavefront(data, image_cols=union, verify_crc=True)
+    assert len(bp) == len(bw) and list(bp.ev_cnt) == list(bw.ev_cnt)
+    np_buf = np.frombuffer(data, np.uint8)
+    for side, pcols, wcols in (("before", bp.before_cols, bw.before_cols),
+                               ("after", bp.after_cols, bw.after_cols)):
+        for j, c in enumerate(cols):
+            pt = _pa_type(spark_type_of(c))
+            got = materialize_column(
+                np_buf, kinds.get(c.name), wcols[j], len(bw), pt
+            ).to_pylist()
+            want = bp.before_cols[j] if side == "before" else bp.after_cols[j]
+            if kinds.get(c.name, ("",))[0] == "ts":
+                want = [
+                    None if v is None
+                    else dt.datetime(1970, 1, 1) + dt.timedelta(microseconds=v)
+                    for v in want
+                ]
+            if c.charset == CHARSET_BINARY:
+                want = [None if v is None else bytes(v) for v in want]
+            assert got == want, (side, c.name, got[:4], want[:4])
