@@ -36,6 +36,16 @@ ROUNDS = int(os.environ.get("SCALE_OUT_ROUNDS", "3"))
 FIXTURE_TAG = os.environ.get("SCALE_OUT_TAG", "")  # full tag override
 WAIT_LOAD = float(os.environ.get("SCALE_OUT_WAIT_LOAD", "0"))  # 0 = no gate
 WAIT_MAX_SEC = float(os.environ.get("SCALE_OUT_WAIT_MAX", "600"))
+# Pin worker i to cores [i*CORES_PER, (i+1)*CORES_PER): each "executor"
+# owns a disjoint core set (like a real cluster's per-node cores) and
+# external load is scheduled onto the remaining idle cores instead of
+# stealing worker cycles.  taskset affinity is inherited by the JVM and
+# its forked Python workers.
+PIN_CORES = os.environ.get("SCALE_OUT_PIN", "1") == "1"
+# Read every chunk once before round 1 so both configs run page-cache
+# warm (a real executor's storage layer; avoids cache-asymmetric rounds
+# like round-3's excluded 0.99 outlier).
+PREWARM = os.environ.get("SCALE_OUT_PREWARM", "1") == "1"
 
 WORKER_SRC = r"""
 import json, os, sys, time
@@ -122,12 +132,15 @@ def run_fleet(chunks: list[str], k: int) -> dict:
     for i, shard in enumerate(shards):
         pj = os.path.join(tmp, f"paths{i}.json")
         json.dump(shard, open(pj, "w"))
+        cmd = [sys.executable, worker_py, pj,
+               os.path.join(tmp, f"ready{i}"), go,
+               os.path.join(tmp, f"result{i}.json")]
+        if PIN_CORES:
+            lo, hi = i * CORES_PER, (i + 1) * CORES_PER - 1
+            cmd = ["taskset", "-c", f"{lo}-{hi}"] + cmd
         procs.append(
             subprocess.Popen(
-                [sys.executable, worker_py, pj,
-                 os.path.join(tmp, f"ready{i}"), go,
-                 os.path.join(tmp, f"result{i}.json")],
-                stdout=subprocess.DEVNULL, stderr=subprocess.DEVNULL,
+                cmd, stdout=subprocess.DEVNULL, stderr=subprocess.DEVNULL,
             )
         )
     while not all(
@@ -178,6 +191,16 @@ def main() -> None:
     )
     meta = json.load(open(os.path.join(chunk_dir, "_COMPLETE")))
     n_events = meta["rows"]
+
+    if PREWARM:
+        t0 = time.time()
+        buf = bytearray(1 << 20)
+        for c in chunks:
+            with open(c, "rb", buffering=0) as f:
+                while f.readinto(buf):
+                    pass
+        print(f"# prewarm: {len(chunks)} chunks in {time.time()-t0:.1f}s",
+              file=sys.stderr)
 
     # alternating rounds, best-of per config: both configs sample the same
     # load regime; every round records loadavg at its GO barrier

@@ -310,64 +310,114 @@ def novel_documents(
 # ------------------------------------------------- dedup cluster assembly
 
 
+def _large_star(edges: DataFrame) -> DataFrame:
+    """One large-star round over a SYMMETRIC edge list: every node u
+    connects each strictly-larger neighbor v to m = min(N(u) ∪ {u})."""
+    m = (
+        edges.groupBy("u")
+        .agg(F.min("v").alias("_mn"))
+        .select("u", F.least(F.col("u"), F.col("_mn")).alias("m"))
+    )
+    return (
+        edges.join(m, "u")
+        .filter(F.col("v") > F.col("u"))
+        .select(F.col("v").alias("u"), F.col("m").alias("v"))
+        .distinct()
+    )
+
+
+def _small_star(edges: DataFrame) -> DataFrame:
+    """One small-star round: orient each edge (max → min), then every
+    node u connects each smaller-or-self neighbor to m = min(N(u))."""
+    e = (
+        edges.select(
+            F.greatest("u", "v").alias("u"), F.least("u", "v").alias("v")
+        )
+        .filter(F.col("u") != F.col("v"))
+        .distinct()
+    )
+    m = e.groupBy("u").agg(F.min("v").alias("m"))
+    return (
+        e.join(m, "u")
+        .select(F.col("v").alias("u"), F.col("m").alias("v"))
+        .union(m.select(F.col("u"), F.col("m").alias("v")))
+        .filter(F.col("u") != F.col("v"))
+        .distinct()
+    )
+
+
 def connected_components(
     pairs: DataFrame, a_col: str = "doc_a", b_col: str = "doc_b",
-    max_iters: int = 50,
+    max_iters: int = 30, _stats: dict | None = None,
 ) -> DataFrame:
     """Connected components over near-duplicate pairs → (node, cluster_id)
     with cluster_id = min node id reachable (the canonical-doc choice for
     dedup: keep one representative per cluster).
 
-    Min-label propagation to convergence: every node repeatedly adopts
-    the smallest label among itself and its neighbors; terminates when an
-    iteration changes nothing (≤ graph diameter rounds).  100 TB shape:
-    each round is one groupBy(node).min shuffle over the edge list —
-    near-dup graphs are sparse (edges ≪ corpus) and shatter into tiny
-    components, so rounds are few and shuffles small; this is the
-    standard large-star/small-star simplification for dedup-sized graphs.
-    Driver-side loop checks a single count per round (bounded collect).
+    Alternating large-star / small-star rounds (Kiveris et al.,
+    "Connected Components in MapReduce and Beyond"): each round flattens
+    trees toward the component minimum, converging in O(log² n) rounds
+    regardless of diameter — a planted 1M-long chain finishes in ~a dozen
+    rounds where plain min-label propagation needs 10⁶.  100 TB shape:
+    each round is two groupBy(node).min shuffles over a sparse edge list
+    that only shrinks toward stars; the driver reads one (count, checksum)
+    pair per round (bounded collect).  Raises RuntimeError if the edge
+    set has not reached its star fixed point within ``max_iters`` rounds
+    (returning silently-wrong labels is never acceptable for dedup).
     """
+    # localCheckpoint (not persist) each round: the round plan references
+    # ``edges`` several times, so without lineage truncation the logical
+    # plan doubles per iteration — exponential plan trees OOM the driver
+    # long before the data does.  Checkpointing bounds every round's plan
+    # to one round's operators; superseded round RDDs are released by the
+    # ContextCleaner once their driver references drop.
     edges = (
         pairs.select(F.col(a_col).alias("u"), F.col(b_col).alias("v"))
-        .union(pairs.select(F.col(b_col).alias("u"), F.col(a_col).alias("v")))
+        .filter(F.col("u") != F.col("v"))
         .distinct()
-        .persist()
+        .localCheckpoint()
     )
-    labels = (
-        edges.select(F.col("u").alias("node"))
-        .distinct()
-        .withColumn("label", F.col("node"))
-        .persist()
-    )
+    prev: tuple | None = None
+    rounds = 0
+    converged = False
     for _ in range(max_iters):
-        neigh_min = (
-            edges.join(labels, edges.v == labels.node)
-            .groupBy("u")
-            .agg(F.min("label").alias("nmin"))
+        sym = edges.union(
+            edges.select(F.col("v").alias("u"), F.col("u").alias("v"))
         )
-        new_labels = (
-            labels.join(neigh_min, labels.node == neigh_min.u, "left")
-            .select(
-                "node",
-                F.least(
-                    F.col("label"), F.coalesce(F.col("nmin"), F.col("label"))
-                ).alias("label"),
-            )
-            .persist()
-        )
-        changed = (
-            new_labels.alias("n")
-            .join(labels.alias("o"), F.col("n.node") == F.col("o.node"))
-            .filter(F.col("n.label") != F.col("o.label"))
-            .limit(1)
-            .count()
-        )
-        labels.unpersist(blocking=False)
-        labels = new_labels
-        if changed == 0:
+        nxt = _small_star(_large_star(sym)).localCheckpoint()
+        # fixed-point probe: edge multiset unchanged ⇔ (count, order-
+        # independent hash checksum) unchanged — one job, two scalars
+        row = nxt.agg(
+            F.count(F.lit(1)).alias("c"),
+            F.sum(F.xxhash64("u", "v").cast("decimal(38,0)")).alias("h"),
+        ).first()
+        sig = (row["c"], row["h"])
+        edges = nxt
+        rounds += 1
+        if sig == prev:
+            converged = True
             break
-    edges.unpersist(blocking=False)
-    return labels.select(F.col("node"), F.col("label").alias("cluster_id"))
+        prev = sig
+    if _stats is not None:
+        _stats["rounds"] = rounds
+    if not converged:
+        raise RuntimeError(
+            f"connected_components: no fixed point after {max_iters} "
+            "large-star/small-star rounds"
+        )
+    # at the fixed point the edge set IS the star set: (node, component
+    # min) for every non-root node; roots label themselves
+    labels = (
+        edges.select(F.col("u").alias("node"), F.col("v").alias("cluster_id"))
+        .union(
+            edges.select(
+                F.col("v").alias("node"), F.col("v").alias("cluster_id")
+            )
+        )
+        .groupBy("node")
+        .agg(F.min("cluster_id").alias("cluster_id"))
+    )
+    return labels
 
 
 def dedup_clusters(

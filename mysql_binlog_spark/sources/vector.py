@@ -68,6 +68,14 @@ def chunk_vector_kinds(
     offset-scan path, else None.  Qualifies when every included table is
     ``offset_scannable`` for the stored columns and tables agree on each
     shared column's kind (e.g. same int width across schema versions)."""
+    if len(data) >= 2**31:
+        # materialize_column's offset math (descriptor high bits, int32
+        # Arrow offsets, int32 cumsum gather indices) addresses the chunk
+        # with 31-bit offsets; a ≥2 GiB chunk would overflow into a
+        # corrupt gather — fall back to the python value loops.  Per-
+        # column payload sums can never exceed this either: payloads are
+        # disjoint slices of the chunk.
+        return None
     kinds: dict[str, tuple] = {}
     stored = set(col_names)
     for t in chunk_table_maps(data):
@@ -102,6 +110,8 @@ def materialize_column(
     if kind is None:
         # column never appeared in this chunk's included tables
         return pa.nulls(n, pa_type)
+    if len(np_buf) >= 2**31:  # guarded upstream by chunk_vector_kinds
+        raise ValueError("chunk too large for int32 offset materialization")
     if isinstance(col, np.ndarray):
         d = col  # wavefront path hands ndarrays directly
     else:

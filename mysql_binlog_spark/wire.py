@@ -545,6 +545,16 @@ class BinlogWriter:
     def _encode_image(self, t: TableSchema, row: dict) -> bytes:
         cols = t.columns
         nulls = [row.get(c.name) is None for c in cols]
+        for c, isnull in zip(cols, nulls):
+            if isnull and not c.nullable:
+                # a real server never NULLs a NOT NULL column; writing one
+                # would produce a stream the non-branching decode kernels
+                # (which skip the null-bit check for non-nullable columns)
+                # legitimately misread — refuse at the writer
+                raise ValueError(
+                    f"NULL value for NOT NULL column {c.name!r} in "
+                    f"{t.schema}.{t.table}"
+                )
         out = bytearray(_bitmap(nulls))
         for c, isnull in zip(cols, nulls):
             if isnull:
@@ -817,7 +827,12 @@ def _varlen_prefix(c: WireColumn) -> int:
         return 1 if c.meta <= 255 else 2
     if c.ctype == TYPE_BLOB:
         return c.meta or 2
-    return c.meta or 4  # JSON/GEOMETRY
+    if c.ctype in (TYPE_JSON, TYPE_GEOMETRY):
+        return c.meta or 4
+    # anything else (e.g. a plain CHAR riding as TYPE_STRING) has a
+    # prefix scheme these kernels do not implement — refuse loudly
+    # instead of guessing a width and silently desyncing the scan
+    raise ValueError(f"unsupported varlen wire type {c.ctype:#x}")
 
 
 # --------------------------------------------------- compiled image decoders
@@ -1119,11 +1134,18 @@ def _advance_width(c: WireColumn) -> int | None:
 
 def offset_scannable(t: TableSchema, stored: set[str]) -> bool:
     """True iff table t can run the offset-scan path for output columns
-    ``stored``: stored columns need a vector_kind; the rest only need a
-    computable advance (always true)."""
-    return all(
-        vector_kind(c) is not None for c in t.columns if c.name in stored
-    )
+    ``stored``: stored columns need a vector_kind; every OTHER column —
+    skipped, but still advanced over — needs a known advance rule (a
+    fixed width or a supported varlen prefix).  An unknown type anywhere
+    in the row falls back to the value-loop path, which fails loudly."""
+    for c in t.columns:
+        if c.name in stored and vector_kind(c) is None:
+            return False
+        if _advance_width(c) is None and c.ctype not in (
+            TYPE_VARCHAR, *BLOB_LIKE_TYPES
+        ):
+            return False
+    return True
 
 
 def _offset_image_lines(
@@ -1236,6 +1258,11 @@ def _compile_offset_loop(t: TableSchema, columns: list[str], kind: str):
     else:
         L += _offset_image_lines(t, slot, "s", False, "        ")
     L.append("        cnt += 1")
+    # a correct scan lands exactly on the event end; overshoot means a
+    # bad length prefix / width desynced the walk — fail loudly (same
+    # contract as the wavefront kernel's desync ValueError)
+    L.append("    if off != end:")
+    L.append("        raise ValueError('offset-scan row decode desync')")
     if kind != "skip" and missing:
         L.append("    _none = _T * cnt")  # array('q') repeat: one memcpy
         for name in missing:

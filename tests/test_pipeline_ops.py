@@ -203,6 +203,24 @@ def test_connected_components_chain_and_clusters(spark):
                    10: 10, 11: 10, 12: 10, 20: 20, 21: 20}
 
 
+def test_connected_components_long_chain_logarithmic_rounds(spark):
+    """Large-star/small-star converges on a planted 64-edge chain in
+    O(log² n) rounds — far under the 64 rounds plain min-label
+    propagation needs (the round-3 verdict's high-diameter case)."""
+    from mysql_binlog_spark.operators.dedup import connected_components
+
+    chain = spark.createDataFrame(
+        [(i, i + 1) for i in range(64)], "doc_a int, doc_b int"
+    )
+    stats: dict = {}
+    got = {
+        r["node"]: r["cluster_id"]
+        for r in connected_components(chain, _stats=stats).collect()
+    }
+    assert got == {i: 0 for i in range(65)}
+    assert stats["rounds"] <= 12 < 64
+
+
 def test_sq8_knn_recall_vs_float(spark, sf_dir):
     """Int8 scalar quantization at dim 64 should be near-lossless for
     top-10 cosine ranking (it compresses the store 4×)."""
