@@ -41,6 +41,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cdc_stats_interval": dq.q_cdc_stats_interval,
         "cdc_lineage": dq.q_cdc_lineage,
         "cdc_filter_tables": dq.q_cdc_filter_tables,
+        "cdc_filter_databases": dq.q_cdc_filter_databases,
+        "cdc_schema_evolution": dq.q_cdc_schema_evolution,
         "cdc_start_position": dq.q_cdc_start_position,
         "cdc_turn_ordering": dq.q_cdc_turn_ordering,
         "cdc_decode_binary": dq.q_cdc_decode_binary,
@@ -84,6 +86,8 @@ def oracle_sql() -> dict[str, str]:
         "cdc_stats_interval": dq.oracle_cdc_stats_interval(),
         "cdc_lineage": dq.oracle_cdc_lineage(),
         "cdc_filter_tables": dq.oracle_cdc_filter_tables(),
+        "cdc_filter_databases": dq.oracle_cdc_filter_databases(),
+        "cdc_schema_evolution": dq.oracle_cdc_schema_evolution(),
         "cdc_start_position": dq.oracle_cdc_start_position(),
         "cdc_turn_ordering": dq.oracle_cdc_turn_ordering(),
         "cdc_decode_binary": dq.oracle_cdc_decode_binary(),

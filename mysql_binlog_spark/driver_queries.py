@@ -133,6 +133,19 @@ def q_cdc_filter_tables(spark, sf_dir):
     return df.groupBy("action").agg(F.count(F.lit(1)).alias("n_rows"))
 
 
+def q_cdc_filter_databases(spark, sf_dir):
+    """Database-level include (reference Config ``databases``,
+    EventsIterator.php:103-113): admit every table of schema 'app'
+    without naming tables — exercises the bare-string filter entries."""
+    df = filter_tables(
+        dedup_lsn(changelog_df(spark, sf_dir)),
+        include=["app"],
+    )
+    return df.groupBy("schema_name", "table_name").agg(
+        F.count(F.lit(1)).alias("n_rows")
+    )
+
+
 def q_cdc_start_position(spark, sf_dir):
     df = filter_start_lsn(
         dedup_lsn(changelog_df(spark, sf_dir)), ("binlog.000002", 4 + 500 * 128)
@@ -308,6 +321,36 @@ def q_cdc_apply_e2e(spark, sf_dir):
     return table.snapshot_df(spark).select(*FINAL_COLS)
 
 
+def q_cdc_schema_evolution(spark, sf_dir):
+    """A4 under the oracle gate (round-3 verdict #3): the lake is created
+    at the v1 schema (no tool_version); TABLE_MAPs carry the column only
+    from the evolution event onward, so the replay must detect the ADD
+    COLUMN, bump the schema version, and NULL-backfill keys whose last
+    writer predates it.  Returns the evolved snapshot's
+    (key, tool_version) plus the table's schema version; the oracle
+    applies the same ADD COLUMN + backfill-NULL semantics in SQL."""
+    chunks = binlog_fixture_dir(spark, sf_dir)
+    lake_dir = tempfile.mkdtemp(prefix="mbs_lake_evo_")
+    table = LakeTable.create(
+        lake_dir,
+        columns=[
+            ("conv_id", "string"), ("turn_idx", "int"), ("role", "string"),
+            ("text", "string"), ("tool", "string"), ("ts", "timestamp"),
+        ],
+        key_cols=KEY_COLS,
+        n_buckets=16,
+    )
+    replay_batch(
+        spark, chunks, table, include=[("app", "transcripts")],
+        files_per_epoch=2,
+    )
+    ver = int(table.schema_doc()["version"])
+    return table.snapshot_df(spark).select(
+        "conv_id", "turn_idx", "tool_version",
+        F.lit(ver).alias("schema_version"),
+    )
+
+
 def q_entry(spark: SparkSession) -> DataFrame:
     return q_cdc_apply_e2e(spark, "/root/testdata/sf0.001")
 
@@ -382,6 +425,16 @@ def oracle_cdc_filter_tables():
     )
 
 
+def oracle_cdc_filter_databases():
+    return _over_dedup(
+        """
+        SELECT schema_name, table_name, COUNT(*) AS n_rows FROM dedup
+        WHERE schema_name='app'
+        GROUP BY schema_name, table_name
+        """
+    )
+
+
 def oracle_cdc_start_position():
     pos = 4 + 500 * 128
     return _over_dedup(
@@ -422,6 +475,21 @@ def oracle_cdc_decode_binary():
 
 def oracle_cdc_apply_e2e():
     return spec.final_state_sql("duckdb")
+
+
+def oracle_cdc_schema_evolution():
+    # ADD COLUMN semantics in SQL: the evolved column exists (version 2)
+    # iff any post-evolution event populated it; winners whose last write
+    # predates the evolution carry NULL (the backfill rule).
+    inner = spec.final_state_sql("duckdb")
+    return f"""
+    WITH final AS ({inner})
+    SELECT conv_id, turn_idx, tool_version,
+           CAST(1 + (SELECT CASE WHEN COUNT(*) > 0 THEN 1 ELSE 0 END
+                     FROM final WHERE tool_version IS NOT NULL) AS INTEGER)
+             AS schema_version
+    FROM final
+    """
 
 
 # ===================================================== training-data pipeline

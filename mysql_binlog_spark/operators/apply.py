@@ -31,21 +31,43 @@ LSN_COLS = ["log_file", "log_pos", "batch_seq", "server_id"]
 
 def filter_tables(
     df: DataFrame,
-    include: list[tuple[str, str]] | None = None,
-    exclude: list[tuple[str, str]] | None = None,
+    include: list | None = None,
+    exclude: list | None = None,
 ) -> DataFrame:
     """Include/exclude table filter (reference F1, EventsIterator.php:103-130).
 
-    On the decoded stream this is a plain Catalyst filter; the decode source
-    additionally applies the same sets *inside* the decoder so excluded
-    tables never pay row-decode cost (the reference's pushdown, see
-    sources/binlog.py).
+    Entries are (schema, table) pairs or bare schema strings (database-
+    level — reference Config databases/excludeDatabases): include
+    requires membership in EVERY configured dimension (schema ∈ databases
+    AND pair ∈ tables, each only if any entry of that kind is present);
+    exclude rejects on ANY.  On the decoded stream this is a plain
+    Catalyst filter; the decode source additionally applies the same sets
+    *inside* the decoder so excluded tables never pay row-decode cost
+    (the reference's pushdown, see sources/binlog.py).
     """
     key = F.concat_ws(".", F.col("schema_name"), F.col("table_name"))
     if include is not None:
-        df = df.filter(key.isin([f"{s}.{t}" for s, t in include]))
+        dbs = [e for e in include if isinstance(e, str)]
+        pairs = [
+            f"{s}.{t}" for e in include if not isinstance(e, str)
+            for s, t in [e]
+        ]
+        cond = F.lit(bool(dbs or pairs))  # empty include = include nothing
+        if dbs:
+            cond = cond & F.col("schema_name").isin(dbs)
+        if pairs:
+            cond = cond & key.isin(pairs)
+        df = df.filter(cond)
     if exclude is not None:
-        df = df.filter(~key.isin([f"{s}.{t}" for s, t in exclude]))
+        dbs = [e for e in exclude if isinstance(e, str)]
+        pairs = [
+            f"{s}.{t}" for e in exclude if not isinstance(e, str)
+            for s, t in [e]
+        ]
+        if dbs:
+            df = df.filter(~F.col("schema_name").isin(dbs))
+        if pairs:
+            df = df.filter(~key.isin(pairs))
     return df
 
 

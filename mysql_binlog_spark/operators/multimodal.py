@@ -49,7 +49,11 @@ def decode_frames(
     With FAKE_DECODE the kernel derives deterministic features from the
     raw bytes (mean/max of the byte window) so the distributed plumbing —
     batch iteration, explosion, schema — is fully exercised; swap the
-    kernel for a real codec where available.
+    kernel for a real codec where available.  The kernel operates on the
+    WHOLE Arrow batch at once (one buffer concat, segment sums via
+    cumsum, segment maxes via ``np.maximum.reduceat`` over interleaved
+    window boundaries) — no per-document Python loop, so the template a
+    real batched codec inherits is already batch-shaped.
     """
 
     def kernel(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -57,22 +61,52 @@ def decode_frames(
             raise NotImplementedError(
                 "real media decode requires PIL/ffmpeg; not in this container"
             )
+        nf = frames_per_doc
+        fr = np.arange(nf, dtype=np.int64)
         for pdf in it:
-            rows = {"doc_id": [], "frame_idx": [], "feat_mean": [],
-                    "feat_max": [], "frame_bytes": []}
-            for doc_id, payload in zip(pdf[id_col], pdf["payload"]):
-                buf = np.frombuffer(bytes(payload), dtype=np.uint8)
-                n = max(1, len(buf) // frames_per_doc)
-                for fi in range(frames_per_doc):
-                    win = buf[fi * n : (fi + 1) * n]
-                    if len(win) == 0:
-                        win = buf[-1:]
-                    rows["doc_id"].append(doc_id)
-                    rows["frame_idx"].append(fi)
-                    rows["feat_mean"].append(float(win.mean()))
-                    rows["feat_max"].append(int(win.max()))
-                    rows["frame_bytes"].append(int(len(win)))
-            yield pd.DataFrame(rows)
+            if not len(pdf):
+                continue
+            payloads = pdf["payload"].tolist()
+            big = np.frombuffer(b"".join(payloads), dtype=np.uint8)
+            ln = np.fromiter(
+                map(len, payloads), dtype=np.int64, count=len(payloads)
+            )
+            if (ln == 0).any():
+                raise ValueError("empty media payload")
+            starts = np.zeros(len(ln), dtype=np.int64)
+            np.cumsum(ln[:-1], out=starts[1:])
+            n = np.maximum(1, ln // nf)
+            # doc-relative window [s, e): frame f covers [f·n, (f+1)·n)
+            # clipped to the payload; a window past the end degrades to
+            # the final byte (same semantics as the per-row original)
+            s0 = n[:, None] * fr
+            e0 = np.minimum(s0 + n[:, None], ln[:, None])
+            empty = s0 >= e0
+            s = np.where(empty, ln[:, None] - 1, s0)
+            e = np.where(empty, ln[:, None], e0)
+            gs = (starts[:, None] + s).ravel()
+            ge = (starts[:, None] + e).ravel()
+            csum = np.zeros(len(big) + 1, dtype=np.int64)
+            np.cumsum(big, dtype=np.int64, out=csum[1:])
+            seg_len = ge - gs
+            seg_sum = csum[ge] - csum[gs]
+            # interleaved boundaries: even slots reduce [gs_i, ge_i);
+            # odd slots are discarded.  One pad byte keeps every index
+            # < len, it is never inside an even segment.
+            idx = np.empty(2 * len(gs), dtype=np.int64)
+            idx[0::2] = gs
+            idx[1::2] = ge
+            bigp = np.concatenate([big, np.zeros(1, dtype=np.uint8)])
+            seg_max = np.maximum.reduceat(bigp, idx)[0::2]
+            yield pd.DataFrame(
+                {
+                    "doc_id": np.repeat(pdf[id_col].to_numpy(), nf),
+                    "frame_idx": np.tile(fr, len(ln)).astype(np.int32),
+                    "feat_mean": seg_sum / seg_len,
+                    "feat_max": seg_max.astype(np.int32),
+                    "frame_bytes": seg_len.astype(np.int32),
+                }
+            )
 
     return media.select(id_col, "payload").mapInPandas(
         kernel,

@@ -48,6 +48,7 @@ from ..wire import (
     TYPE_VARCHAR,
     WireColumn,
     decode_chunk,
+    table_admitted,
 )
 
 ZERO_DATE = "0000-00-00"  # decoded sentinel → NULL at the DataFrame layer
@@ -302,8 +303,7 @@ def read_binlog(
         keys = [
             k
             for k in discovered
-            if (include is None or k in include)
-            and (exclude is None or k not in exclude)
+            if table_admitted(k[0], k[1], include, exclude)
         ]
         image_cols = []
         seen: set[str] = set()

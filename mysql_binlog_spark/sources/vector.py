@@ -33,6 +33,7 @@ from ..wire import (
     _FRAC_UNIT,
     _parse_table_map,
     offset_scannable,
+    table_admitted,
     vector_kind,
 )
 
@@ -79,10 +80,7 @@ def chunk_vector_kinds(
     kinds: dict[str, tuple] = {}
     stored = set(col_names)
     for t in chunk_table_maps(data):
-        key = (t.schema, t.table)
-        if include is not None and key not in include:
-            continue
-        if exclude is not None and key in exclude:
+        if not table_admitted(t.schema, t.table, include, exclude):
             continue
         if not offset_scannable(t, stored):
             return None

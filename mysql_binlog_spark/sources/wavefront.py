@@ -49,6 +49,7 @@ from ..wire import (
     _parse_table_map,
     _varlen_prefix,
     read_lenenc,
+    table_admitted,
 )
 
 MIN_WAVEFRONT_EVENTS = 16
@@ -262,10 +263,7 @@ def decode_chunk_wavefront(
                     raise ValueError(
                         f"row event for unknown table id {table_id}"
                     )
-                key = (t.schema, t.table)
-                if (include is not None and key not in include) or (
-                    exclude is not None and key in exclude
-                ):
+                if not table_admitted(t.schema, t.table, include, exclude):
                     verdicts[table_id] = v = False
                 else:
                     n_ = len(t.columns)

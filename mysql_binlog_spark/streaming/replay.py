@@ -42,10 +42,11 @@ def _apply_epoch(
     table: LakeTable,
     decoded,
     epoch_id: str,
-    include: list[tuple[str, str]] | None,
+    include: list | None,
     image_cols: list[str],
+    exclude: list | None = None,
 ) -> dict:
-    df = filter_tables(decoded, include=include)
+    df = filter_tables(decoded, include=include, exclude=exclude)
     # NB: no dedup_lsn stage here — exact re-deliveries share both LSN and
     # payload, so max_by in last_writer picks an identical row either way;
     # an explicit dropDuplicates would only add a second full-width shuffle.
@@ -62,7 +63,8 @@ def replay_batch(
     spark: SparkSession,
     chunk_dir: str,
     table: LakeTable,
-    include: list[tuple[str, str]] | None = None,
+    include: list | None = None,
+    exclude: list | None = None,
     image_cols: list[tuple[str, str]] | None = None,
     files_per_epoch: int = 4,
     stop_after_epochs: int | None = None,
@@ -88,6 +90,7 @@ def replay_batch(
     if start_lsn is not None:
         chunks = [f for f in chunks if f >= start_lsn[0]]
     include_set = set(include) if include is not None else None
+    exclude_set = set(exclude) if exclude is not None else None
     stats = ReplayStats()
     done = table.committed_epochs()
     groups = [
@@ -102,7 +105,7 @@ def replay_batch(
         paths = [os.path.join(chunk_dir, f) for f in group]
         decoded = read_binlog(
             spark, paths, image_cols=image_cols, include=include_set,
-            start_lsn=start_lsn,
+            exclude=exclude_set, start_lsn=start_lsn,
             before_mode="delete_only",  # apply never reads update befores
         )
         cols = (
@@ -112,7 +115,8 @@ def replay_batch(
                   if f.name.startswith("after_")]
         )
         stats.epochs.append(
-            _apply_epoch(spark, table, decoded, epoch_id, include, cols)
+            _apply_epoch(spark, table, decoded, epoch_id, include, cols,
+                         exclude)
         )
         if maintain_every and stats.applied % maintain_every == 0:
             table.maintain(spark)
@@ -126,7 +130,8 @@ def replay_stream(
     chunk_dir: str,
     table: LakeTable,
     checkpoint_dir: str,
-    include: list[tuple[str, str]] | None = None,
+    include: list | None = None,
+    exclude: list | None = None,
     image_cols: list[tuple[str, str]] | None = None,
     max_files_per_trigger: int = 4,
     timeout_sec: float = 300.0,
@@ -142,6 +147,7 @@ def replay_stream(
     """
     stats = ReplayStats()
     include_set = set(include) if include is not None else None
+    exclude_set = set(exclude) if exclude is not None else None
 
     # file-reference stream: one row per chunk file
     refs = (
@@ -164,7 +170,7 @@ def replay_stream(
         epoch_id = f"stream-{batch_id}-{os.path.basename(sorted(paths)[0])}"
         decoded = read_binlog(
             spark, paths, image_cols=image_cols, include=include_set,
-            start_lsn=start_lsn,
+            exclude=exclude_set, start_lsn=start_lsn,
             before_mode="delete_only",  # apply never reads update befores
         )
         cols = (
@@ -174,7 +180,8 @@ def replay_stream(
                   if f.name.startswith("after_")]
         )
         stats.epochs.append(
-            _apply_epoch(spark, table, decoded, epoch_id, include, cols)
+            _apply_epoch(spark, table, decoded, epoch_id, include, cols,
+                         exclude)
         )
         if maintain_every and stats.applied % maintain_every == 0:
             table.maintain(spark)

@@ -1411,10 +1411,60 @@ def _parse_table_map(payload: memoryview) -> TableSchema:
                        primary_key=pk, table_id=table_id)
 
 
+def _filter_parts(
+    s: set | None,
+) -> tuple[frozenset, frozenset] | None:
+    """Split a filter set into its (database-level, table-level) parts:
+    bare strings name whole databases, tuples name (schema, table)."""
+    if s is None:
+        return None
+    return (
+        frozenset(e for e in s if isinstance(e, str)),
+        frozenset(e for e in s if not isinstance(e, str)),
+    )
+
+
+def table_admitted(
+    schema: str,
+    table: str,
+    include: set | None,
+    exclude: set | None,
+) -> bool:
+    """Reference filter semantics (EventsIterator.php:103-130, Config.php
+    databases/excludeDatabases/tables/excludeTables): include requires
+    membership in EVERY configured dimension (schema ∈ databases AND
+    (schema, table) ∈ tables — each dimension only if present in the
+    set), exclude rejects on ANY.  Filter sets mix bare schema strings
+    (database-level) with (schema, table) pairs."""
+    return _admits(_filter_parts(include), _filter_parts(exclude),
+                   schema, table)
+
+
+def _admits(
+    inc: tuple[frozenset, frozenset] | None,
+    exc: tuple[frozenset, frozenset] | None,
+    schema: str,
+    table: str,
+) -> bool:
+    if inc is not None:
+        dbs, pairs = inc
+        if not dbs and not pairs:
+            return False  # empty include = include nothing
+        if dbs and schema not in dbs:
+            return False
+        if pairs and (schema, table) not in pairs:
+            return False
+    if exc is not None:
+        dbs, pairs = exc
+        if schema in dbs or (schema, table) in pairs:
+            return False
+    return True
+
+
 def decode_chunk(
     data: bytes,
-    include: set[tuple[str, str]] | None = None,
-    exclude: set[tuple[str, str]] | None = None,
+    include: set | None = None,
+    exclude: set | None = None,
     start_pos: int = 0,
     verify_crc: bool = False,
     image_cols: list[str] | None = None,
@@ -1450,6 +1500,8 @@ def decode_chunk(
     """
     assert before_mode in ("full", "delete_only", "none")
     assert value_mode in ("python", "offsets")
+    inc_parts = _filter_parts(include)
+    exc_parts = _filter_parts(exclude)
     offsets_mode = value_mode == "offsets"
     if offsets_mode:
         from array import array
@@ -1505,11 +1557,7 @@ def decode_chunk(
             decoders.pop(t.table_id, None)
             out.tables_seen[(t.schema, t.table)] = t
             if not fixed_union:
-                key = (t.schema, t.table)
-                included = (include is None or key in include) and (
-                    exclude is None or key not in exclude
-                )
-                if included:
+                if _admits(inc_parts, exc_parts, t.schema, t.table):
                     nrows = len(out)
                     for c in t.columns:
                         if c.name not in out.columns:
@@ -1529,10 +1577,7 @@ def decode_chunk(
                     raise ValueError(
                         f"row event for unknown table id {table_id}"
                     )
-                key = (t.schema, t.table)
-                if (include is not None and key not in include) or (
-                    exclude is not None and key in exclude
-                ):
+                if not _admits(inc_parts, exc_parts, t.schema, t.table):
                     # excluded table: cache the verdict — later events for
                     # this id skip without key/set checks (reference F1
                     # pushdown, EventsIterator.php:375-377)

@@ -60,11 +60,34 @@ def parse_args(argv: list[str] | None = None) -> argparse.Namespace:
     return p.parse_args(argv)
 
 
+def _filter_entries(dbs: list[str], tables: list[str]) -> list:
+    """Reference Config semantics: ``databases`` are schema-level entries,
+    ``tables`` are 'db.table' qualified names (a bare table name is
+    qualified against each listed database for convenience).  Both
+    dimensions apply independently (EventsIterator.php:103-130): a
+    databases-only list admits every table of those schemas — no table
+    list required."""
+    out: list = list(dbs)
+    for t in tables:
+        if "." in t:
+            s, tb = t.split(".", 1)
+            out.append((s, tb))
+        elif dbs:
+            out.extend((db, t) for db in dbs)
+        else:
+            raise SystemExit(
+                f"table filter {t!r} is unqualified and no databases are "
+                "configured; use db.table"
+            )
+    return out
+
+
 def main(argv: list[str] | None = None) -> dict:
     a = parse_args(argv)
-    include = [
-        (db, t) for db in _split(a.databases) for t in _split(a.tables)
-    ] or None
+    include = _filter_entries(_split(a.databases), _split(a.tables)) or None
+    exclude = _filter_entries(
+        _split(a.exclude_databases), _split(a.exclude_tables)
+    ) or None
     # start LSN (reference Config: binlogFile/binlogPosition) — threaded
     # into the decode source's file pruning + in-chunk position skip
     start_lsn = (a.binlog_file, a.binlog_position) if a.binlog_file else None
@@ -77,11 +100,12 @@ def main(argv: list[str] | None = None) -> dict:
             raise SystemExit("--checkpoint required for stream mode")
         stats = replay_stream(
             spark, a.chunk_dir, table, a.checkpoint, include=include,
+            exclude=exclude,
             max_files_per_trigger=a.files_per_epoch, start_lsn=start_lsn,
         )
     else:
         stats = replay_batch(
-            spark, a.chunk_dir, table, include=include,
+            spark, a.chunk_dir, table, include=include, exclude=exclude,
             files_per_epoch=a.files_per_epoch, start_lsn=start_lsn,
         )
     summary = {

@@ -126,6 +126,69 @@ def test_include_exclude_pushdown():
     assert len(both.action) == 2
 
 
+def test_database_level_filter_semantics():
+    """Reference EventsIterator::check (EventsIterator.php:103-130):
+    bare schema strings filter whole databases; include dimensions AND
+    together (databases ∧ tables), exclude dimensions OR."""
+    w = BinlogWriter()
+    t1 = sample_schema(table_id=100)
+    t3 = TableSchema("app", "notes", sample_schema().columns, (0, 1), 102)
+    t2 = TableSchema("other_db", "t", sample_schema().columns, (0, 1), 101)
+    for t in (t1, t3, t2):
+        w.write_table_map(0, t)
+        w.write_rows(0, t, "insert", [ROW])
+    data = w.getvalue()
+    # db-only include: every table of schema 'app', no table list needed
+    got = decode_chunk(data, include={"app"})
+    assert sorted(zip(got.schema_name, got.table_name)) == [
+        ("app", "notes"), ("app", "transcripts")
+    ]
+    # AND semantics: databases={app} ∧ tables={(app, transcripts)}
+    got = decode_chunk(data, include={"app", ("app", "transcripts")})
+    assert list(zip(got.schema_name, got.table_name)) == [
+        ("app", "transcripts")
+    ]
+    # a pair from a non-included database is rejected by the db dimension
+    got = decode_chunk(
+        data, include={"app", ("app", "notes"), ("other_db", "t")}
+    )
+    assert list(zip(got.schema_name, got.table_name)) == [("app", "notes")]
+    # db-level exclude ORs with table-level exclude
+    got = decode_chunk(data, exclude={"other_db", ("app", "notes")})
+    assert list(zip(got.schema_name, got.table_name)) == [
+        ("app", "transcripts")
+    ]
+
+
+def test_database_exclude_skips_row_decode():
+    """Pushdown proof: a row event of an excluded database is skipped
+    whole — corrupt its first varlen length prefix so any attempt to
+    walk the row desyncs.  The filtered decode must succeed; the
+    unfiltered offset-scan decode must fail loudly (the offset loop's
+    off==end desync assert)."""
+    w = BinlogWriter()
+    t1 = sample_schema(table_id=100)
+    t2 = TableSchema("other_db", "t", sample_schema().columns, (0, 1), 101)
+    w.write_table_map(0, t1)
+    w.write_table_map(0, t2)
+    w.write_rows(0, t1, "insert", [ROW])
+    pos2 = w.write_rows(0, t2, "insert", [ROW])
+    data = bytearray(w.getvalue())
+    # event layout: header + (table_id u48 + flags u16 + extra_len u16)
+    # + ccount lenenc(1) + present bitmap(1) + null bitmap(1) → first
+    # byte of conv_id's length prefix
+    data[pos2 + HEADER_LEN + 13] = 0xFF
+    data = bytes(data)
+    for mode in ("python", "offsets"):
+        got = decode_chunk(data, exclude={"other_db"}, value_mode=mode)
+        assert set(got.schema_name) == {"app"}
+    # loud failure either way: desync ValueError when the walk lands
+    # inside the buffer but off the event end, IndexError when the bad
+    # length runs past the buffer entirely
+    with pytest.raises((ValueError, IndexError)):
+        decode_chunk(data, value_mode="offsets")
+
+
 def test_schema_evolution_two_table_maps():
     w = BinlogWriter()
     t1 = sample_schema(table_id=100)
