@@ -18,7 +18,36 @@ import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-FAKE_DECODE = True  # no PIL/ffmpeg in this container
+# Real image decode engages automatically when PIL is importable; this
+# container ships without it, so the deterministic byte-window fake
+# (hash-checked against a SQL oracle) is the default.  ffmpeg/video
+# stays out of scope either way.
+import importlib.util
+
+FAKE_DECODE = importlib.util.find_spec("PIL") is None
+
+
+def decode_image_frames_pil(
+    payload: bytes, frames_per_doc: int
+) -> list[tuple[float, int, int]]:
+    """Real codec kernel (requires PIL): decode the image, split it into
+    ``frames_per_doc`` horizontal strips ("frames"), return per-strip
+    (mean, max, n_pixels) over the grayscale plane — the same output
+    contract as the fake byte-window kernel, so the mapInPandas plumbing
+    and schema are shared verbatim."""
+    from io import BytesIO
+
+    from PIL import Image  # noqa: PLC0415 - gated optional dependency
+
+    img = np.asarray(Image.open(BytesIO(payload)).convert("L"))
+    h = max(1, img.shape[0] // frames_per_doc)
+    out = []
+    for fi in range(frames_per_doc):
+        strip = img[fi * h : (fi + 1) * h]
+        if strip.size == 0:
+            strip = img[-1:]
+        out.append((float(strip.mean()), int(strip.max()), int(strip.size)))
+    return out
 
 
 def with_binary_payload(
@@ -57,10 +86,30 @@ def decode_frames(
     """
 
     def kernel(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        if not FAKE_DECODE:  # pragma: no cover
-            raise NotImplementedError(
-                "real media decode requires PIL/ffmpeg; not in this container"
-            )
+        if not FAKE_DECODE:  # pragma: no cover - needs PIL in the env
+            nf = frames_per_doc
+            fr = np.arange(nf, dtype=np.int64)
+            for pdf in it:
+                if not len(pdf):
+                    continue
+                feats = np.array(
+                    [
+                        f
+                        for p in pdf["payload"]
+                        for f in decode_image_frames_pil(bytes(p), nf)
+                    ],
+                    dtype=np.float64,
+                ).reshape(-1, 3)
+                yield pd.DataFrame(
+                    {
+                        "doc_id": np.repeat(pdf[id_col].to_numpy(), nf),
+                        "frame_idx": np.tile(fr, len(pdf)).astype(np.int32),
+                        "feat_mean": feats[:, 0],
+                        "feat_max": feats[:, 1].astype(np.int32),
+                        "frame_bytes": feats[:, 2].astype(np.int32),
+                    }
+                )
+            return
         nf = frames_per_doc
         fr = np.arange(nf, dtype=np.int64)
         for pdf in it:

@@ -4,6 +4,7 @@
 from __future__ import annotations
 
 import numpy as np
+import pytest
 from pyspark.sql import functions as F
 
 from mysql_binlog_spark.operators.dedup import (
@@ -66,6 +67,38 @@ def test_multimodal_frames_match_python(spark, sf_dir):
             assert abs(fm - float(win.mean())) < 1e-9
             assert fx == int(win.max()) and fb == len(win)
     assert len(got) == 20 * 4
+
+
+def test_multimodal_real_codec_when_available(spark):
+    """Real PIL path (skipped where PIL is absent — this container ships
+    without it): a synthetic grayscale PNG decodes into per-strip
+    features matching a direct numpy computation."""
+    pytest.importorskip("PIL")
+    from io import BytesIO
+
+    from PIL import Image
+
+    from mysql_binlog_spark.operators.multimodal import (
+        decode_image_frames_pil,
+    )
+
+    h, w = 16, 8
+    px = np.arange(h * w, dtype=np.uint8).reshape(h, w)
+    buf = BytesIO()
+    Image.fromarray(px, mode="L").save(buf, format="PNG")
+    payload = buf.getvalue()
+    frames = decode_image_frames_pil(payload, 4)
+    assert len(frames) == 4
+    for fi, (fm, fx, fb) in enumerate(frames):
+        strip = px[fi * 4 : (fi + 1) * 4]
+        assert abs(fm - float(strip.mean())) < 1e-9
+        assert fx == int(strip.max()) and fb == strip.size
+    # end-to-end through the Spark kernel (FAKE_DECODE is False here)
+    df = spark.createDataFrame([(1, bytearray(payload))],
+                               "doc_id long, payload binary")
+    rows = decode_frames(df, frames_per_doc=4).collect()
+    assert len(rows) == 4
+    assert rows[0]["feat_mean"] == frames[0][0]
 
 
 def test_knn_self_consistency(spark, sf_dir):
