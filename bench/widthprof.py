@@ -10,9 +10,10 @@ lake MERGE) over the same chunk fixture, one fresh process per width,
 measuring for each:
 
 * wall seconds of the timed region (warm-up excluded)
-* **CPU seconds** of the whole process tree (os.wait4 rusage: user+sys
-  of the worker and every reaped descendant incl. the JVM and Python
-  workers)
+* **CPU seconds** of the whole process tree, sampled twice a second
+  from /proc/<pid>/stat over the live descendant tree (the JVM is a
+  long-lived unreaped child, so exit-time rusage misses it; sampling
+  the live tree catches JVM + Python workers, ±0.5 s per process)
 * **GC pause totals** from -Xlog:gc (all collectors, summed pause ms)
 
 Interpretation: if CPU-seconds/event is flat across widths but wall
@@ -105,6 +106,47 @@ spark.stop()
 """
 
 
+_CLK = os.sysconf("SC_CLK_TCK")
+
+
+def _stat_fields(pid: int) -> list[str] | None:
+    try:
+        with open(f"/proc/{pid}/stat") as f:
+            return f.read().rsplit(")", 1)[1].split()
+    except OSError:
+        return None
+
+
+def _sample_tree_cpu(root: int, seen: dict[int, int]) -> None:
+    """One sample: walk root's descendant tree, record each pid's
+    cumulative utime+stime ticks (monotonic per pid; keep the max)."""
+    children: dict[int, list[int]] = {}
+    for d in os.listdir("/proc"):
+        if not d.isdigit():
+            continue
+        fields = _stat_fields(int(d))
+        if fields:
+            children.setdefault(int(fields[1]), []).append(int(d))
+    stack = [root]
+    while stack:
+        pid = stack.pop()
+        fields = _stat_fields(pid)
+        if fields:
+            # stat fields 14/15 (1-based) = utime/stime; after splitting
+            # at ')' the remainder starts at field 3, so indices 11/12
+            seen[pid] = max(seen.get(pid, 0),
+                            int(fields[11]) + int(fields[12]))
+        stack.extend(children.get(pid, []))
+
+
+def _system_busy_ticks() -> int:
+    """Total non-idle jiffies across all CPUs (/proc/stat line 1)."""
+    with open("/proc/stat") as f:
+        parts = f.readline().split()[1:]
+    v = [int(x) for x in parts]
+    return sum(v) - v[3] - v[4]  # minus idle + iowait
+
+
 def _gc_pause_ms(path: str) -> float:
     if not os.path.exists(path):
         return 0.0
@@ -128,16 +170,22 @@ def run_width(chunks: list[str], cores: int, n_events: int) -> dict:
     gc_log = os.path.join(tmp, "gc.log")
     result = os.path.join(tmp, "result.json")
     t0 = time.time()
-    pid = subprocess.Popen(
+    sys0 = _system_busy_ticks()
+    load0 = float(open("/proc/loadavg").read().split()[0])
+    proc = subprocess.Popen(
         [sys.executable, worker, pj, str(cores), gc_log, result],
         stdout=subprocess.DEVNULL, stderr=subprocess.DEVNULL,
-    ).pid
-    _, status, ru = os.wait4(pid, 0)
+    )
+    seen: dict[int, int] = {}
+    while proc.poll() is None:
+        _sample_tree_cpu(proc.pid, seen)
+        time.sleep(0.5)
     proc_wall = time.time() - t0
-    if status != 0:
-        raise RuntimeError(f"width {cores} worker failed ({status})")
+    sys_busy = (_system_busy_ticks() - sys0) / _CLK
+    if proc.returncode != 0:
+        raise RuntimeError(f"width {cores} worker failed ({proc.returncode})")
     r = json.load(open(result))
-    tree_cpu = ru.ru_utime + ru.ru_stime  # whole tree incl. JVM + workers
+    tree_cpu = sum(seen.values()) / _CLK  # JVM + Python workers, sampled
     # attribute tree CPU to the timed region by its share of process wall
     # (warm-up and the timed run execute the same plan; this is the
     # conservative proportional split)
@@ -155,6 +203,10 @@ def run_width(chunks: list[str], cores: int, n_events: int) -> dict:
         "gc_pause_sec_total": round(gc_ms / 1000, 2),
         "gc_share_of_cpu": round(gc_ms / 1000 / max(tree_cpu, 1e-9), 4),
         "core_utilization": round(tree_cpu / proc_wall / cores, 3),
+        "load_at_start": load0,
+        "external_cpu_cores_avg": round(
+            max(0.0, sys_busy - tree_cpu) / proc_wall, 2
+        ),
     }
     print(f"# width {cores}: {json.dumps(out)}", file=sys.stderr)
     return out
