@@ -65,6 +65,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "emb_cosine_knn": dq.q_emb_cosine_knn,
         "emb_sq8_knn": dq.q_emb_sq8_knn,
         "emb_ivf_knn": dq.q_emb_ivf_knn,
+        "emb_semantic_dedup": dq.q_emb_semantic_dedup,
         "emb_lsh_buckets": dq.q_emb_lsh_buckets,
         "emb_neardup_cosine": dq.q_emb_neardup_cosine,
         # multimodal plumbing
@@ -107,6 +108,7 @@ def oracle_sql() -> dict[str, str]:
         "emb_cosine_knn": dq.oracle_emb_cosine_knn(),
         "emb_sq8_knn": dq.oracle_emb_sq8_knn(),
         "emb_ivf_knn": dq.oracle_emb_ivf_knn(),
+        "emb_semantic_dedup": dq.oracle_emb_semantic_dedup(),
         "emb_lsh_buckets": dq.oracle_emb_lsh_buckets(),
         "emb_neardup_cosine": dq.oracle_emb_neardup_cosine(),
         "multimodal_meta": dq.oracle_multimodal_meta(),

@@ -986,6 +986,59 @@ def q_emb_ivf_knn(spark, sf_dir):
     return ivf_knn(embs, queries, cents, k=KNN_K, nprobe=IVF_NPROBE)
 
 
+SEMDEDUP_T = 0.45
+
+
+def q_emb_semantic_dedup(spark, sf_dir):
+    """SemDeDup-shaped semantic dedup: Lloyd-refined IVF cells (same
+    deterministic pipeline as emb_ivf_knn) + within-cell cosine pruning —
+    drop any vector within SEMDEDUP_T of a lower-id cell-mate, keep the
+    representative.  Candidate pairs exist only inside a cell (bounded
+    shuffle, never all-pairs) — the production semantic-dedup shape for
+    an embedding lake."""
+    from .operators.similarity import (
+        ivf_centroid_ids,
+        ivf_lloyd_refine,
+        semantic_dedup,
+    )
+
+    embs = _embs(spark, sf_dir)
+    ids = ivf_centroid_ids(IVF_CELLS)
+    seeds = sorted(
+        (r["vec_id"], list(r["embedding"]))
+        for r in embs.filter(F.col("vec_id").isin(ids)).collect()
+    )
+    cents = ivf_lloyd_refine(embs, seeds, iters=IVF_LLOYD_ITERS, dim=EMB_DIM)
+    return semantic_dedup(embs, cents, threshold=SEMDEDUP_T)
+
+
+def oracle_emb_semantic_dedup():
+    cos_ac = _duck_cos("e.embedding", "c.cvec")
+    cos_ab = _duck_cos("a.embedding", "b.embedding")
+    cents_cte, cent_rel = _ivf_lloyd_cents_cte(IVF_LLOYD_ITERS)
+    return f"""
+    WITH {cents_cte}, cent AS (
+      SELECT cell, cvec FROM {cent_rel}
+    ), assign AS (
+      SELECT vec_id, embedding, cell FROM (
+        SELECT e.vec_id, e.embedding, c.cell,
+               ROW_NUMBER() OVER (
+                 PARTITION BY e.vec_id
+                 ORDER BY round({cos_ac}, 4) DESC, c.cell) AS rn
+        FROM embeddings e CROSS JOIN cent c
+      ) WHERE rn = 1
+    ), dominated AS (
+      SELECT DISTINCT a.vec_id
+      FROM assign a JOIN assign b
+        ON a.cell = b.cell AND b.vec_id < a.vec_id
+      WHERE round({cos_ab}, 4) >= {SEMDEDUP_T}
+    )
+    SELECT s.vec_id, CAST(s.cell AS INTEGER) AS cell
+    FROM assign s
+    WHERE s.vec_id NOT IN (SELECT vec_id FROM dominated)
+    """
+
+
 def _ivf_lloyd_cents_cte(iters: int) -> tuple[str, str]:
     """DuckDB CTE chain replicating ivf_lloyd_refine exactly: scaled-int
     sums are associative, so the refined centroids match Spark's

@@ -410,3 +410,50 @@ def ivf_knn(
     return scored.withColumn("rank", F.row_number().over(w)).filter(
         F.col("rank") <= k
     )
+
+
+def semantic_dedup(
+    corpus: DataFrame,
+    centroids: list[tuple[int, list[float]]],
+    threshold: float = 0.45,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    round_digits: int = 4,
+) -> DataFrame:
+    """SemDeDup-shaped semantic deduplication (Abbas et al. 2023 pattern):
+    cluster the embedding corpus by nearest centroid (``ivf_assign`` —
+    one narrow projection, no shuffle), then inside each cell drop every
+    vector whose cosine to a LOWER-id cell-mate reaches ``threshold``
+    (keep the lowest id as the group representative).  Returns the
+    surviving (id, cell) rows.
+
+    100 TB shape: candidate pairs exist only WITHIN a cell — one shuffle
+    keyed on the bounded ``cell`` id, |cell|² work per cell instead of
+    n² overall, the same containment bound as IVF probing.  Cell counts
+    are balanced by the deterministic Lloyd refinement upstream; a hot
+    cell is re-split by raising n_cells, not by changing this operator.
+    Cosines are rounded to ``round_digits`` before the threshold compare
+    so a SQL oracle reproduces the survivor set exactly.
+    """
+    assigned = ivf_assign(corpus, centroids, id_col, vec_col)
+    a = assigned.alias("a")
+    b = assigned.alias("b")
+    dominated = (
+        a.join(
+            b,
+            (F.col("a.cell") == F.col("b.cell"))
+            & (F.col(f"b.{id_col}") < F.col(f"a.{id_col}")),
+        )
+        .filter(
+            F.round(
+                cosine(F.col(f"a.{vec_col}"), F.col(f"b.{vec_col}")),
+                round_digits,
+            )
+            >= threshold
+        )
+        .select(F.col(f"a.{id_col}").alias(id_col))
+        .distinct()
+    )
+    return assigned.join(dominated, id_col, "left_anti").select(
+        F.col(id_col), F.col("cell").cast("int").alias("cell")
+    )
