@@ -164,11 +164,13 @@ def run_cell(task: str, n: int, cores: int) -> dict:
     with open(worker, "w") as f:
         f.write(WORKER_SRC.format(repo=REPO, cdir=cdir_tpl))
     out = os.path.join(tmp, "result.json")
+    load0 = float(open("/proc/loadavg").read().split()[0])
     subprocess.run(
         [sys.executable, worker, task, str(n), str(cores), out],
         check=True, stdout=subprocess.DEVNULL, stderr=subprocess.DEVNULL,
     )
     r = json.load(open(out))
+    r["load_before"] = load0
     print(f"# {task} n={r['n']} cores={r['cores']}: {r['wall_sec']}s "
           f"{ {k: v for k, v in r.items() if k not in ('task','n','cores','wall_sec')} }",
           file=sys.stderr)
