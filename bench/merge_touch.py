@@ -86,6 +86,14 @@ def main() -> None:
     print(f"# base load {total_rows:,} rows in {base_wall:.1f}s",
           file=sys.stderr)
 
+    # one untimed warm epoch so the first measured cell doesn't pay
+    # post-load JIT/manifest warm-up
+    warm_sel = (
+        convs.filter(F.col("bucket") == N_BUCKETS - 1)
+        .limit(CONVS_PER_EPOCH // 4).select("conv_id")
+    )
+    table.merge_into(spark, rows_for(warm_sel, "warm"), "epoch-warm")
+
     results = []
     for b in BUCKET_SERIES:
         # CONSTANT row volume: CONVS_PER_EPOCH convs confined to buckets
