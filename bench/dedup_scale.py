@@ -165,8 +165,14 @@ def run_cell(task: str, n: int, cores: int) -> dict:
         f.write(WORKER_SRC.format(repo=REPO, cdir=cdir_tpl))
     out = os.path.join(tmp, "result.json")
     load0 = float(open("/proc/loadavg").read().split()[0])
+    # pin the worker to its own core set (same rationale as
+    # bench/scaleout.py): external load schedules onto the remaining
+    # idle cores instead of stealing measured-worker cycles
+    cmd = [sys.executable, worker, task, str(n), str(cores), out]
+    if os.environ.get("DEDUP_PIN", "1") == "1":
+        cmd = ["taskset", "-c", f"0-{cores - 1}"] + cmd
     subprocess.run(
-        [sys.executable, worker, task, str(n), str(cores), out],
+        cmd,
         check=True, stdout=subprocess.DEVNULL, stderr=subprocess.DEVNULL,
     )
     r = json.load(open(out))
@@ -210,8 +216,10 @@ def main() -> None:
     }
     os.makedirs(os.path.join(REPO, "BENCH"), exist_ok=True)
     rows = "\n".join(
-        f"| {t} | {cells[t]['lo']['wall_sec']:.1f} | "
-        f"{cells[t]['hi']['wall_sec']:.1f} | {eff[t]} |"
+        f"| {t} | {cells[t]['lo']['wall_sec']:.1f} "
+        f"(ld {cells[t]['lo'].get('load_before', 0):.1f}) | "
+        f"{cells[t]['hi']['wall_sec']:.1f} "
+        f"(ld {cells[t]['hi'].get('load_before', 0):.1f}) | {eff[t]} |"
         for t in tasks
     )
     with open(os.path.join(REPO, "BENCH", "DEDUP.md"), "w") as f:
@@ -221,7 +229,7 @@ Synthetic corpus: {N:,} docs × 30 hash-derived tokens, 10% planted
 near-duplicates (Jaccard ≈ 0.97); 64-dim hash-derived embeddings.
 Each cell runs in a fresh JVM (cold session excluded, parquet warm).
 
-| query | local[{LO}] s | local[{HI}] s | efficiency |
+| query | local[{LO}] s (ext load) | local[{HI}] s (ext load) | efficiency |
 |---|---|---|---|
 {rows}
 
