@@ -69,6 +69,39 @@ def test_multimodal_frames_match_python(spark, sf_dir):
     assert len(got) == 20 * 4
 
 
+def test_filter_layers_agree(spark):
+    """The decoder-side pushdown (wire.table_admitted) and the Catalyst
+    filter (operators.apply.filter_tables) implement the same reference
+    semantics — enumerate mixed db-level/pair-level configs and assert
+    identical admitted sets."""
+    from mysql_binlog_spark.operators.apply import filter_tables
+    from mysql_binlog_spark.wire import table_admitted
+
+    rows = [(s, t) for s in ("app", "other_db", "x") for t in ("t1", "t2")]
+    df = spark.createDataFrame(rows, "schema_name string, table_name string")
+    configs = [
+        (None, None),
+        ({"app"}, None),
+        ({("app", "t1")}, None),
+        ({"app", ("app", "t1")}, None),
+        ({"app", "x", ("x", "t2")}, {"other_db"}),
+        (None, {"other_db", ("app", "t2")}),
+        ({"app"}, {"app"}),
+        (set(), None),
+    ]
+    for inc, exc in configs:
+        got = {
+            (r["schema_name"], r["table_name"])
+            for r in filter_tables(
+                df,
+                include=sorted(inc, key=str) if inc is not None else None,
+                exclude=sorted(exc, key=str) if exc is not None else None,
+            ).collect()
+        }
+        want = {(s, t) for s, t in rows if table_admitted(s, t, inc, exc)}
+        assert got == want, (inc, exc)
+
+
 def test_multimodal_real_codec_when_available(spark):
     """Real PIL path (skipped where PIL is absent — this container ships
     without it): a synthetic grayscale PNG decodes into per-strip
