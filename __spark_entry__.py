@@ -55,6 +55,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_neardup_jaccard": dq.q_doc_neardup_jaccard,
         "doc_dedup_clusters": dq.q_doc_dedup_clusters,
         "doc_novelty_filter": dq.q_doc_novelty_filter,
+        "doc_decontaminate": dq.q_doc_decontaminate,
         "doc_simhash": dq.q_doc_simhash,
         # text analysis
         "doc_langid": dq.q_doc_langid,
@@ -100,6 +101,7 @@ def oracle_sql() -> dict[str, str]:
         "doc_neardup_jaccard": dq.oracle_doc_neardup_jaccard(),
         "doc_dedup_clusters": dq.oracle_doc_dedup_clusters(),
         "doc_novelty_filter": dq.oracle_doc_novelty_filter(),
+        "doc_decontaminate": dq.oracle_doc_decontaminate(),
         "doc_simhash": dq.oracle_doc_simhash(),
         "doc_langid": dq.oracle_doc_langid(),
         "doc_quality": dq.oracle_doc_quality(),

@@ -622,6 +622,38 @@ def oracle_doc_neardup_jaccard():
     """
 
 
+DECON_MOD = 97  # "benchmark" = docs with doc_id % 97 == 0 (leaked eval set)
+DECON_N = 5
+
+
+def q_doc_decontaminate(spark, sf_dir):
+    """Test-set decontamination (pre-training hygiene): flag corpus
+    documents sharing any word 5-gram with the 'benchmark' subset
+    (doc_id % 97 == 0 — a leaked eval set, so its members at minimum
+    flag themselves).  Benchmark n-grams are broadcast; the corpus never
+    shuffles for the probe."""
+    from .operators.dedup import decontaminate
+
+    docs = _docs(spark, sf_dir)
+    bench = docs.filter(F.col("doc_id") % DECON_MOD == 0)
+    return decontaminate(docs, bench, ngram_n=DECON_N)
+
+
+def oracle_doc_decontaminate():
+    sh = T.word_shingles_sql("text", DECON_N)
+    return f"""
+    WITH cg AS (
+      SELECT doc_id, unnest({sh}) AS g FROM documents
+    ), bg AS (
+      SELECT DISTINCT unnest({sh}) AS g FROM documents
+      WHERE doc_id % {DECON_MOD} = 0
+    )
+    SELECT cg.doc_id, COUNT(DISTINCT cg.g) AS n_overlap
+    FROM cg JOIN bg ON cg.g = bg.g
+    GROUP BY cg.doc_id
+    """
+
+
 NOVELTY_SPLIT = 250  # corpus: doc_id < split; incoming batch: >= split
 
 

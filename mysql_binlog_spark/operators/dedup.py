@@ -307,6 +307,43 @@ def novel_documents(
     )
 
 
+def decontaminate(
+    corpus: DataFrame,
+    benchmark: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    ngram_n: int = 5,
+) -> DataFrame:
+    """Test-set decontamination: flag every corpus document that shares
+    at least one word ``ngram_n``-gram with any benchmark document —
+    the standard pre-training hygiene pass (n-gram overlap against eval
+    sets).  Returns (id, n_overlap = distinct shared n-grams) for
+    contaminated documents only.
+
+    100 TB shape: eval benchmarks are tiny next to the corpus, so the
+    distinct benchmark n-gram set is BROADCAST — the corpus explodes its
+    n-grams map-side and probes the broadcast hash set with no corpus
+    shuffle; only the (small) hit set shuffles for the per-doc count.
+    """
+    from ..functions.text import word_shingles
+
+    cg = corpus.select(
+        F.col(id_col),
+        F.explode(word_shingles(F.col(text_col), ngram_n)).alias("g"),
+    )
+    bg = (
+        benchmark.select(
+            F.explode(word_shingles(F.col(text_col), ngram_n)).alias("g")
+        )
+        .distinct()
+    )
+    return (
+        cg.join(F.broadcast(bg), "g")
+        .groupBy(id_col)
+        .agg(F.countDistinct("g").alias("n_overlap"))
+    )
+
+
 # ------------------------------------------------- dedup cluster assembly
 
 
