@@ -60,6 +60,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # text analysis
         "doc_langid": dq.q_doc_langid,
         "doc_quality": dq.q_doc_quality,
+        "doc_repetition": dq.q_doc_repetition,
         "doc_tokens": dq.q_doc_tokens,
         "doc_fingerprint": dq.q_doc_fingerprint,
         # similarity search / ANN
@@ -105,6 +106,7 @@ def oracle_sql() -> dict[str, str]:
         "doc_simhash": dq.oracle_doc_simhash(),
         "doc_langid": dq.oracle_doc_langid(),
         "doc_quality": dq.oracle_doc_quality(),
+        "doc_repetition": dq.oracle_doc_repetition(),
         "doc_tokens": dq.oracle_doc_tokens(),
         "doc_fingerprint": dq.oracle_doc_fingerprint(),
         "emb_cosine_knn": dq.oracle_emb_cosine_knn(),

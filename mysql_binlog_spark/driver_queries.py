@@ -818,6 +818,21 @@ def oracle_doc_quality():
     return f"SELECT doc_id, {cols} FROM documents"
 
 
+def q_doc_repetition(spark, sf_dir):
+    """Within-document repetition signals (Gopher-family duplicated
+    n-gram fraction): boilerplate / looping text scores high.  All JVM
+    builtins, no shuffle (narrow per-row projection)."""
+    docs = _docs(spark, sf_dir)
+    feats = T.repetition_stats(F.col("text"))
+    return docs.select("doc_id", *[v.alias(k) for k, v in feats.items()])
+
+
+def oracle_doc_repetition():
+    feats = T.repetition_stats_sql("text")
+    cols = ", ".join(f"{v} AS {k}" for k, v in feats.items())
+    return f"SELECT doc_id, {cols} FROM documents"
+
+
 def q_doc_tokens(spark, sf_dir):
     docs = _docs(spark, sf_dir)
     return docs.select(

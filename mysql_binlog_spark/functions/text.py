@@ -177,6 +177,37 @@ def word_shingles(text: Column, n: int = 3) -> Column:
     ).otherwise(F.array_distinct(F.array(F.concat_ws(" ", w))))
 
 
+def repetition_stats(text: Column, n: int = 3) -> dict[str, Column]:
+    """Within-document repetition signals (the Gopher-family quality
+    rule "fraction of duplicated n-grams"): total word n-gram slots vs
+    distinct n-grams; a low distinct/total ratio marks boilerplate /
+    looping text.  All JVM builtins."""
+    w = F.split(F.lower(F.trim(text)), WS)
+    total = F.greatest(F.lit(1), F.size(w) - F.lit(n - 1))
+    distinct = F.size(word_shingles(text, n))
+    return {
+        "ngrams_total": total.cast("int"),
+        "ngrams_distinct": distinct.cast("int"),
+        "dup_ngram_frac": F.round(
+            F.lit(1.0) - distinct.cast("double") / total.cast("double"), 6
+        ),
+    }
+
+
+def repetition_stats_sql(col: str = "text", n: int = 3) -> dict[str, str]:
+    """DuckDB twins of ``repetition_stats``."""
+    w = f"regexp_split_to_array(lower(trim({col})), '{WS}')"
+    total = f"greatest(1, len({w}) - {n - 1})"
+    distinct = f"len({word_shingles_sql(col, n)})"
+    return {
+        "ngrams_total": f"CAST({total} AS INTEGER)",
+        "ngrams_distinct": f"CAST({distinct} AS INTEGER)",
+        "dup_ngram_frac": (
+            f"round(1.0 - CAST({distinct} AS DOUBLE) / {total}, 6)"
+        ),
+    }
+
+
 def word_shingles_sql(col: str = "text", n: int = 3) -> str:
     """DuckDB twin (1-based end-inclusive list slicing)."""
     w = f"regexp_split_to_array(lower(trim({col})), '{WS}')"
