@@ -104,8 +104,19 @@ def jaccard_verify(
     threshold: float = 0.8,
 ) -> DataFrame:
     """Exact word-shingle Jaccard on candidate pairs only (the verify stage
-    after LSH; broadcast-friendly when candidates are few)."""
-    sh = docs.select(
+    after LSH; broadcast-friendly when candidates are few).
+
+    Only documents that appear in a candidate pair are shingled: at
+    corpus scale the candidate set is a small fraction of the corpus
+    (BENCH/DEDUP.md: 100k pairs per 1M docs), so a LEFT SEMI join prunes
+    the shingle computation to the touched documents before the
+    pair joins."""
+    ids = (
+        candidates.select(F.col("doc_a").alias(id_col))
+        .union(candidates.select(F.col("doc_b").alias(id_col)))
+        .distinct()
+    )
+    sh = docs.join(ids, id_col, "left_semi").select(
         F.col(id_col), word_shingles(F.col(text_col), shingle_n).alias("s")
     )
     a = sh.alias("a")
