@@ -294,12 +294,26 @@ def novel_documents(
 
     sig_new = minhash_signatures(survivors, id_col, text_col, k, shingle_n)
     sig_corpus = minhash_signatures(corpus_df, id_col, text_col, k, shingle_n)
-    cands = lsh_band_join(sig_new, sig_corpus, id_col, k, rows_per_band)
-    sh_new = survivors.select(
+    # persist: the candidate set feeds three consumers (two id-set
+    # broadcasts + the verify join); without it the band join re-runs
+    # per consumer
+    cands = lsh_band_join(sig_new, sig_corpus, id_col, k, rows_per_band).persist()
+    # shingle only candidate members — and BROADCAST the candidate-id
+    # sets so the corpus probe stays map-side (a plain semi join would
+    # shuffle the whole corpus on id, costing more than the shingles it
+    # saves; candidate ids are bounded by |new batch| × bands, small in
+    # the incremental-ingest shape)
+    sh_new = survivors.join(
+        F.broadcast(cands.select(F.col("id_a").alias(id_col)).distinct()),
+        id_col, "left_semi",
+    ).select(
         F.col(id_col).alias("_ia"),
         word_shingles(F.col(text_col), shingle_n).alias("sa"),
     )
-    sh_corpus = corpus_df.select(
+    sh_corpus = corpus_df.join(
+        F.broadcast(cands.select(F.col("id_b").alias(id_col)).distinct()),
+        id_col, "left_semi",
+    ).select(
         F.col(id_col).alias("_ib"),
         word_shingles(F.col(text_col), shingle_n).alias("sb"),
     )
