@@ -61,6 +61,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_langid": dq.q_doc_langid,
         "doc_quality": dq.q_doc_quality,
         "doc_repetition": dq.q_doc_repetition,
+        "doc_pii_scrub": dq.q_doc_pii_scrub,
         "doc_tokens": dq.q_doc_tokens,
         "doc_fingerprint": dq.q_doc_fingerprint,
         # similarity search / ANN
@@ -107,6 +108,7 @@ def oracle_sql() -> dict[str, str]:
         "doc_langid": dq.oracle_doc_langid(),
         "doc_quality": dq.oracle_doc_quality(),
         "doc_repetition": dq.oracle_doc_repetition(),
+        "doc_pii_scrub": dq.oracle_doc_pii_scrub(),
         "doc_tokens": dq.oracle_doc_tokens(),
         "doc_fingerprint": dq.oracle_doc_fingerprint(),
         "emb_cosine_knn": dq.oracle_emb_cosine_knn(),

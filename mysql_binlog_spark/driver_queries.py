@@ -833,6 +833,20 @@ def oracle_doc_repetition():
     return f"SELECT doc_id, {cols} FROM documents"
 
 
+def q_doc_pii_scrub(spark, sf_dir):
+    """PII scrub pass: per-document email/phone/IP counts + redacted
+    text — pure JVM regex (no UDF), narrow projection, no shuffle."""
+    docs = _docs(spark, sf_dir)
+    feats = T.pii_features(F.col("text"))
+    return docs.select("doc_id", *[v.alias(k) for k, v in feats.items()])
+
+
+def oracle_doc_pii_scrub():
+    feats = T.pii_features_sql("text")
+    cols = ", ".join(f"{v} AS {k}" for k, v in feats.items())
+    return f"SELECT doc_id, {cols} FROM documents"
+
+
 def q_doc_tokens(spark, sf_dir):
     docs = _docs(spark, sf_dir)
     return docs.select(

@@ -160,6 +160,47 @@ def prefix_fingerprint_sql(col: str = "text", n: int = 64) -> str:
     return f"md5(substr({NORMALIZED_SQL.format(col=col)}, 1, {n}))"
 
 
+# --------------------------------------------------------------------- PII
+
+# deliberately simple, auditable patterns (the production point is the
+# Spark shape: JVM regex, no UDF; swap patterns per policy)
+PII_EMAIL = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+PII_PHONE = r"\+?\d[\d -]{7,}\d"
+PII_IPV4 = r"\b(?:\d{1,3}\.){3}\d{1,3}\b"
+
+
+def pii_features(text: Column) -> dict[str, Column]:
+    """PII detection counts + a redacted text column (emails, phone-like
+    digit runs, IPv4) — the pre-training scrub pass.  All JVM regex."""
+    n_email = F.size(F.regexp_extract_all(text, F.lit(PII_EMAIL), 0))
+    n_phone = F.size(F.regexp_extract_all(text, F.lit(PII_PHONE), 0))
+    n_ip = F.size(F.regexp_extract_all(text, F.lit(PII_IPV4), 0))
+    red = F.regexp_replace(text, PII_EMAIL, "<EMAIL>")
+    red = F.regexp_replace(red, PII_IPV4, "<IP>")
+    red = F.regexp_replace(red, PII_PHONE, "<PHONE>")
+    return {
+        "n_emails": n_email,
+        "n_phones": n_phone,
+        "n_ips": n_ip,
+        "redacted_text": red,
+    }
+
+
+def pii_features_sql(col: str = "text") -> dict[str, str]:
+    """DuckDB twins of ``pii_features``."""
+    return {
+        "n_emails": f"len(regexp_extract_all({col}, '{PII_EMAIL}'))",
+        "n_phones": f"len(regexp_extract_all({col}, '{PII_PHONE}'))",
+        "n_ips": f"len(regexp_extract_all({col}, '{PII_IPV4}'))",
+        "redacted_text": (
+            f"regexp_replace(regexp_replace(regexp_replace({col}, "
+            f"'{PII_EMAIL}', '<EMAIL>', 'g'), "
+            f"'{PII_IPV4}', '<IP>', 'g'), "
+            f"'{PII_PHONE}', '<PHONE>', 'g')"
+        ),
+    }
+
+
 # ---------------------------------------------------------------- shingles
 
 def word_shingles(text: Column, n: int = 3) -> Column:
