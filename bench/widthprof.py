@@ -96,7 +96,7 @@ t = LakeTable.create(lake, IMAGE_COLS[:6], ["conv_id","turn_idx"], n_buckets=64)
 t.merge_into(spark, winners, "prof-epoch")
 dt = time.time() - t0
 # JVM CPU is NOT visible in this process's rusage (it's a live child) —
-# the parent reads the full tree via wait4 after exit; we record the
+# the parent samples the /proc descendant tree instead; we record the
 # timed-region boundary so the parent can subtract warm-up proportion
 json.dump({{"sec": dt,
            "self_cpu": (resource.getrusage(resource.RUSAGE_SELF).ru_utime
