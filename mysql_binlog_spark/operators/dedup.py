@@ -181,9 +181,17 @@ def jaccard_pairs_exact(
     the candidate join is a single shuffle keyed on rare prefix shingles,
     which is the 100 TB shape.
     """
+    # No persist (round 5): the prefix stage shuffles ``ex`` by token for
+    # both the document-frequency aggregate and the frequency join, and
+    # the verify stage shuffles ``sh`` by id for both pair sides — AQE
+    # exchange reuse computes each of those shuffles once per action
+    # (verified: final plan shows ReusedExchange).  Caching every
+    # shingle set at the 100 TB shape would pin O(corpus) arrays in
+    # executor memory for a one-action pipeline; recomputing the narrow
+    # map work per reused exchange is the cheaper, leak-free trade.
     sh = df.select(
         F.col(id_col), word_shingles(F.col(text_col), shingle_n).alias("s")
-    ).persist()
+    )
     ex = jaccard_prefix_tokens(sh, id_col, threshold)
     a, b = ex.alias("pa"), ex.alias("pb")
     cands = (
@@ -220,9 +228,14 @@ def minhash_dedup_pairs(
 ) -> DataFrame:
     """Full MinHash-LSH near-dup pipeline: signatures → banded candidates →
     Jaccard verify."""
-    # persist the signatures: the LSH self-join references them twice and
-    # the 12 md5-min reductions are the expensive part of the plan
-    sigs = minhash_signatures(df, id_col, text_col, k, shingle_n).persist()
+    # No persist (round 5): the LSH self-join's two sides are the same
+    # subplan shuffled by (band_idx, band_key); AQE exchange reuse
+    # materializes that shuffle once and feeds both sides (verified:
+    # final executed plan shows ReusedExchange), so the 12 md5-min
+    # reductions run once per action without pinning signature rows in
+    # executor memory — the correct trade at the 100 TB shape, and it
+    # leaves no cached blocks behind in a long-lived session.
+    sigs = minhash_signatures(df, id_col, text_col, k, shingle_n)
     cands = lsh_candidate_pairs(sigs, id_col, k, rows_per_band)
     return jaccard_verify(cands, df, id_col, text_col, shingle_n, threshold)
 
@@ -270,6 +283,7 @@ def novel_documents(
     new_df: DataFrame, corpus_df: DataFrame, id_col: str = "doc_id",
     text_col: str = "text", k: int = 12, rows_per_band: int = 2,
     shingle_n: int = 3, threshold: float = 0.8,
+    broadcast_candidates: bool = True,
 ) -> DataFrame:
     """Incremental-ingest novelty filter: keep only NEW documents that
     neither exactly duplicate nor near-duplicate (Jaccard ≥ t) the
@@ -283,6 +297,12 @@ def novel_documents(
     corpus signatures are computed once and persistable; the new batch
     side is small, so its exploded bands broadcast and the corpus never
     reshuffles per batch.
+
+    ``broadcast_candidates=True`` is a size precondition: the candidate
+    id sets are bounded by |new batch| × bands and must fit one executor
+    (Spark's 8 GB broadcast cap ⇒ up to ~10⁸ ids).  If the "new batch"
+    is itself corpus-sized, pass ``False`` — the shingle pruning becomes
+    a plain left-semi shuffle join instead of a map-side probe.
     """
     fp_new = new_df.select(
         F.col(id_col), F.col(text_col), fingerprint(F.col(text_col)).alias("fp")
@@ -294,24 +314,28 @@ def novel_documents(
 
     sig_new = minhash_signatures(survivors, id_col, text_col, k, shingle_n)
     sig_corpus = minhash_signatures(corpus_df, id_col, text_col, k, shingle_n)
-    # persist: the candidate set feeds three consumers (two id-set
-    # broadcasts + the verify join); without it the band join re-runs
-    # per consumer
-    cands = lsh_band_join(sig_new, sig_corpus, id_col, k, rows_per_band).persist()
+    # No persist (round 5): the candidate set feeds three consumers (two
+    # id-set broadcasts + the verify join), but all three embed the SAME
+    # band-join subtree, so AQE exchange reuse materializes its shuffles
+    # once and only the narrow post-shuffle work repeats — no cached
+    # blocks left behind across calls in a long-lived session
+    # (ADVICE round-4: the old persist here was never unpersisted).
+    cands = lsh_band_join(sig_new, sig_corpus, id_col, k, rows_per_band)
     # shingle only candidate members — and BROADCAST the candidate-id
     # sets so the corpus probe stays map-side (a plain semi join would
     # shuffle the whole corpus on id, costing more than the shingles it
     # saves; candidate ids are bounded by |new batch| × bands, small in
-    # the incremental-ingest shape)
+    # the incremental-ingest shape — see broadcast_candidates docstring)
+    _hint = F.broadcast if broadcast_candidates else (lambda d: d)
     sh_new = survivors.join(
-        F.broadcast(cands.select(F.col("id_a").alias(id_col)).distinct()),
+        _hint(cands.select(F.col("id_a").alias(id_col)).distinct()),
         id_col, "left_semi",
     ).select(
         F.col(id_col).alias("_ia"),
         word_shingles(F.col(text_col), shingle_n).alias("sa"),
     )
     sh_corpus = corpus_df.join(
-        F.broadcast(cands.select(F.col("id_b").alias(id_col)).distinct()),
+        _hint(cands.select(F.col("id_b").alias(id_col)).distinct()),
         id_col, "left_semi",
     ).select(
         F.col(id_col).alias("_ib"),
@@ -338,6 +362,7 @@ def decontaminate(
     id_col: str = "doc_id",
     text_col: str = "text",
     ngram_n: int = 5,
+    broadcast_benchmark: bool = True,
 ) -> DataFrame:
     """Test-set decontamination: flag every corpus document that shares
     at least one word ``ngram_n``-gram with any benchmark document —
@@ -349,6 +374,14 @@ def decontaminate(
     distinct benchmark n-gram set is BROADCAST — the corpus explodes its
     n-grams map-side and probes the broadcast hash set with no corpus
     shuffle; only the (small) hit set shuffles for the per-doc count.
+
+    ``broadcast_benchmark=True`` is a size precondition, not a guess:
+    the distinct benchmark n-gram set must fit one executor (Spark hard-
+    caps broadcasts at 8 GB — roughly a few hundred MB of eval text).
+    For an oversized "benchmark" (e.g. decontaminating against another
+    corpus slice) pass ``False``: the plan degrades to a shuffle hash
+    join on the n-gram, still one corpus-side shuffle keyed on uniform
+    hashes, no driver-side collect either way.
     """
     from ..functions.text import word_shingles
 
@@ -363,13 +396,28 @@ def decontaminate(
         .distinct()
     )
     return (
-        cg.join(F.broadcast(bg), "g")
+        cg.join(F.broadcast(bg) if broadcast_benchmark else bg, "g")
         .groupBy(id_col)
         .agg(F.countDistinct("g").alias("n_overlap"))
     )
 
 
 # ------------------------------------------------- dedup cluster assembly
+
+
+def _release_local_checkpoint(df: DataFrame) -> None:
+    """Deterministically free a localCheckpoint's storage blocks.
+
+    A localCheckpointed DataFrame is a LogicalRDD over a persisted RDD;
+    unpersisting that RDD is safe once the checkpoint is superseded.
+    Best-effort by design: on any internal-API drift the blocks are
+    still reclaimed by the ContextCleaner when the driver reference
+    drops — this just makes the release prompt, which matters when a
+    12-round components loop would otherwise pin 12 edge snapshots."""
+    try:
+        df._jdf.queryExecution().analyzed().rdd().unpersist(False)
+    except Exception:
+        pass
 
 
 def _large_star(edges: DataFrame) -> DataFrame:
@@ -431,8 +479,10 @@ def connected_components(
     # ``edges`` several times, so without lineage truncation the logical
     # plan doubles per iteration — exponential plan trees OOM the driver
     # long before the data does.  Checkpointing bounds every round's plan
-    # to one round's operators; superseded round RDDs are released by the
-    # ContextCleaner once their driver references drop.
+    # to one round's operators; superseded round snapshots are released
+    # promptly in-loop (_release_local_checkpoint), so storage holds at
+    # most two rounds of edges.  The FINAL snapshot backs the returned
+    # ``labels`` plan and lives until the caller's references drop.
     edges = (
         pairs.select(F.col(a_col).alias("u"), F.col(b_col).alias("v"))
         .filter(F.col("u") != F.col("v"))
@@ -454,6 +504,7 @@ def connected_components(
             F.sum(F.xxhash64("u", "v").cast("decimal(38,0)")).alias("h"),
         ).first()
         sig = (row["c"], row["h"])
+        _release_local_checkpoint(edges)  # superseded round's snapshot
         edges = nxt
         rounds += 1
         if sig == prev:
@@ -546,16 +597,39 @@ def simhash48_from_hashes():
 
     bitpos = np.arange(48, dtype=np.int64)
 
-    def _one(hs) -> int:
-        hs = np.asarray(hs, dtype=np.int64)
-        n = len(hs)
-        ones = ((hs[:, None] >> bitpos) & 1).sum(axis=0)  # per-bit 1-votes
-        return int(((ones * 2 > n).astype(np.int64) << bitpos).sum())
-
     def _f(hashes: pd.Series) -> pd.Series:
-        return pd.Series(
-            [None if h is None else _one(h) for h in hashes], dtype="object"
+        # Whole-batch vote (round-5): concatenate every document's hash
+        # array into one flat vector, then take per-bit majority votes
+        # with segment-boundary np.add.reduceat — the only Python loop is
+        # over the 48 bit positions, never over documents.  Same shape as
+        # the multimodal kernel (multimodal.py cumsum/reduceat batch).
+        notnull = hashes.notna().to_numpy()
+        vals = hashes[hashes.notna()]
+        out = np.zeros(len(hashes), dtype=object)
+        out[~notnull] = None
+        if len(vals) == 0:
+            return pd.Series(out, dtype="object")
+        lens = np.fromiter(
+            (len(h) for h in vals), dtype=np.int64, count=len(vals)
         )
+        total = int(lens.sum())
+        if total == 0:
+            out[notnull] = 0
+            return pd.Series(out, dtype="object")
+        flat = np.concatenate(vals.to_numpy()).astype(np.int64, copy=False)
+        offs = np.concatenate(([0], np.cumsum(lens)[:-1]))
+        # Zero-length segments (empty hash arrays) would make reduceat
+        # read a neighbour's first element; clamp then zero them out.
+        safe_offs = np.minimum(offs, total - 1)
+        ones = np.empty((len(lens), 48), dtype=np.int64)
+        for b in range(48):
+            ones[:, b] = np.add.reduceat((flat >> b) & 1, safe_offs)
+        ones[lens == 0] = 0
+        sims = ((ones * 2 > lens[:, None]).astype(np.int64) << bitpos).sum(
+            axis=1
+        )
+        out[notnull] = sims
+        return pd.Series(out, dtype="object")
 
     return pandas_udf(_f, "bigint")
 

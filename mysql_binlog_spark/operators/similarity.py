@@ -149,7 +149,10 @@ def cosine_neardup_pairs(
         ]
     )
     withb = df.select(F.col(id_col), F.col(vec_col), banded.alias("_bands"))
-    withb = withb.persist()  # bucket exprs feed both sides of the self-join
+    # No persist (round 5): both sides of the self-join are the same
+    # subplan shuffled by (band_idx, band_key) — AQE exchange reuse
+    # computes the bucket projection once per action, with no cached
+    # blocks left behind in a long-lived session.
     ex = withb.select(F.col(id_col), F.explode("_bands").alias("b")).select(
         id_col, "b.band_idx", "b.band_key"
     )
