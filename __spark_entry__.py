@@ -46,6 +46,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cdc_start_position": dq.q_cdc_start_position,
         "cdc_turn_ordering": dq.q_cdc_turn_ordering,
         "cdc_decode_binary": dq.q_cdc_decode_binary,
+        "cdc_gtid_lineage": dq.q_cdc_gtid_lineage,
         "cdc_decode_types": dq.q_cdc_decode_types,
         "cdc_apply_e2e": dq.q_cdc_apply_e2e,
         # training-data pipeline: dedup families
@@ -95,6 +96,7 @@ def oracle_sql() -> dict[str, str]:
         "cdc_start_position": dq.oracle_cdc_start_position(),
         "cdc_turn_ordering": dq.oracle_cdc_turn_ordering(),
         "cdc_decode_binary": dq.oracle_cdc_decode_binary(),
+        "cdc_gtid_lineage": dq.oracle_cdc_gtid_lineage(),
         "cdc_decode_types": dq.oracle_cdc_decode_types(),
         "cdc_apply_e2e": dq.oracle_cdc_apply_e2e(),
         "doc_dedup_exact": dq.oracle_doc_dedup_exact(),

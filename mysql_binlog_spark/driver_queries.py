@@ -174,7 +174,7 @@ def binlog_fixture_dir(spark: SparkSession, sf_dir: str) -> str:
     """Generate (once, cached) the binary binlog chunks for sf_dir's derived
     changelog.  Encoding runs distributed (one task per chunk)."""
     tag = hashlib.sha1(
-        f"{sf_dir}:epf={spec.EVENTS_PER_FILE}:v4".encode()
+        f"{sf_dir}:epf={spec.EVENTS_PER_FILE}:v5".encode()  # v5: GTID frames
     ).hexdigest()[:12]
     out = os.path.join(tempfile.gettempdir(), "mbs_fixtures", tag)
     marker = os.path.join(out, "_COMPLETE")
@@ -216,6 +216,34 @@ def q_cdc_decode_binary(spark, sf_dir):
         "schema_name", "table_name", "action",
         "conv_id", "turn_idx", "role", "text", "tool", "tool_version", "ts",
     )
+
+
+def q_cdc_gtid_lineage(spark, sf_dir):
+    """GTID transaction lineage through the binary decode path: every
+    decoded row event carries its enclosing transaction's GTID (SID uuid
+    + ':' + GNO), parsed from the GTID_LOG_EVENT control frame.  Beyond-
+    parity superset — the reference skips GTID frames (EventsIterator.
+    php:244-253) — but resume-by-GTID is the modern CDC consumer
+    contract.  The oracle recomputes the same text from the fixture
+    spec's xid ↔ GNO mapping (spec.gtid_expr)."""
+    dec = decoded_binary_df(spark, sf_dir)
+    w = Window.partitionBy("log_file").orderBy("log_pos", "batch_seq")
+    return dec.select(
+        "log_file",
+        F.row_number().over(w).alias("seq"),
+        "gtid",
+    )
+
+
+def oracle_cdc_gtid_lineage():
+    return f"""
+    WITH dedup AS ({spec.dedup_sql('duckdb')})
+    SELECT log_file,
+           ROW_NUMBER() OVER (
+             PARTITION BY log_file ORDER BY log_pos, server_id) AS seq,
+           {spec.gtid_expr('duckdb', 'xid')} AS gtid
+    FROM dedup
+    """
 
 
 def typed_fixture_dir(spark: SparkSession, sf_dir: str) -> str:
@@ -478,15 +506,28 @@ def oracle_cdc_apply_e2e():
 
 
 def oracle_cdc_schema_evolution():
-    # ADD COLUMN semantics in SQL: the evolved column exists (version 2)
-    # iff any post-evolution event populated it; winners whose last write
-    # predates the evolution carry NULL (the backfill rule).
+    # ADD COLUMN semantics in SQL, derived from the EVOLUTION POINT (not
+    # from surviving data — ADVICE round-4): the generator starts v2
+    # TABLE_MAPs at the first event whose tool_version is non-NULL
+    # (generator.with_schema_version), and the engine bumps when the
+    # INCLUDED table first presents the evolved column — i.e. iff any
+    # app.transcripts event sits at/after that LSN.  A fixture where
+    # every post-evolution winner is later overwritten by NULLs would
+    # still correctly say version 2 here.
     inner = spec.final_state_sql("duckdb")
+    log = spec.dedup_sql("duckdb")
+    lsn_key = "log_file || printf('%020d', log_pos)"
     return f"""
-    WITH final AS ({inner})
+    WITH final AS ({inner}),
+    log AS ({log}),
+    evo AS (
+      SELECT MIN({lsn_key}) AS k FROM log WHERE tool_version IS NOT NULL
+    )
     SELECT conv_id, turn_idx, tool_version,
            CAST(1 + (SELECT CASE WHEN COUNT(*) > 0 THEN 1 ELSE 0 END
-                     FROM final WHERE tool_version IS NOT NULL) AS INTEGER)
+                     FROM log, evo
+                     WHERE schema_name = 'app' AND table_name = 'transcripts'
+                       AND {lsn_key} >= evo.k) AS INTEGER)
              AS schema_version
     FROM final
     """

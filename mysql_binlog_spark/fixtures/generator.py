@@ -52,6 +52,9 @@ from ..wire import (
     TableSchema,
     WireColumn,
 )
+from ..spec import GTID_SID_HEX
+
+_GTID_SID = bytes.fromhex(GTID_SID_HEX)
 
 IMAGE_COLS_V1 = ["conv_id", "turn_idx", "role", "text", "tool", "ts"]
 IMAGE_COLS_V2 = IMAGE_COLS_V1 + ["tool_version"]
@@ -210,6 +213,11 @@ def generate_binlog_chunks(
             if row["xid"] != current_xid:
                 if current_xid is not None:
                     writer.write_xid(ts_sec, int(current_xid))
+                # GTID_LOG_EVENT precedes the transaction's BEGIN, as on
+                # a real GTID-enabled server; GNO is 1-based (spec.py)
+                writer.write_gtid(
+                    ts_sec, _GTID_SID, int(row["xid"]) + 1
+                )
                 writer.write_query(ts_sec, row["schema_name"], "BEGIN")
                 current_xid = row["xid"]
             writer.server_id = int(row["server_id"])

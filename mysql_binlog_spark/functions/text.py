@@ -171,33 +171,41 @@ PII_IPV4 = r"\b(?:\d{1,3}\.){3}\d{1,3}\b"
 
 def pii_features(text: Column) -> dict[str, Column]:
     """PII detection counts + a redacted text column (emails, phone-like
-    digit runs, IPv4) — the pre-training scrub pass.  All JVM regex."""
-    n_email = F.size(F.regexp_extract_all(text, F.lit(PII_EMAIL), 0))
-    n_phone = F.size(F.regexp_extract_all(text, F.lit(PII_PHONE), 0))
-    n_ip = F.size(F.regexp_extract_all(text, F.lit(PII_IPV4), 0))
-    red = F.regexp_replace(text, PII_EMAIL, "<EMAIL>")
-    red = F.regexp_replace(red, PII_IPV4, "<IP>")
-    red = F.regexp_replace(red, PII_PHONE, "<PHONE>")
+    digit runs, IPv4) — the pre-training scrub pass.  All JVM regex.
+
+    Each pattern is counted on the PROGRESSIVELY-redacted text, in the
+    same order the replacements run (EMAIL → IP → PHONE), so every count
+    equals the number of replacements actually made — a long digit run
+    inside an already-redacted email no longer double-counts as a phone
+    (ADVICE round-4).  NULL text is treated as '' so the counts are 0,
+    never -1/NULL, in both engines."""
+    t0 = F.coalesce(text, F.lit(""))
+    n_email = F.size(F.regexp_extract_all(t0, F.lit(PII_EMAIL), 0))
+    red1 = F.regexp_replace(t0, PII_EMAIL, "<EMAIL>")
+    n_ip = F.size(F.regexp_extract_all(red1, F.lit(PII_IPV4), 0))
+    red2 = F.regexp_replace(red1, PII_IPV4, "<IP>")
+    n_phone = F.size(F.regexp_extract_all(red2, F.lit(PII_PHONE), 0))
+    red3 = F.regexp_replace(red2, PII_PHONE, "<PHONE>")
     return {
         "n_emails": n_email,
         "n_phones": n_phone,
         "n_ips": n_ip,
-        "redacted_text": red,
+        "redacted_text": red3,
     }
 
 
 def pii_features_sql(col: str = "text") -> dict[str, str]:
-    """DuckDB twins of ``pii_features``."""
+    """DuckDB twins of ``pii_features`` — same progressive-redaction
+    counting order (EMAIL → IP → PHONE) and NULL-as-'' coalesce."""
+    t0 = f"coalesce({col}, '')"
+    red1 = f"regexp_replace({t0}, '{PII_EMAIL}', '<EMAIL>', 'g')"
+    red2 = f"regexp_replace({red1}, '{PII_IPV4}', '<IP>', 'g')"
+    red3 = f"regexp_replace({red2}, '{PII_PHONE}', '<PHONE>', 'g')"
     return {
-        "n_emails": f"len(regexp_extract_all({col}, '{PII_EMAIL}'))",
-        "n_phones": f"len(regexp_extract_all({col}, '{PII_PHONE}'))",
-        "n_ips": f"len(regexp_extract_all({col}, '{PII_IPV4}'))",
-        "redacted_text": (
-            f"regexp_replace(regexp_replace(regexp_replace({col}, "
-            f"'{PII_EMAIL}', '<EMAIL>', 'g'), "
-            f"'{PII_IPV4}', '<IP>', 'g'), "
-            f"'{PII_PHONE}', '<PHONE>', 'g')"
-        ),
+        "n_emails": f"len(regexp_extract_all({t0}, '{PII_EMAIL}'))",
+        "n_phones": f"len(regexp_extract_all({red2}, '{PII_PHONE}'))",
+        "n_ips": f"len(regexp_extract_all({red1}, '{PII_IPV4}'))",
+        "redacted_text": red3,
     }
 
 

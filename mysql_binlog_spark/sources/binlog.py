@@ -152,6 +152,7 @@ META_COLS = [
     ("table_name", "string"),
     ("action", "string"),
     ("batch_seq", "int"),
+    ("gtid", "string"),  # enclosing txn GTID; NULL on GTID-less logs
 ]
 
 
@@ -433,6 +434,7 @@ def read_binlog(
                     pa.array(m["table_name"], pa.string()),
                     pa.array(m["action"], pa.string()),
                     pa.array(m["batch_seq"], pa.int32()),
+                    pa.array(m["gtid"], pa.string()),
                 ]
                 names = [n_ for n_, _ in META_COLS]
                 if kinds is not None:

@@ -38,16 +38,19 @@ from ..wire import (
     ACTION_BY_EVENT,
     CRC_LEN,
     DELETE_ROWS_V2,
+    GTID_EVENT,
     HEADER_LEN,
     MAGIC,
     TABLE_MAP_EVENT,
     UPDATE_ROWS_V2,
+    XID_EVENT,
     DecodedBatch,
     TableSchema,
     _advance_width,
     _DECODER_CACHE,
     _parse_table_map,
     _varlen_prefix,
+    format_gtid,
     read_lenenc,
     table_admitted,
 )
@@ -227,6 +230,7 @@ def decode_chunk_wavefront(
     verdicts: dict[int, object] = {}  # table_id → (t, full_bm) | False
     groups: dict = {}  # (id(t), etype) → [t, etype, ev_idx[], starts[], ends[]]
     n_included = 0
+    cur_gtid: str | None = None  # set by GTID frame, cleared by XID
     off = 4
     total = len(data)
     unpack = struct.unpack_from
@@ -297,7 +301,17 @@ def decode_chunk_wavefront(
                 out.ev_schema.append(t.schema)
                 out.ev_table.append(t.table)
                 out.ev_action.append(ACTION_BY_EVENT[etype])
+                out.ev_gtid.append(cur_gtid)
                 n_included += 1
+        elif etype == GTID_EVENT:
+            # txn lineage tag, mirrors decode_chunk exactly (3-kernel
+            # parity): set until the closing XID; NULL on GTID-less logs
+            p0 = off + HEADER_LEN
+            cur_gtid = format_gtid(
+                bytes(mv[p0 + 1 : p0 + 17]), unpack("<q", mv, p0 + 17)[0]
+            )
+        elif etype == XID_EVENT:
+            cur_gtid = None
         off += size
 
     if n_included < MIN_WAVEFRONT_EVENTS:

@@ -33,6 +33,23 @@ EVENTS_PER_FILE = 2500
 SERVER_ID = 666
 ROW_EVENT_STRIDE = 128  # synthetic byte stride between events in a file
 
+# GTID lineage (beyond-parity superset; the reference skips GTID frames,
+# EventsIterator.php:244-253).  One fixed source-server SID; GNO = xid+1
+# (GNOs are 1-based).  The fixture generator writes a GTID_LOG_EVENT per
+# transaction and the decoder re-derives the same text — so the oracle
+# can compute it from xid alone.
+GTID_SID_HEX = "00000000000040008000000000000666"
+GTID_UUID = (
+    f"{GTID_SID_HEX[:8]}-{GTID_SID_HEX[8:12]}-{GTID_SID_HEX[12:16]}-"
+    f"{GTID_SID_HEX[16:20]}-{GTID_SID_HEX[20:]}"
+)
+
+
+def gtid_expr(dialect: str, xid_expr: str) -> str:
+    """SQL for the GTID text the decoder emits: '<sid-uuid>:<xid+1>'."""
+    cast = "VARCHAR" if dialect == "duckdb" else "STRING"
+    return f"'{GTID_UUID}:' || CAST(({xid_expr}) + 1 AS {cast})"
+
 # key space / content knobs (all pure functions of event_id / user_id)
 N_TURNS = 40
 DELETE_MOD = 37

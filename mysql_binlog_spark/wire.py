@@ -45,6 +45,7 @@ FORMAT_DESCRIPTION_EVENT = 0x0F
 ROTATE_EVENT = 0x04
 QUERY_EVENT = 0x02
 XID_EVENT = 0x10
+GTID_EVENT = 0x21  # GTID_LOG_EVENT: flags u8 + SID uuid(16) + GNO i64
 TABLE_MAP_EVENT = 0x13
 HEARTBEAT_EVENT = 0x1B
 WRITE_ROWS_V2 = 0x1E
@@ -535,6 +536,16 @@ class BinlogWriter:
     def write_xid(self, ts: int, xid: int) -> int:
         return self._emit(XID_EVENT, struct.pack("<Q", xid), ts)
 
+    def write_gtid(self, ts: int, sid: bytes, gno: int) -> int:
+        """GTID_LOG_EVENT preceding a transaction's BEGIN: 1-byte
+        commit flag, 16-byte source-server UUID (SID), 8-byte GNO.
+        Real servers append logical-clock fields after the GNO; the
+        decoder reads only the first 25 bytes, so their absence here is
+        format-compatible.  (Beyond-parity: the reference skips GTID
+        frames entirely, EventsIterator.php:244-253.)"""
+        assert len(sid) == 16
+        return self._emit(GTID_EVENT, b"\x01" + sid + struct.pack("<q", gno), ts)
+
     def write_heartbeat(self, filename: str) -> int:
         return self._emit(HEARTBEAT_EVENT, filename.encode(), 0)
 
@@ -677,7 +688,7 @@ class DecodedBatch:
 
     __slots__ = (
         "ev_pos", "ev_server", "ev_ts", "ev_schema", "ev_table", "ev_action",
-        "ev_cnt", "n_rows", "columns", "before_cols", "after_cols",
+        "ev_gtid", "ev_cnt", "n_rows", "columns", "before_cols", "after_cols",
         "n_events", "n_bytes", "tables_seen", "value_mode",
     )
 
@@ -689,6 +700,7 @@ class DecodedBatch:
         self.ev_schema: list[str] = []
         self.ev_table: list[str] = []
         self.ev_action: list[str] = []
+        self.ev_gtid: list[str | None] = []  # enclosing txn GTID or None
         self.ev_cnt: list[int] = []
         self.n_rows = 0
         self.columns: list[str] = list(columns or [])
@@ -745,6 +757,10 @@ class DecodedBatch:
         return self._expand(self.ev_action)
 
     @property
+    def gtid(self) -> list[str | None]:
+        return self._expand(self.ev_gtid)
+
+    @property
     def batch_seq(self) -> list[int]:
         out: list = []
         for c in self.ev_cnt:
@@ -769,6 +785,7 @@ class DecodedBatch:
             ),
             "table_name": np.repeat(np.asarray(self.ev_table, object), cnt),
             "action": np.repeat(np.asarray(self.ev_action, object), cnt),
+            "gtid": np.repeat(np.asarray(self.ev_gtid, object), cnt),
             "batch_seq": (np.arange(total, dtype=np.int64) - starts).astype(
                 np.int32
             ),
@@ -1461,6 +1478,12 @@ def _admits(
     return True
 
 
+def format_gtid(sid: bytes, gno: int) -> str:
+    """Canonical GTID text: lowercase 8-4-4-4-12 SID uuid + ':' + GNO."""
+    h = sid.hex()
+    return f"{h[:8]}-{h[8:12]}-{h[12:16]}-{h[16:20]}-{h[20:]}:{gno}"
+
+
 def decode_chunk(
     data: bytes,
     include: set | None = None,
@@ -1524,7 +1547,9 @@ def decode_chunk(
     ev_schema_a = out.ev_schema.append
     ev_table_a = out.ev_table.append
     ev_action_a = out.ev_action.append
+    ev_gtid_a = out.ev_gtid.append
     ev_cnt_a = out.ev_cnt.append
+    cur_gtid: str | None = None  # set by GTID frame, cleared by XID
     while off + HEADER_LEN <= total:
         # header fast path: only the type byte and size are needed for
         # control frames; ts/server_id are read for row events below
@@ -1688,9 +1713,23 @@ def decode_chunk(
                 ev_schema_a(t.schema)
                 ev_table_a(t.table)
                 ev_action_a(ACTION_BY_EVENT[etype])
+                ev_gtid_a(cur_gtid)
                 ev_cnt_a(cnt)
                 out.n_rows += cnt
-        # ROTATE/XID/QUERY/HEARTBEAT/FDE are control frames: position
+        elif etype == GTID_EVENT:
+            # txn lineage state (like TABLE_MAP, tracked even before
+            # start_pos): tag every row event until the closing XID.
+            # Logs without GTID frames simply leave the column NULL —
+            # the reference skips these frames (EventsIterator.php:
+            # 244-253); carrying them is a deliberate superset, since
+            # resume-by-GTID is the modern CDC consumer contract.
+            p0 = off + HEADER_LEN
+            cur_gtid = format_gtid(
+                bytes(mv[p0 + 1 : p0 + 17]), unpack("<q", mv, p0 + 17)[0]
+            )
+        elif etype == XID_EVENT:
+            cur_gtid = None  # transaction closed
+        # ROTATE/QUERY/HEARTBEAT/FDE are control frames: position
         # bookkeeping only (reference drops them too,
         # EventsIterator.php:153-173, :237-266).
         off += size

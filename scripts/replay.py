@@ -60,20 +60,29 @@ def parse_args(argv: list[str] | None = None) -> argparse.Namespace:
     return p.parse_args(argv)
 
 
-def _filter_entries(dbs: list[str], tables: list[str]) -> list:
+def _filter_entries(
+    dbs: list[str], tables: list[str], qualify_against: list[str] | None = None
+) -> list:
     """Reference Config semantics: ``databases`` are schema-level entries,
     ``tables`` are 'db.table' qualified names (a bare table name is
-    qualified against each listed database for convenience).  Both
-    dimensions apply independently (EventsIterator.php:103-130): a
-    databases-only list admits every table of those schemas — no table
-    list required."""
+    qualified against each database in ``qualify_against`` — defaulting
+    to ``dbs`` — for convenience).  Both dimensions apply independently
+    (EventsIterator.php:103-130): a databases-only list admits every
+    table of those schemas — no table list required.
+
+    For EXCLUDES, pass the INCLUDE databases as ``qualify_against``: a
+    bare ``--exclude-tables`` name means 'exclude table T within the
+    included databases' — qualifying it against ``--exclude-databases``
+    would be a no-op, since a db-level exclude already rejects every
+    table of that schema (ADVICE round-4)."""
+    qual = qualify_against if qualify_against is not None else dbs
     out: list = list(dbs)
     for t in tables:
         if "." in t:
             s, tb = t.split(".", 1)
             out.append((s, tb))
-        elif dbs:
-            out.extend((db, t) for db in dbs)
+        elif qual:
+            out.extend((db, t) for db in qual)
         else:
             raise SystemExit(
                 f"table filter {t!r} is unqualified and no databases are "
@@ -86,7 +95,8 @@ def main(argv: list[str] | None = None) -> dict:
     a = parse_args(argv)
     include = _filter_entries(_split(a.databases), _split(a.tables)) or None
     exclude = _filter_entries(
-        _split(a.exclude_databases), _split(a.exclude_tables)
+        _split(a.exclude_databases), _split(a.exclude_tables),
+        qualify_against=_split(a.databases),
     ) or None
     # start LSN (reference Config: binlogFile/binlogPosition) — threaded
     # into the decode source's file pruning + in-chunk position skip

@@ -201,3 +201,19 @@ def test_hot_key_skew_present(spark, sf_dir):
     total = df.count()
     hot = df.filter(F.col("conv_id") == "conv_hot").count()
     assert 0.25 * total < hot < 0.35 * total
+
+
+def test_cli_bare_exclude_table_qualifies_against_include_dbs():
+    """A bare --exclude-tables entry means 'exclude T within the
+    included databases' — it must qualify against --databases, not
+    --exclude-databases (where it would be a no-op)."""
+    import importlib
+
+    replay_cli = importlib.import_module("scripts.replay")
+    ex = replay_cli._filter_entries(
+        ["legacy_db"], ["audit_log"], qualify_against=["app", "app2"]
+    )
+    assert ex == ["legacy_db", ("app", "audit_log"), ("app2", "audit_log")]
+    # include path unchanged: bare names qualify against its own dbs
+    inc = replay_cli._filter_entries(["app"], ["transcripts", "a.b"])
+    assert inc == ["app", ("app", "transcripts"), ("a", "b")]

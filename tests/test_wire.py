@@ -248,3 +248,48 @@ def test_position_bookkeeping():
         assert crc == (zlib.crc32(body) & 0xFFFFFFFF)
         off += size
     assert off == len(data)
+
+
+def test_gtid_lineage_roundtrip_and_reset():
+    """GTID_LOG_EVENT tags every row event until the closing XID; logs
+    without GTID frames leave the column NULL; the wavefront kernel's
+    small-chunk fallback path decodes identically (parity)."""
+    from mysql_binlog_spark.sources.wavefront import decode_chunk_wavefront
+    from mysql_binlog_spark.wire import format_gtid
+
+    sid = bytes.fromhex("00000000000040008000000000000666")
+    w = BinlogWriter(server_id=42)
+    t = sample_schema()
+    w.write_table_map(0, t)
+    # txn 1 under GTID :7, two row events
+    w.write_gtid(0, sid, 7)
+    w.write_query(0, "app", "BEGIN")
+    w.write_rows(0, t, "insert", [ROW])
+    w.write_rows(0, t, "update", [ROW], befores=[ROW])
+    w.write_xid(0, 1)
+    # an event after XID but before the next GTID frame: untagged
+    w.write_rows(0, t, "insert", [dict(ROW, turn_idx=8)])
+    # txn 2 under GTID :8
+    w.write_gtid(0, sid, 8)
+    w.write_query(0, "app", "BEGIN")
+    w.write_rows(0, t, "delete", [ROW])
+    w.write_xid(0, 2)
+    data = w.getvalue()
+    want = [
+        "00000000-0000-4000-8000-000000000666:7",
+        "00000000-0000-4000-8000-000000000666:7",
+        None,
+        "00000000-0000-4000-8000-000000000666:8",
+    ]
+    assert format_gtid(sid, 7) == want[0]
+    batch = decode_chunk(data, verify_crc=True)
+    assert batch.gtid == want
+    cols = [c.name for c in t.columns]
+    wf = decode_chunk_wavefront(data, image_cols=cols, verify_crc=True)
+    assert wf.gtid == want  # kernel parity
+
+    # GTID-less log → all NULL
+    w2 = BinlogWriter()
+    w2.write_table_map(0, t)
+    w2.write_rows(0, t, "insert", [ROW])
+    assert decode_chunk(w2.getvalue()).gtid == [None]
