@@ -11,8 +11,13 @@ The CDC workload amplifies the sf-derived change log ``BENCH_AMP``×
 enough to measure sustained throughput; generation is distributed, cached
 under /tmp and NOT counted in query times.
 
+Every timed query runs BENCH_RUNS times and reports the MEDIAN, with the
+1-minute loadavg sampled before/after every run (the scaleout.py
+protocol) — so a slow number is attributable to external load instead of
+being an unexplained regression: see the "attribution" field.
+
 Env knobs: SPARK_GRAFT_SF_DIR, SPARK_GRAFT_CPUS, BENCH_AMP (default 60),
-BENCH_EPF (events/chunk, default 5000), BENCH_RUNS (default 1).
+BENCH_EPF (events/chunk, default 5000), BENCH_RUNS (default 3).
 """
 
 from __future__ import annotations
@@ -47,7 +52,8 @@ SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
 AMP = int(os.environ.get("BENCH_AMP", "60"))
 EPF = int(os.environ.get("BENCH_EPF", "5000"))
-RUNS = int(os.environ.get("BENCH_RUNS", "2"))
+RUNS = int(os.environ.get("BENCH_RUNS", "3"))
+WARMUP = int(os.environ.get("BENCH_WARMUP", "1"))
 ONLY = set(filter(None, os.environ.get("BENCH_ONLY", "").split(",")))
 
 IMAGE_COLS = [
@@ -114,14 +120,42 @@ def bench_dir(spark) -> str:
     return out
 
 
-def timed(fn, runs: int = RUNS) -> float:
-    best = None
+def _loadavg() -> float:
+    with open("/proc/loadavg") as f:
+        return float(f.read().split()[0])
+
+
+ATTRIBUTION: dict[str, dict] = {}
+
+
+def timed(fn, name: str, runs: int = RUNS) -> float:
+    """Median of ``runs`` executions after ``WARMUP`` untimed runs; 1-min
+    loadavg sampled before/after each run, all recorded into
+    ATTRIBUTION[name] (scaleout.py's protocol, VERDICT r4 #1: a regressed
+    number must carry its own load evidence).  The warmup runs absorb
+    one-time JIT/codegen compilation — they are reported (warmup_sec) so
+    a cold-start story is still visible, just not conflated with the
+    steady-state median."""
+    import statistics
+
+    warmups: list[float] = []
+    for _ in range(WARMUP):
+        t0 = time.time()
+        fn()
+        warmups.append(round(time.time() - t0, 3))
+    times: list[float] = []
+    loads: list[list[float]] = []
     for _ in range(runs):
+        la0 = _loadavg()
         t0 = time.time()
         fn()
         dt = time.time() - t0
-        best = dt if best is None else min(best, dt)
-    return round(best, 2)
+        times.append(round(dt, 3))
+        loads.append([la0, _loadavg()])
+    ATTRIBUTION[name] = {
+        "warmup_sec": warmups, "runs_sec": times, "loadavg_1m": loads,
+    }
+    return round(statistics.median(times), 2)
 
 
 def main() -> None:
@@ -154,7 +188,8 @@ def main() -> None:
         lambda: read_binlog(
             spark, glob, image_cols=IMAGE_COLS,
             include={("app", "transcripts")},
-        ).count()
+        ).count(),
+        "decode_binary",
         )
 
     # q2: decode → dedup → last-writer winners (decode + one shuffle);
@@ -172,7 +207,7 @@ def main() -> None:
         return last_writer(df, ["conv_id", "turn_idx"], PAYLOAD).count()
 
     if want("dedup_last_writer"):
-        q["dedup_last_writer"] = timed(winners)
+        q["dedup_last_writer"] = timed(winners, "dedup_last_writer")
 
     # q3: end-to-end replay into a fresh lake (the north metric)
     def e2e():
@@ -185,7 +220,7 @@ def main() -> None:
         )
         shutil.rmtree(lake, ignore_errors=True)
 
-    q["apply_e2e"] = timed(e2e)  # always: it is the headline metric
+    q["apply_e2e"] = timed(e2e, "apply_e2e")  # always: the headline metric
 
     # q4: salted two-phase reduce on the skewed changelog (parquet path)
     spark.read.parquet(os.path.join(SF_DIR, "events.parquet")).createOrReplaceTempView(
@@ -197,18 +232,20 @@ def main() -> None:
         lambda: salted_last_writer(
             filter_tables(dedup_lsn(changelog), include=[("app", "transcripts")]),
             ["conv_id", "turn_idx"], PAYLOAD,
-        ).count()
+        ).count(),
+        "salted_last_writer",
         )
 
     # q5/q6: training-pipeline headliners
     docs = spark.read.parquet(os.path.join(SF_DIR, "documents.parquet"))
     if want("minhash_lsh_dedup"):
-        q["minhash_lsh_dedup"] = timed(lambda: minhash_dedup_pairs(docs).count())
+        q["minhash_lsh_dedup"] = timed(lambda: minhash_dedup_pairs(docs).count(), "minhash_lsh_dedup")
     embs = spark.read.parquet(os.path.join(SF_DIR, "embeddings.parquet"))
     if want("cosine_knn"):
         q["cosine_knn"] = timed(
             lambda: cosine_knn(embs, embs.filter(F.col("vec_id") < 32), k=10)
-            .count()
+            .count(),
+            "cosine_knn",
         )
 
     eps = round(n_events / q["apply_e2e"], 1)
@@ -224,6 +261,9 @@ def main() -> None:
                 "cpus": CPUS,
                 "events_total": n_events,
                 "events_per_sec_applied": eps,
+                "protocol": f"median of {RUNS} runs after {WARMUP} untimed "
+                "warmup run(s); 1-min loadavg sampled before/after each run",
+                "attribution": ATTRIBUTION,
             }
         )
     )

@@ -212,18 +212,30 @@ def pii_features_sql(col: str = "text") -> dict[str, str]:
 # ---------------------------------------------------------------- shingles
 
 def word_shingles(text: Column, n: int = 3) -> Column:
-    """Distinct word n-gram shingles (JVM-side: split → sequence →
-    transform/slice)."""
+    """Distinct word n-gram shingles (JVM-side).
+
+    Built with ``zip_with`` over shifted slices of the word array so the
+    per-element lambdas never reference the split array itself.  The old
+    form (``transform(sequence(...), i -> slice(w, i, n))``) evaluated
+    ``w`` INSIDE the lambda: after Catalyst collapses projections, the
+    full ``split(lower(trim(text)))`` re-ran per shingle — O(words²)
+    per document, ~40µs/shingle measured vs ~0.2µs for this shape (the
+    round-4 dedup bench numbers were masking it behind a leaked cache).
+    Here the word array appears only as a HOF *argument*, evaluated once
+    per row, and ``concat`` propagates the zip's tail NULLs so the final
+    ``filter`` trims incomplete shingles."""
     w = F.split(F.lower(F.trim(text)), WS)
-    return F.when(
-        F.size(w) >= n,
-        F.array_distinct(
-            F.transform(
-                F.sequence(F.lit(1), F.size(w) - (n - 1)),
-                lambda i: F.concat_ws(" ", F.slice(w, i, n)),
-            )
-        ),
-    ).otherwise(F.array_distinct(F.array(F.concat_ws(" ", w))))
+    z = w
+    for j in range(1, n):
+        z = F.zip_with(
+            z,
+            F.slice(w, j + 1, F.size(w)),
+            lambda x, y: F.concat(x, F.lit(" "), y),
+        )
+    full = F.array_distinct(F.filter(z, lambda s: s.isNotNull()))
+    return F.when(F.size(w) >= n, full).otherwise(
+        F.array_distinct(F.array(F.concat_ws(" ", w)))
+    )
 
 
 def repetition_stats(text: Column, n: int = 3) -> dict[str, Column]:

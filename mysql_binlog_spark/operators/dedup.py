@@ -48,10 +48,24 @@ def minhash_signatures(
     df: DataFrame, id_col: str = "doc_id", text_col: str = "text",
     k: int = 12, shingle_n: int = 3,
 ) -> DataFrame:
+    """Shingles + k min-hash columns.  The md5 base-hash array is
+    materialized in its own projection step so it is computed ONCE per
+    row; the k mh columns are cheap affine mixes over it (CollapseProject
+    keeps multi-referenced non-trivial expressions in their own project,
+    so the plan never duplicates the md5 pass k times)."""
+    from ..functions.hashing import _mh_params, _mix_hasher, md5_bigint
+
     sh = word_shingles(F.col(text_col), shingle_n)
-    return df.select(F.col(id_col), sh.alias("shingles")).select(
-        id_col, "shingles", *minhash_signature(F.col("shingles"), k)
+    based = df.select(F.col(id_col), sh.alias("shingles")).withColumn(
+        "_mh_base", F.transform(F.col("shingles"), md5_bigint)
     )
+    mixes = [
+        F.array_min(
+            F.transform(F.col("_mh_base"), _mix_hasher(a, b))
+        ).alias(f"mh{i}")
+        for i, (a, b) in enumerate(_mh_params(k))
+    ]
+    return based.select(id_col, "shingles", *mixes)
 
 
 def lsh_candidate_pairs(
