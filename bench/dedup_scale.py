@@ -81,27 +81,38 @@ docs.count(); embs.count()  # warm: file listing + parquet footer reads
 
 from mysql_binlog_spark.operators.dedup import (
     minhash_signatures, lsh_candidate_pairs, jaccard_verify,
-    novel_documents, connected_components,
+    minhash_dedup_pairs, novel_documents, connected_components,
 )
 from mysql_binlog_spark.operators.similarity import ivf_knn
 
 res = {{"task": task, "n": n, "cores": cores}}
-t0 = time.time()
 if task == "minhash_pairs":
-    sigs = minhash_signatures(docs).persist()
-    cands = lsh_candidate_pairs(sigs).persist()
-    res["candidate_pairs"] = cands.count()
-    verified = jaccard_verify(cands, docs)
-    res["neardup_pairs"] = verified.count()
+    # candidate count (the sublinearity metric) measured OUTSIDE the
+    # timed window; the wall clock covers the SHIPPED end-to-end
+    # operator — no bench-local persists (round-5: the operators
+    # deliberately leave no cached blocks behind)
+    res["candidate_pairs"] = lsh_candidate_pairs(
+        minhash_signatures(docs)
+    ).count()
+    t0 = time.time()
+    res["neardup_pairs"] = minhash_dedup_pairs(docs).count()
 elif task == "novelty":
+    t0 = time.time()
     # 4% "new" batch, half with a planted near-dup partner left in the
     # corpus (id%50==0: partner id+1 is its dup), half genuinely novel
     # (id%50==7: unique token stream) — so the filter has both work to
     # reject and work to admit
     batch = docs.filter((F.col("doc_id") % 50).isin(0, 7))
     corpus = docs.filter(~(F.col("doc_id") % 50).isin(0, 7))
-    res["novel_docs"] = novel_documents(batch, corpus).count()
+    # the bench batch is 4% of the corpus — corpus-scale, not the small
+    # incremental-ingest shape the broadcast default targets — so take
+    # the documented size-guard path: shuffle semi-joins, no driver-side
+    # broadcast hash-relation build (which is serial O(|candidates|))
+    res["novel_docs"] = novel_documents(
+        batch, corpus, broadcast_candidates=False
+    ).count()
 elif task == "ivf_knn":
+    t0 = time.time()
     from mysql_binlog_spark.operators.similarity import (
         ivf_centroid_ids, ivf_lloyd_refine,
     )
@@ -115,6 +126,7 @@ elif task == "ivf_knn":
     queries = embs.filter(F.col("vec_id") < 16)
     res["knn_rows"] = ivf_knn(embs, queries, cents, k=10, nprobe=8).count()
 elif task == "cluster_assembly":
+    t0 = time.time()
     sigs = minhash_signatures(docs)
     cands = lsh_candidate_pairs(sigs)
     pairs = jaccard_verify(cands, docs).select("doc_a", "doc_b")
@@ -186,7 +198,14 @@ def run_cell(task: str, n: int, cores: int) -> dict:
 def main() -> None:
     generate_all([N, N // 4])
 
-    tasks = ["minhash_pairs", "novelty", "ivf_knn", "cluster_assembly"]
+    tasks = [
+        t
+        for t in ["minhash_pairs", "novelty", "ivf_knn", "cluster_assembly"]
+        if t in os.environ.get(
+            "DEDUP_TASKS",
+            "minhash_pairs,novelty,ivf_knn,cluster_assembly",
+        ).split(",")
+    ]
     cells: dict[str, dict] = {t: {} for t in tasks}
     for t in tasks:
         cells[t]["hi"] = run_cell(t, N, HI)

@@ -37,6 +37,28 @@ class ReplayStats:
         return sum(1 for e in self.epochs if not e.get("skipped"))
 
 
+def _epoch_winners(
+    table: LakeTable,
+    decoded,
+    include: list | None,
+    image_cols: list[str],
+    exclude: list | None = None,
+):
+    """The table-state-INDEPENDENT half of an epoch: decode → filter →
+    image → per-key winners.  Safe to run ahead of the previous epoch's
+    merge/commit (see replay_batch's one-deep pipeline)."""
+    df = filter_tables(decoded, include=include, exclude=exclude)
+    # NB: no dedup_lsn stage here — exact re-deliveries share both LSN and
+    # payload, so max_by in last_writer picks an identical row either way;
+    # an explicit dropDuplicates would only add a second full-width shuffle.
+    # (dedup_lsn remains a standalone operator for stats/count paths.)
+    df = image_view(df, image_cols)
+    return last_writer(
+        df, key_cols=table.key_cols,
+        payload_cols=[c for c in image_cols if c not in table.key_cols],
+    )
+
+
 def _apply_epoch(
     spark: SparkSession,
     table: LakeTable,
@@ -46,16 +68,7 @@ def _apply_epoch(
     image_cols: list[str],
     exclude: list | None = None,
 ) -> dict:
-    df = filter_tables(decoded, include=include, exclude=exclude)
-    # NB: no dedup_lsn stage here — exact re-deliveries share both LSN and
-    # payload, so max_by in last_writer picks an identical row either way;
-    # an explicit dropDuplicates would only add a second full-width shuffle.
-    # (dedup_lsn remains a standalone operator for stats/count paths.)
-    df = image_view(df, image_cols)
-    winners = last_writer(
-        df, key_cols=table.key_cols,
-        payload_cols=[c for c in image_cols if c not in table.key_cols],
-    )
+    winners = _epoch_winners(table, decoded, include, image_cols, exclude)
     return table.merge_into(spark, winners, epoch_id)
 
 
@@ -83,6 +96,8 @@ def replay_batch(
     so a 10⁴-epoch replay's disk footprint stays bounded without a manual
     maintenance pass; None disables.
     """
+    from concurrent.futures import ThreadPoolExecutor
+
     chunks = sorted(
         f for f in os.listdir(chunk_dir)
         if f.startswith("binlog.") and not f.endswith(".json")
@@ -97,11 +112,18 @@ def replay_batch(
         chunks[i : i + files_per_epoch]
         for i in range(0, len(chunks), files_per_epoch)
     ]
-    for gi, group in enumerate(groups):
+    todo = []
+    for group in groups:
         epoch_id = f"batch-{group[0]}-{group[-1]}"
         if epoch_id in done:
             stats.epochs.append({"epoch_id": epoch_id, "skipped": True})
-            continue
+        else:
+            todo.append((epoch_id, group))
+
+    def prepare(group):
+        """Materialize the epoch's winners (decode → filter → image →
+        last_writer) into cache — every bit of it independent of table
+        state, so it can run while the PREVIOUS epoch merges/commits."""
         paths = [os.path.join(chunk_dir, f) for f in group]
         decoded = read_binlog(
             spark, paths, image_cols=image_cols, include=include_set,
@@ -114,14 +136,40 @@ def replay_batch(
             else [f.name[len("after_"):] for f in decoded.schema.fields
                   if f.name.startswith("after_")]
         )
-        stats.epochs.append(
-            _apply_epoch(spark, table, decoded, epoch_id, include, cols,
-                         exclude)
-        )
-        if maintain_every and stats.applied % maintain_every == 0:
-            table.maintain(spark)
-        if stop_after_epochs is not None and stats.applied >= stop_after_epochs:
-            break
+        w = _epoch_winners(table, decoded, include, cols, exclude).persist()
+        w.count()
+        return w
+
+    # One-deep epoch pipeline (round-5 width fix): while epoch N's merge
+    # shuffles/writes and its manifest commits (serial driver JSON I/O +
+    # a driver-side lineage collect), epoch N+1's decode jobs run from a
+    # second submitter thread and fill the idle cores of N's stage tails.
+    # FIFO scheduling gives N's tasks priority; N+1 only uses slack.
+    with ThreadPoolExecutor(max_workers=1) as pool:
+        fut = None
+        try:
+            for ti, (epoch_id, group) in enumerate(todo):
+                w = fut.result() if fut is not None else prepare(group)
+                fut = (
+                    pool.submit(prepare, todo[ti + 1][1])
+                    if ti + 1 < len(todo)
+                    else None
+                )
+                stats.epochs.append(table.merge_into(spark, w, epoch_id))
+                w.unpersist(blocking=False)
+                if maintain_every and stats.applied % maintain_every == 0:
+                    table.maintain(spark)
+                if (
+                    stop_after_epochs is not None
+                    and stats.applied >= stop_after_epochs
+                ):
+                    break
+        finally:
+            if fut is not None:  # stop/crash: drop the prefetched epoch
+                try:
+                    fut.result().unpersist(blocking=False)
+                except Exception:
+                    pass
     return stats
 
 
