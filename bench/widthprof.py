@@ -85,15 +85,21 @@ import resource
 r0 = resource.getrusage(resource.RUSAGE_SELF)
 c0 = resource.getrusage(resource.RUSAGE_CHILDREN)
 t0 = time.time()
-dec = read_binlog(spark, paths, image_cols=IMAGE_COLS,
-                  include={{("app","transcripts")}},
-                  before_mode="delete_only")
-df = image_view(dec, names)
-winners = last_writer(df, ["conv_id","turn_idx"],
-                      [c for c in names if c not in ("conv_id","turn_idx")])
+# production epoch shape (round 5): a multi-epoch replay_batch so the
+# one-deep epoch pipeline applies — epoch N+1's decode fills epoch N's
+# merge tails and masks the serial driver phases (lineage collect,
+# manifest commit) the round-4 profile attributed the width loss to.
+# N_EPOCHS=1 degenerates to the old single-merge profile.
+from mysql_binlog_spark.streaming.replay import replay_batch
+n_epochs = int(os.environ.get("WP_EPOCHS", "4"))
+import math
+fpe = max(1, math.ceil(len(paths) / n_epochs))
+chunk_dir = os.path.dirname(paths[0])  # parent passes the whole fixture
 lake = tempfile.mkdtemp(prefix="mbs_wp_lake_")
 t = LakeTable.create(lake, IMAGE_COLS[:6], ["conv_id","turn_idx"], n_buckets=64)
-t.merge_into(spark, winners, "prof-epoch")
+replay_batch(spark, chunk_dir, t, include=[("app","transcripts")],
+             image_cols=IMAGE_COLS, files_per_epoch=fpe,
+             maintain_every=None)
 dt = time.time() - t0
 # JVM CPU is NOT visible in this process's rusage (it's a live child) —
 # the parent samples the /proc descendant tree instead; we record the
