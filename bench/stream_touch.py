@@ -66,11 +66,15 @@ def main() -> None:
 
     # ------------------------------------------------ base lake (direct)
     def rows_for(conv_df, tag: str, log_file: str):
+        # action='insert' even for re-writes: MERGE is a last-writer
+        # upsert (insert/update identical), and the binary generator
+        # would need an in-stream predecessor to build an update's
+        # before-image — the base rows live in the LAKE, not the stream
         return conv_df.crossJoin(
             spark.range(TURNS).select(F.col("id").cast("int").alias("turn_idx"))
         ).select(
             "conv_id", "turn_idx",
-            F.lit("update").alias("action"),
+            F.lit("insert").alias("action"),
             F.lit("assistant").alias("role"),
             F.concat(F.lit(f"{tag} text of "), "conv_id", F.lit(" turn "),
                      F.col("turn_idx")).alias("text"),

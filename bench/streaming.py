@@ -204,13 +204,12 @@ local[{CPUS}].
 | batch replay at the SAME epoch granularity | {batch_wall:.1f} s ({batch_eps:,.0f} ev/s) |
 | streaming / batch wall ratio | **{wall / batch_wall:.2f}×** |
 
-Epoch granularity dominates both paths identically: this synthetic log's
-keys are uniform, so EVERY epoch touches every bucket and the merge
-rewrites the whole accumulated table state per epoch — the worst case
-for incremental MERGE (production CDC epochs touch a small key/bucket
-fraction and prune).  The streaming machinery itself (file-source
-offsets, foreachBatch, checkpointing) adds only the ratio above over
-batch at equal epochs.
+Epoch granularity dominates both paths: uniform keys mean every epoch
+rewrites every bucket — the worst case for incremental MERGE
+(production epochs touch a small bucket fraction and prune).  Note the
+batch comparator pipelines one epoch deep (round 5), which foreachBatch
+cannot — the ratio includes that asymmetry, not just streaming
+machinery.
 
 ## Hard-kill mid-replay + resume (exactly-once)
 
