@@ -83,8 +83,13 @@ def replay_batch(
     stop_after_epochs: int | None = None,
     start_lsn: tuple[str, int] | None = None,
     maintain_every: int | None = 16,
+    pipeline: bool = True,
 ) -> ReplayStats:
     """Batch replay with epoch granularity = ``files_per_epoch`` chunks.
+
+    ``pipeline=False`` disables the one-deep epoch prefetch (strictly
+    serial epochs — deterministic job ordering for debugging and the
+    A/B control in BENCH/ANALYSIS.md).
 
     ``stop_after_epochs`` simulates a mid-replay crash for resume tests.
     ``start_lsn`` = (binlog_file, position): chunks before the file are
@@ -152,7 +157,7 @@ def replay_batch(
                 w = fut.result() if fut is not None else prepare(group)
                 fut = (
                     pool.submit(prepare, todo[ti + 1][1])
-                    if ti + 1 < len(todo)
+                    if pipeline and ti + 1 < len(todo)
                     else None
                 )
                 stats.epochs.append(table.merge_into(spark, w, epoch_id))
