@@ -47,6 +47,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cdc_turn_ordering": dq.q_cdc_turn_ordering,
         "cdc_decode_binary": dq.q_cdc_decode_binary,
         "cdc_gtid_lineage": dq.q_cdc_gtid_lineage,
+        "cdc_gtid_resume": dq.q_cdc_gtid_resume,
         "cdc_decode_types": dq.q_cdc_decode_types,
         "cdc_apply_e2e": dq.q_cdc_apply_e2e,
         # training-data pipeline: dedup families
@@ -65,6 +66,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_pii_scrub": dq.q_doc_pii_scrub,
         "doc_tokens": dq.q_doc_tokens,
         "doc_fingerprint": dq.q_doc_fingerprint,
+        "doc_sample": dq.q_doc_sample,
+        "doc_pack": dq.q_doc_pack,
         # similarity search / ANN
         "emb_cosine_knn": dq.q_emb_cosine_knn,
         "emb_sq8_knn": dq.q_emb_sq8_knn,
@@ -97,6 +100,7 @@ def oracle_sql() -> dict[str, str]:
         "cdc_turn_ordering": dq.oracle_cdc_turn_ordering(),
         "cdc_decode_binary": dq.oracle_cdc_decode_binary(),
         "cdc_gtid_lineage": dq.oracle_cdc_gtid_lineage(),
+        "cdc_gtid_resume": dq.oracle_cdc_gtid_resume(),
         "cdc_decode_types": dq.oracle_cdc_decode_types(),
         "cdc_apply_e2e": dq.oracle_cdc_apply_e2e(),
         "doc_dedup_exact": dq.oracle_doc_dedup_exact(),
@@ -113,6 +117,8 @@ def oracle_sql() -> dict[str, str]:
         "doc_pii_scrub": dq.oracle_doc_pii_scrub(),
         "doc_tokens": dq.oracle_doc_tokens(),
         "doc_fingerprint": dq.oracle_doc_fingerprint(),
+        "doc_sample": dq.oracle_doc_sample(),
+        "doc_pack": dq.oracle_doc_pack(),
         "emb_cosine_knn": dq.oracle_emb_cosine_knn(),
         "emb_sq8_knn": dq.oracle_emb_sq8_knn(),
         "emb_ivf_knn": dq.oracle_emb_ivf_knn(),

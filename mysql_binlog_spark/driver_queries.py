@@ -189,7 +189,9 @@ def binlog_fixture_dir(spark: SparkSession, sf_dir: str) -> str:
     return out
 
 
-def decoded_binary_df(spark, sf_dir, include=None) -> DataFrame:
+def decoded_binary_df(
+    spark, sf_dir, include=None, start_after_gtid=None
+) -> DataFrame:
     chunks = binlog_fixture_dir(spark, sf_dir)
     return read_binlog(
         spark,
@@ -200,6 +202,7 @@ def decoded_binary_df(spark, sf_dir, include=None) -> DataFrame:
             ("tool_version", "string"),
         ],
         include=include,
+        start_after_gtid=start_after_gtid,
     )
 
 
@@ -243,6 +246,48 @@ def oracle_cdc_gtid_lineage():
              PARTITION BY log_file ORDER BY log_pos, server_id) AS seq,
            {spec.gtid_expr('duckdb', 'xid')} AS gtid
     FROM dedup
+    """
+
+
+def _resume_gno(spark: SparkSession) -> int:
+    """Mid-log GTID resume point, derived the same way in Spark and the
+    oracle: gno = (max(event_id) div 10) div 2 + 1 — i.e. resume after
+    roughly half the transactions (xid = event_id div 10, gno = xid+1)."""
+    m = spark.sql("SELECT max(event_id) AS m FROM events").first()["m"]
+    return (int(m) // 10) // 2 + 1
+
+
+def q_cdc_gtid_resume(spark, sf_dir):
+    """Resume-by-GTID: decode skipping every transaction with GNO ≤ the
+    mid-log resume point — the modern CDC consumer contract (beyond
+    parity: the reference resumes only by file+position).  The skip is
+    pushed into both decode kernels before row decode; the oracle keeps
+    exactly the rows whose xid-derived GNO exceeds the threshold."""
+    _events(spark, sf_dir)
+    gno = _resume_gno(spark)
+    dec = decoded_binary_df(
+        spark, sf_dir, start_after_gtid=(spec.GTID_UUID, gno)
+    )
+    dec = image_view(dec, IMAGE_COLS)
+    w = Window.partitionBy("log_file").orderBy("log_pos", "batch_seq")
+    return dec.select(
+        "log_file",
+        F.row_number().over(w).alias("seq"),
+        "gtid", "conv_id", "turn_idx",
+    )
+
+
+def oracle_cdc_gtid_resume():
+    gno_expr = "(((SELECT MAX(event_id) FROM events) // 10) // 2 + 1)"
+    return f"""
+    WITH dedup AS ({spec.dedup_sql('duckdb')})
+    SELECT log_file,
+           ROW_NUMBER() OVER (
+             PARTITION BY log_file ORDER BY log_pos, server_id) AS seq,
+           {spec.gtid_expr('duckdb', 'xid')} AS gtid,
+           conv_id, turn_idx
+    FROM dedup
+    WHERE (xid + 1) > {gno_expr}
     """
 
 
@@ -922,6 +967,68 @@ def oracle_doc_fingerprint():
     SELECT doc_id, {T.fingerprint_sql('text')} AS fp,
            {T.prefix_fingerprint_sql('text')} AS prefix_fp
     FROM documents
+    """
+
+
+SAMPLE_RATES = {"en": 0.3}  # rebalance the dominant language
+SAMPLE_DEFAULT = 1.0
+SAMPLE_SEED = 0
+PACK_BUDGET = 512  # tokens per packed context window
+
+
+def q_doc_sample(spark, sf_dir):
+    """Deterministic stratified sampling (language rebalancing): keep a
+    hash-derived 30% of English, 100% of everything else — RNG-free, so
+    the sample is identical across re-runs, retries, and cluster sizes,
+    and nested under rate changes (operators/sampling.py)."""
+    from .operators.sampling import stratified_sample
+
+    docs = _docs(spark, sf_dir)
+    return stratified_sample(
+        docs, SAMPLE_RATES, strata_col="lang", key_col="doc_id",
+        default_rate=SAMPLE_DEFAULT, seed=SAMPLE_SEED,
+    ).select("doc_id", "lang")
+
+
+def oracle_doc_sample():
+    from .operators.sampling import hash_fraction_sql
+
+    frac = hash_fraction_sql("doc_id", SAMPLE_SEED)
+    return f"""
+    SELECT doc_id, lang
+    FROM documents
+    WHERE {frac} < CASE WHEN lang = 'en' THEN {SAMPLE_RATES['en']}
+                        ELSE {SAMPLE_DEFAULT} END
+    """
+
+
+def q_doc_pack(spark, sf_dir):
+    """Token-budget sequence packing: documents packed into ≈512-token
+    bins per source shard by cumulative whitespace-token count — one
+    shuffle on the shard key, one window per shard, no global ordering
+    (operators/sampling.py)."""
+    from .operators.sampling import pack_sequences
+
+    docs = _docs(spark, sf_dir)
+    return pack_sequences(
+        docs, PACK_BUDGET, T.ws_token_count(F.col("text")),
+        group_col="source", order_col="doc_id",
+    )
+
+
+def oracle_doc_pack():
+    return f"""
+    SELECT source, doc_id, n_tokens,
+           CAST(FLOOR(COALESCE(SUM(n_tokens) OVER (
+                  PARTITION BY source ORDER BY doc_id
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+                ), 0) / {PACK_BUDGET}) AS INT) AS bin_id
+    FROM (
+      SELECT source, doc_id,
+             CAST(len(regexp_split_to_array(trim(text), '{T.WS}')) AS BIGINT)
+               AS n_tokens
+      FROM documents
+    )
     """
 
 

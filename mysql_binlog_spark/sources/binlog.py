@@ -273,6 +273,7 @@ def read_binlog(
     include: set[tuple[str, str]] | None = None,
     exclude: set[tuple[str, str]] | None = None,
     start_lsn: tuple[str, int] | None = None,
+    start_after_gtid: tuple[str, int] | None = None,
     verify_crc: bool = False,
     files_df: DataFrame | None = None,
     before_mode: str = "full",
@@ -410,6 +411,7 @@ def read_binlog(
                         verify_crc=verify_crc,
                         before_mode=before_mode,
                         tolerate_truncation=tolerate_truncation,
+                        start_after_gtid=start_after_gtid,
                     )
                 else:
                     batch = decode_chunk(
@@ -422,6 +424,7 @@ def read_binlog(
                         before_mode=before_mode,
                         text_as_bytes=True,
                         tolerate_truncation=tolerate_truncation,
+                        start_after_gtid=start_after_gtid,
                     )
                 n = len(batch)
                 m = batch.meta_numpy()  # np.repeat expansion, not per-row

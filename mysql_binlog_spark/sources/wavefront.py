@@ -215,6 +215,7 @@ def decode_chunk_wavefront(
     verify_crc: bool = False,
     before_mode: str = "full",
     tolerate_truncation: bool = False,
+    start_after_gtid: tuple[str, int] | None = None,
 ) -> DecodedBatch:
     """decode_chunk twin returning offsets-mode columns as numpy int64
     arrays, produced by the wavefront kernels.  Falls back to
@@ -231,6 +232,10 @@ def decode_chunk_wavefront(
     groups: dict = {}  # (id(t), etype) → [t, etype, ev_idx[], starts[], ends[]]
     n_included = 0
     cur_gtid: str | None = None  # set by GTID frame, cleared by XID
+    skip_txn = False  # inside a transaction at/before start_after_gtid
+    if start_after_gtid is not None:
+        resume_sid, resume_gno = start_after_gtid
+        resume_prefix = resume_sid + ":"
     off = 4
     total = len(data)
     unpack = struct.unpack_from
@@ -258,7 +263,7 @@ def decode_chunk_wavefront(
             tables[t.table_id] = t
             verdicts.pop(t.table_id, None)
             out.tables_seen[(t.schema, t.table)] = t
-        elif etype in ACTION_BY_EVENT and off >= start_pos:
+        elif etype in ACTION_BY_EVENT and off >= start_pos and not skip_txn:
             table_id = unpack("<Q", mv, off + HEADER_LEN)[0] & 0xFFFFFFFFFFFF
             v = verdicts.get(table_id)
             if v is None:
@@ -307,11 +312,15 @@ def decode_chunk_wavefront(
             # txn lineage tag, mirrors decode_chunk exactly (3-kernel
             # parity): set until the closing XID; NULL on GTID-less logs
             p0 = off + HEADER_LEN
-            cur_gtid = format_gtid(
-                bytes(mv[p0 + 1 : p0 + 17]), unpack("<q", mv, p0 + 17)[0]
-            )
+            gno = unpack("<q", mv, p0 + 17)[0]
+            cur_gtid = format_gtid(bytes(mv[p0 + 1 : p0 + 17]), gno)
+            if start_after_gtid is not None:
+                skip_txn = (
+                    cur_gtid.startswith(resume_prefix) and gno <= resume_gno
+                )
         elif etype == XID_EVENT:
             cur_gtid = None
+            skip_txn = False
         off += size
 
     if n_included < MIN_WAVEFRONT_EVENTS:
@@ -322,6 +331,7 @@ def decode_chunk_wavefront(
             verify_crc=verify_crc, image_cols=image_cols,
             before_mode=before_mode,
             tolerate_truncation=tolerate_truncation, value_mode="offsets",
+            start_after_gtid=start_after_gtid,
         )
 
     n_slots = len(out.columns)

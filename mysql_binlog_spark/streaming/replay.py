@@ -82,6 +82,7 @@ def replay_batch(
     files_per_epoch: int = 4,
     stop_after_epochs: int | None = None,
     start_lsn: tuple[str, int] | None = None,
+    start_after_gtid: tuple[str, int] | None = None,
     maintain_every: int | None = 16,
     pipeline: bool = True,
 ) -> ReplayStats:
@@ -92,6 +93,9 @@ def replay_batch(
     A/B control in BENCH/ANALYSIS.md).
 
     ``stop_after_epochs`` simulates a mid-replay crash for resume tests.
+    ``start_after_gtid`` = (sid uuid, gno): resume-by-GTID — skip every
+    transaction of that SID with GNO ≤ gno (pushed into the decode
+    kernels; file-level pruning still needs ``start_lsn``).
     ``start_lsn`` = (binlog_file, position): chunks before the file are
     pruned from the epoch plan entirely; events before the position inside
     the start file are skipped by the decode source (reference's
@@ -133,6 +137,7 @@ def replay_batch(
         decoded = read_binlog(
             spark, paths, image_cols=image_cols, include=include_set,
             exclude=exclude_set, start_lsn=start_lsn,
+            start_after_gtid=start_after_gtid,
             before_mode="delete_only",  # apply never reads update befores
         )
         cols = (
@@ -189,6 +194,7 @@ def replay_stream(
     max_files_per_trigger: int = 4,
     timeout_sec: float = 300.0,
     start_lsn: tuple[str, int] | None = None,
+    start_after_gtid: tuple[str, int] | None = None,
     maintain_every: int | None = 16,
 ) -> ReplayStats:
     """Structured Streaming replay over the chunk directory.
@@ -224,6 +230,7 @@ def replay_stream(
         decoded = read_binlog(
             spark, paths, image_cols=image_cols, include=include_set,
             exclude=exclude_set, start_lsn=start_lsn,
+            start_after_gtid=start_after_gtid,
             before_mode="delete_only",  # apply never reads update befores
         )
         cols = (

@@ -1495,8 +1495,16 @@ def decode_chunk(
     tolerate_truncation: bool = False,
     text_as_bytes: bool = False,
     value_mode: str = "python",
+    start_after_gtid: tuple[str, int] | None = None,
 ) -> DecodedBatch:
     """Decode one binlog chunk file into a column-major batch.
+
+    ``start_after_gtid`` = (sid uuid text, gno): skip the row events of
+    every transaction whose GTID has that SID and GNO ≤ the given value
+    — the resume-by-GTID consumer contract (a superset of the
+    reference's position-based resume; it skips before row decode, like
+    the table filter).  Transactions from other SIDs and GTID-less
+    events are unaffected.
 
     Filter pushdown mirrors the reference: the include/exclude check runs on
     the 6-byte tableId lookup *before* any row decode
@@ -1550,6 +1558,10 @@ def decode_chunk(
     ev_gtid_a = out.ev_gtid.append
     ev_cnt_a = out.ev_cnt.append
     cur_gtid: str | None = None  # set by GTID frame, cleared by XID
+    skip_txn = False  # inside a transaction at/before start_after_gtid
+    if start_after_gtid is not None:
+        resume_sid, resume_gno = start_after_gtid
+        resume_prefix = resume_sid + ":"
     while off + HEADER_LEN <= total:
         # header fast path: only the type byte and size are needed for
         # control frames; ts/server_id are read for row events below
@@ -1590,7 +1602,7 @@ def decode_chunk(
                             out.before_cols.append(mk_null(nrows))
                             out.after_cols.append(mk_null(nrows))
                             decoders.clear()  # layouts changed
-        elif etype in ACTION_BY_EVENT and off >= start_pos:
+        elif etype in ACTION_BY_EVENT and off >= start_pos and not skip_txn:
             # u48 table id via one masked u64 read straight off the frame
             # (flags+extra follow, so 8 bytes are always available) — the
             # payload bytes are only copied for INCLUDED tables
@@ -1724,11 +1736,15 @@ def decode_chunk(
             # 244-253); carrying them is a deliberate superset, since
             # resume-by-GTID is the modern CDC consumer contract.
             p0 = off + HEADER_LEN
-            cur_gtid = format_gtid(
-                bytes(mv[p0 + 1 : p0 + 17]), unpack("<q", mv, p0 + 17)[0]
-            )
+            gno = unpack("<q", mv, p0 + 17)[0]
+            cur_gtid = format_gtid(bytes(mv[p0 + 1 : p0 + 17]), gno)
+            if start_after_gtid is not None:
+                skip_txn = (
+                    cur_gtid.startswith(resume_prefix) and gno <= resume_gno
+                )
         elif etype == XID_EVENT:
             cur_gtid = None  # transaction closed
+            skip_txn = False
         # ROTATE/QUERY/HEARTBEAT/FDE are control frames: position
         # bookkeeping only (reference drops them too,
         # EventsIterator.php:153-173, :237-266).

@@ -51,6 +51,9 @@ def parse_args(argv: list[str] | None = None) -> argparse.Namespace:
     p.add_argument("--databases", default=env("DATABASES", "app"))
     p.add_argument("--exclude-databases", default=env("EXCLUDE_DATABASES"))
     p.add_argument("--binlog-file", default=env("BINLOG_FILE"))
+    p.add_argument("--start-after-gtid", default=env("START_AFTER_GTID"),
+                   help="resume-by-GTID: 'sid-uuid:gno' — skip "
+                        "transactions of that SID with GNO <= gno")
     p.add_argument("--binlog-position", type=int,
                    default=int(env("BINLOG_POSITION", "0")))
     p.add_argument("--files-per-epoch", type=int, default=8)
@@ -101,6 +104,12 @@ def main(argv: list[str] | None = None) -> dict:
     # start LSN (reference Config: binlogFile/binlogPosition) — threaded
     # into the decode source's file pruning + in-chunk position skip
     start_lsn = (a.binlog_file, a.binlog_position) if a.binlog_file else None
+    start_gtid = None
+    if a.start_after_gtid:
+        sid, _, gno = a.start_after_gtid.rpartition(":")
+        if not sid or not gno.isdigit():
+            raise SystemExit("--start-after-gtid must be 'sid-uuid:gno'")
+        start_gtid = (sid, int(gno))
     spark = get_spark(app_name="mbs-replay", master=a.master)
     table = LakeTable.create(
         a.table_dir, DEFAULT_COLUMNS, _split(a.key), n_buckets=a.n_buckets
@@ -112,11 +121,13 @@ def main(argv: list[str] | None = None) -> dict:
             spark, a.chunk_dir, table, a.checkpoint, include=include,
             exclude=exclude,
             max_files_per_trigger=a.files_per_epoch, start_lsn=start_lsn,
+            start_after_gtid=start_gtid,
         )
     else:
         stats = replay_batch(
             spark, a.chunk_dir, table, include=include, exclude=exclude,
             files_per_epoch=a.files_per_epoch, start_lsn=start_lsn,
+            start_after_gtid=start_gtid,
         )
     summary = {
         "mode": a.mode,

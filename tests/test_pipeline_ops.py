@@ -332,3 +332,57 @@ def test_pipeline_ops_leave_no_cached_blocks(spark, sf_dir):
         cosine_neardup_pairs(embs, threshold=0.95).count()
     after = set(dict(spark.sparkContext._jsc.getPersistentRDDs()))
     assert after - before == set(), f"leaked cached RDD ids: {after - before}"
+
+
+def test_deterministic_sample_is_nested_and_stable(spark, sf_dir):
+    """Lowering a rate must yield a SUBSET of the higher-rate sample
+    (same hash coin), and re-running must give identical ids (no RNG)."""
+    from mysql_binlog_spark.operators.sampling import deterministic_sample
+
+    docs = _docs(spark, sf_dir)
+    s30 = {r["doc_id"] for r in deterministic_sample(docs, 0.3).select("doc_id").collect()}
+    s60 = {r["doc_id"] for r in deterministic_sample(docs, 0.6).select("doc_id").collect()}
+    again = {r["doc_id"] for r in deterministic_sample(docs, 0.3).select("doc_id").collect()}
+    n = docs.count()
+    assert s30 <= s60 and s30 == again
+    assert 0.15 * n < len(s30) < 0.45 * n  # roughly the asked rate
+
+
+def test_pack_sequences_budget_property(spark, sf_dir):
+    """Within every bin: total tokens stays under budget + the boundary
+    document (contiguous packing overflows by at most one doc), and
+    every non-final bin reaches the budget."""
+    from mysql_binlog_spark.functions.text import ws_token_count
+    from mysql_binlog_spark.operators.sampling import pack_sequences
+
+    docs = _docs(spark, sf_dir)
+    budget = 512
+    packed = pack_sequences(
+        docs, budget, ws_token_count(F.col("text")),
+        group_col="source", order_col="doc_id",
+    )
+    rows = packed.orderBy("source", "doc_id").collect()
+    by_src: dict = {}
+    for r in rows:
+        by_src.setdefault(r["source"], []).append(r)
+    for src, docs_ in by_src.items():
+        cum = 0
+        prev_bin = 0
+        for r in docs_:
+            # bin = the budget window the doc STARTS in: contiguous,
+            # non-decreasing, and each doc's bin matches its cum offset
+            assert r["bin_id"] == cum // budget
+            assert r["bin_id"] >= prev_bin
+            prev_bin = r["bin_id"]
+            cum += r["n_tokens"]
+        # every non-final bin's window is fully consumed: the doc that
+        # closes bin k carries cum past (k+1)*budget (overflow ≤ 1 doc)
+        final_bin = docs_[-1]["bin_id"]
+        cum = 0
+        for r in docs_:
+            end = cum + r["n_tokens"]
+            if r["bin_id"] < final_bin:
+                nxt = docs_[[d["doc_id"] for d in docs_].index(r["doc_id"]) + 1]
+                if nxt["bin_id"] != r["bin_id"]:  # r closes its bin
+                    assert end >= (r["bin_id"] + 1) * budget
+            cum = end

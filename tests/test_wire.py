@@ -293,3 +293,38 @@ def test_gtid_lineage_roundtrip_and_reset():
     w2.write_table_map(0, t)
     w2.write_rows(0, t, "insert", [ROW])
     assert decode_chunk(w2.getvalue()).gtid == [None]
+
+
+def test_gtid_resume_skips_transactions_at_or_before():
+    """start_after_gtid skips whole transactions with GNO <= the resume
+    point, leaves later transactions and foreign-SID/untagged events,
+    and both decode kernels agree."""
+    from mysql_binlog_spark.sources.wavefront import decode_chunk_wavefront
+
+    sid = bytes.fromhex("00000000000040008000000000000666")
+    other = bytes.fromhex("11111111111141118111111111111111")
+    uuid = "00000000-0000-4000-8000-000000000666"
+    w = BinlogWriter()
+    t = sample_schema()
+    w.write_table_map(0, t)
+    for gno, turn in ((1, 1), (2, 2), (3, 3)):
+        w.write_gtid(0, sid, gno)
+        w.write_query(0, "app", "BEGIN")
+        w.write_rows(0, t, "insert", [dict(ROW, turn_idx=turn)])
+        w.write_xid(0, gno)
+    # foreign SID with small gno: must NOT be skipped
+    w.write_gtid(0, other, 1)
+    w.write_query(0, "app", "BEGIN")
+    w.write_rows(0, t, "insert", [dict(ROW, turn_idx=99)])
+    w.write_xid(0, 7)
+    data = w.getvalue()
+    batch = decode_chunk(data, start_after_gtid=(uuid, 2))
+    turns = [r["turn_idx"] for r in batch.after]
+    assert turns == [3, 99]
+    cols = [c.name for c in t.columns]
+    wf = decode_chunk_wavefront(
+        data, image_cols=cols, start_after_gtid=(uuid, 2)
+    )
+    assert len(wf) == 2 and wf.gtid[0].endswith(":3")
+    # no resume point → everything decodes
+    assert len(decode_chunk(data)) == 4
