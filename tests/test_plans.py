@@ -106,3 +106,50 @@ def test_cosine_lsh_bucket_sizes_sublinear(spark, sf_dir):
             .collect()[0]["mx"]
         )
         assert sizes <= max(8, n // 5), (j, sizes, n)
+
+
+def test_sample_is_shuffle_free_pushdown_filter(spark, sf_dir):
+    """Deterministic sampling must be a pure per-row filter: zero
+    exchanges, and the scan reads only the referenced columns."""
+    from mysql_binlog_spark.operators.sampling import stratified_sample
+
+    docs = spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
+    p = plan(
+        stratified_sample(docs, {"en": 0.3}).select("doc_id", "lang")
+    )
+    assert "Exchange" not in p
+    assert "text" not in p.split("ReadSchema:")[-1]  # column pruned
+
+
+def test_pack_sequences_single_group_shuffle(spark, sf_dir):
+    """Packing must shuffle exactly once, keyed on the group column —
+    no global-order window (which would be a single-partition sort)."""
+    from mysql_binlog_spark.functions.text import ws_token_count
+    from mysql_binlog_spark.operators.sampling import pack_sequences
+
+    docs = spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
+    p = plan(
+        pack_sequences(docs, 512, ws_token_count(F.col("text")),
+                       group_col="source", order_col="doc_id")
+    )
+    # formatted mode names the node once in the tree and once in the
+    # details ("(3) Exchange" + "Arguments: hashpartitioning(source...)")
+    assert p.count("Arguments: hashpartitioning") == 1
+    assert "hashpartitioning(source" in p
+    assert "SinglePartition" not in p  # the global-window anti-pattern
+
+
+def test_gtid_resume_prunes_before_row_decode(spark, sf_dir):
+    """Resume-by-GTID runs inside the decode kernel: the skipped
+    transactions never become rows, so the decoded count drops without
+    any Catalyst Filter on gtid (which would mean decode-then-discard)."""
+    from mysql_binlog_spark import driver_queries as dq
+    from mysql_binlog_spark import spec
+
+    full = dq.decoded_binary_df(spark, sf_dir)
+    resumed = dq.decoded_binary_df(
+        spark, sf_dir, start_after_gtid=(spec.GTID_UUID, 10)
+    )
+    n_full, n_res = full.count(), resumed.count()
+    assert 0 < n_res < n_full
+    assert "Filter" not in plan(resumed).split("MapInArrow")[0]
