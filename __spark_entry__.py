@@ -48,6 +48,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cdc_decode_binary": dq.q_cdc_decode_binary,
         "cdc_gtid_lineage": dq.q_cdc_gtid_lineage,
         "cdc_gtid_resume": dq.q_cdc_gtid_resume,
+        "cdc_gtid_set_resume": dq.q_cdc_gtid_set_resume,
         "cdc_decode_types": dq.q_cdc_decode_types,
         "cdc_apply_e2e": dq.q_cdc_apply_e2e,
         # training-data pipeline: dedup families
@@ -68,6 +69,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_fingerprint": dq.q_doc_fingerprint,
         "doc_sample": dq.q_doc_sample,
         "doc_pack": dq.q_doc_pack,
+        "doc_tokens_bpe": dq.q_doc_tokens_bpe,
+        "doc_pack_bpe": dq.q_doc_pack_bpe,
         # similarity search / ANN
         "emb_cosine_knn": dq.q_emb_cosine_knn,
         "emb_sq8_knn": dq.q_emb_sq8_knn,
@@ -78,6 +81,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # multimodal plumbing
         "multimodal_meta": dq.q_multimodal_meta,
         "multimodal_frames": dq.q_multimodal_frames,
+        "multimodal_real_decode": dq.q_multimodal_real_decode,
         # windowed / sessionization
         "events_sessionize": dq.q_events_sessionize,
     }
@@ -101,6 +105,7 @@ def oracle_sql() -> dict[str, str]:
         "cdc_decode_binary": dq.oracle_cdc_decode_binary(),
         "cdc_gtid_lineage": dq.oracle_cdc_gtid_lineage(),
         "cdc_gtid_resume": dq.oracle_cdc_gtid_resume(),
+        "cdc_gtid_set_resume": dq.oracle_cdc_gtid_set_resume(),
         "cdc_decode_types": dq.oracle_cdc_decode_types(),
         "cdc_apply_e2e": dq.oracle_cdc_apply_e2e(),
         "doc_dedup_exact": dq.oracle_doc_dedup_exact(),
@@ -119,6 +124,8 @@ def oracle_sql() -> dict[str, str]:
         "doc_fingerprint": dq.oracle_doc_fingerprint(),
         "doc_sample": dq.oracle_doc_sample(),
         "doc_pack": dq.oracle_doc_pack(),
+        "doc_tokens_bpe": dq.oracle_doc_tokens_bpe(),
+        "doc_pack_bpe": dq.oracle_doc_pack_bpe(),
         "emb_cosine_knn": dq.oracle_emb_cosine_knn(),
         "emb_sq8_knn": dq.oracle_emb_sq8_knn(),
         "emb_ivf_knn": dq.oracle_emb_ivf_knn(),
@@ -127,5 +134,6 @@ def oracle_sql() -> dict[str, str]:
         "emb_neardup_cosine": dq.oracle_emb_neardup_cosine(),
         "multimodal_meta": dq.oracle_multimodal_meta(),
         "multimodal_frames": dq.oracle_multimodal_frames(),
+        "multimodal_real_decode": dq.oracle_multimodal_real_decode(),
         "events_sessionize": dq.oracle_events_sessionize(),
     }

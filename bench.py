@@ -55,6 +55,14 @@ EPF = int(os.environ.get("BENCH_EPF", "5000"))
 RUNS = int(os.environ.get("BENCH_RUNS", "3"))
 WARMUP = int(os.environ.get("BENCH_WARMUP", "1"))
 ONLY = set(filter(None, os.environ.get("BENCH_ONLY", "").split(",")))
+# Quiet-window gate (scaleout.py's SCALE_OUT_WAIT_LOAD, ported round 6 —
+# VERDICT r5 task 2: the r5 headline ran under ~13 external cores).
+# Before each timed run, wait for the 1-min loadavg to drop below
+# BENCH_WAIT_LOAD, giving up after a per-query BENCH_WAIT_MAX budget;
+# the wait (and whether the gate gave up) is recorded in attribution.
+# 0 disables the gate.
+WAIT_LOAD = float(os.environ.get("BENCH_WAIT_LOAD", "4.0"))
+WAIT_MAX_SEC = float(os.environ.get("BENCH_WAIT_MAX", "240"))
 
 IMAGE_COLS = [
     ("conv_id", "string"), ("turn_idx", "int"), ("role", "string"),
@@ -93,7 +101,8 @@ def amplified_changelog(spark):
 
 
 def bench_dir(spark) -> str:
-    tag = f"sf={os.path.basename(SF_DIR.rstrip('/'))}-amp={AMP}-epf={EPF}-v2"
+    # v3: two-SID GTID frames + txn framing before TABLE_MAP (round 6)
+    tag = f"sf={os.path.basename(SF_DIR.rstrip('/'))}-amp={AMP}-epf={EPF}-v3"
     out = os.path.join(tempfile.gettempdir(), "mbs_bench", tag)
     marker = os.path.join(out, "_COMPLETE")
     if os.path.exists(marker):
@@ -138,14 +147,32 @@ def timed(fn, name: str, runs: int = RUNS) -> float:
     steady-state median."""
     import statistics
 
+    wait_budget = WAIT_MAX_SEC  # shared across this query's runs
+    waited = 0.0
+    gave_up = False
+
+    def gate() -> None:
+        nonlocal wait_budget, waited, gave_up
+        if WAIT_LOAD <= 0:
+            return
+        while _loadavg() > WAIT_LOAD and wait_budget > 0:
+            step = min(10.0, wait_budget)
+            time.sleep(step)
+            wait_budget -= step
+            waited += step
+        if _loadavg() > WAIT_LOAD:
+            gave_up = True
+
     warmups: list[float] = []
     for _ in range(WARMUP):
+        gate()
         t0 = time.time()
         fn()
         warmups.append(round(time.time() - t0, 3))
     times: list[float] = []
     loads: list[list[float]] = []
     for _ in range(runs):
+        gate()
         la0 = _loadavg()
         t0 = time.time()
         fn()
@@ -154,6 +181,10 @@ def timed(fn, name: str, runs: int = RUNS) -> float:
         loads.append([la0, _loadavg()])
     ATTRIBUTION[name] = {
         "warmup_sec": warmups, "runs_sec": times, "loadavg_1m": loads,
+        "quiet_gate": {
+            "threshold": WAIT_LOAD, "waited_sec": round(waited, 1),
+            "gave_up": gave_up,
+        },
     }
     return round(statistics.median(times), 2)
 
@@ -262,7 +293,9 @@ def main() -> None:
                 "events_total": n_events,
                 "events_per_sec_applied": eps,
                 "protocol": f"median of {RUNS} runs after {WARMUP} untimed "
-                "warmup run(s); 1-min loadavg sampled before/after each run",
+                "warmup run(s); 1-min loadavg sampled before/after each run; "
+                f"quiet gate: wait (≤{WAIT_MAX_SEC:.0f}s/query) for "
+                f"loadavg < {WAIT_LOAD}",
                 "attribution": ATTRIBUTION,
             }
         )

@@ -68,7 +68,7 @@ replay_stream(spark, chunks, table, ckpt,
 
 
 def fixture_dir() -> tuple[str, int]:
-    tag = f"sf={os.path.basename(SF_DIR.rstrip('/'))}-amp={AMP}-epf={EPF}-v2"
+    tag = f"sf={os.path.basename(SF_DIR.rstrip('/'))}-amp={AMP}-epf={EPF}-v3"  # v3: 2-SID GTID fixtures
     d = os.path.join(tempfile.gettempdir(), "mbs_bench", tag)
     marker = os.path.join(d, "_COMPLETE")
     if not os.path.exists(marker):

@@ -221,7 +221,7 @@ def run_width(chunks: list[str], cores: int, n_events: int) -> dict:
 
 def main() -> None:
     tag = FIXTURE_TAG or (
-        f"sf={os.path.basename(SF_DIR.rstrip('/'))}-amp={AMP}-epf={EPF}-v2"
+        f"sf={os.path.basename(SF_DIR.rstrip('/'))}-amp={AMP}-epf={EPF}-v3"  # v3: 2-SID GTID fixtures
     )
     chunk_dir = os.path.join(tempfile.gettempdir(), "mbs_bench", tag)
     if not os.path.exists(os.path.join(chunk_dir, "_COMPLETE")):

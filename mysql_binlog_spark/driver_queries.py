@@ -174,7 +174,7 @@ def binlog_fixture_dir(spark: SparkSession, sf_dir: str) -> str:
     """Generate (once, cached) the binary binlog chunks for sf_dir's derived
     changelog.  Encoding runs distributed (one task per chunk)."""
     tag = hashlib.sha1(
-        f"{sf_dir}:epf={spec.EVENTS_PER_FILE}:v5".encode()  # v5: GTID frames
+        f"{sf_dir}:epf={spec.EVENTS_PER_FILE}:v6".encode()  # v6: 2-SID GTID
     ).hexdigest()[:12]
     out = os.path.join(tempfile.gettempdir(), "mbs_fixtures", tag)
     marker = os.path.join(out, "_COMPLETE")
@@ -251,18 +251,25 @@ def oracle_cdc_gtid_lineage():
 
 def _resume_gno(spark: SparkSession) -> int:
     """Mid-log GTID resume point, derived the same way in Spark and the
-    oracle: gno = (max(event_id) div 10) div 2 + 1 — i.e. resume after
-    roughly half the transactions (xid = event_id div 10, gno = xid+1)."""
+    oracle.  With the two-SID scheme (spec.py: sid = xid % 2,
+    gno = xid // 2 + 1; xid = event_id div 10) each SID's GNOs run
+    1..max_xid//2+1 — the resume threshold is half of that range."""
     m = spark.sql("SELECT max(event_id) AS m FROM events").first()["m"]
-    return (int(m) // 10) // 2 + 1
+    return (((int(m) // 10) // 2) + 1) // 2
+
+
+# DuckDB twin of _resume_gno (threshold for SID A = GTID_UUID)
+_GNO_THR = "((((SELECT MAX(event_id) FROM events) // 10) // 2 + 1) // 2)"
 
 
 def q_cdc_gtid_resume(spark, sf_dir):
-    """Resume-by-GTID: decode skipping every transaction with GNO ≤ the
-    mid-log resume point — the modern CDC consumer contract (beyond
-    parity: the reference resumes only by file+position).  The skip is
-    pushed into both decode kernels before row decode; the oracle keeps
-    exactly the rows whose xid-derived GNO exceeds the threshold."""
+    """Resume-by-GTID, single SID on a MULTI-SID log: decode skipping
+    every transaction of SID A with GNO ≤ the mid-log resume point —
+    transactions of SID B are unaffected (the modern CDC consumer
+    contract; beyond parity: the reference resumes only by
+    file+position).  The skip is pushed into both decode kernels before
+    row decode; the oracle keeps exactly the rows whose xid-derived
+    (sid, gno) clears the threshold."""
     _events(spark, sf_dir)
     gno = _resume_gno(spark)
     dec = decoded_binary_df(
@@ -278,7 +285,6 @@ def q_cdc_gtid_resume(spark, sf_dir):
 
 
 def oracle_cdc_gtid_resume():
-    gno_expr = "(((SELECT MAX(event_id) FROM events) // 10) // 2 + 1)"
     return f"""
     WITH dedup AS ({spec.dedup_sql('duckdb')})
     SELECT log_file,
@@ -287,7 +293,50 @@ def oracle_cdc_gtid_resume():
            {spec.gtid_expr('duckdb', 'xid')} AS gtid,
            conv_id, turn_idx
     FROM dedup
-    WHERE (xid + 1) > {gno_expr}
+    WHERE NOT (xid % 2 = 0 AND {spec.gtid_gno_expr('duckdb', 'xid')}
+               <= {_GNO_THR})
+    """
+
+
+def q_cdc_gtid_set_resume(spark, sf_dir):
+    """Resume by GTID SET (round 6): per-SID thresholds — SID A resumes
+    at the mid-log point, SID B at half that — exactly the multi-source
+    replication contract a single (sid, gno) cannot express.  Both
+    kernels take the ``{sid: gno}`` dict and skip whole transactions
+    before row decode.  The CLI form is 'sidA:gnoA,sidB:gnoB'
+    (scripts/replay.py)."""
+    _events(spark, sf_dir)
+    gno_a = _resume_gno(spark)
+    dec = decoded_binary_df(
+        spark, sf_dir,
+        # SID A given UPPERCASE on purpose: normalize_gtid_resume must
+        # case-fold it (ADVICE round-5)
+        start_after_gtid={
+            spec.GTID_UUID.upper(): gno_a,
+            spec.GTID_UUID2: gno_a // 2,
+        },
+    )
+    dec = image_view(dec, IMAGE_COLS)
+    w = Window.partitionBy("log_file").orderBy("log_pos", "batch_seq")
+    return dec.select(
+        "log_file",
+        F.row_number().over(w).alias("seq"),
+        "gtid", "conv_id", "turn_idx",
+    )
+
+
+def oracle_cdc_gtid_set_resume():
+    gno = spec.gtid_gno_expr("duckdb", "xid")
+    return f"""
+    WITH dedup AS ({spec.dedup_sql('duckdb')})
+    SELECT log_file,
+           ROW_NUMBER() OVER (
+             PARTITION BY log_file ORDER BY log_pos, server_id) AS seq,
+           {spec.gtid_expr('duckdb', 'xid')} AS gtid,
+           conv_id, turn_idx
+    FROM dedup
+    WHERE CASE WHEN xid % 2 = 0 THEN {gno} > {_GNO_THR}
+               ELSE {gno} > ({_GNO_THR} // 2) END
     """
 
 
@@ -1032,6 +1081,59 @@ def oracle_doc_pack():
     """
 
 
+def q_doc_tokens_bpe(spark, sf_dir):
+    """REAL BPE token counts (round 6): the fixed 50-merge char-level
+    BPE applied as a JVM replace chain (functions/text.py BPE_MERGES) —
+    the token currency budget packing actually needs; whitespace counts
+    misprice code/CJK by 2-5×.  The oracle replays the identical merge
+    list with DuckDB's replace."""
+    docs = _docs(spark, sf_dir)
+    return docs.select(
+        "doc_id",
+        T.bpe_token_count(F.col("text")).alias("n_tokens_bpe"),
+        T.ws_token_count(F.col("text")).alias("n_tokens_ws"),
+    )
+
+
+def oracle_doc_tokens_bpe():
+    return f"""
+    SELECT doc_id,
+           {T.bpe_token_count_sql('text')} AS n_tokens_bpe,
+           len(regexp_split_to_array(trim(text), '{T.WS}')) AS n_tokens_ws
+    FROM documents
+    """
+
+
+def q_doc_pack_bpe(spark, sf_dir):
+    """Token-budget packing priced in REAL BPE tokens (round 6), and
+    length-bucketed: each shard orders by n_tokens DESC (doc_id
+    tiebreak) so the short tail fills boundary gaps — the standard
+    fill-ratio improvement over arrival order.  Same single-shuffle
+    plan shape as doc_pack."""
+    from .operators.sampling import pack_sequences
+
+    docs = _docs(spark, sf_dir)
+    return pack_sequences(
+        docs, PACK_BUDGET, T.bpe_token_count(F.col("text")),
+        group_col="source", order_col="doc_id", length_bucketed=True,
+    )
+
+
+def oracle_doc_pack_bpe():
+    return f"""
+    SELECT source, doc_id, n_tokens,
+           CAST(FLOOR(COALESCE(SUM(n_tokens) OVER (
+                  PARTITION BY source ORDER BY n_tokens DESC, doc_id
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+                ), 0) / {PACK_BUDGET}) AS INT) AS bin_id
+    FROM (
+      SELECT source, doc_id,
+             CAST({T.bpe_token_count_sql('text')} AS BIGINT) AS n_tokens
+      FROM documents
+    )
+    """
+
+
 # ----------------------------------------------------------- similarity/ANN
 
 
@@ -1393,6 +1495,42 @@ def oracle_multimodal_frames():
            CAST(list_max(bytes) AS INT) AS feat_max,
            CAST(wl AS INT) AS frame_bytes
     FROM feats
+    """
+
+
+def q_multimodal_real_decode(spark, sf_dir):
+    """REAL image codec under the hash gate (round 6, zero dependencies):
+    encode a deterministic pixel plane per document as a genuine 24-bit
+    BMP (54-byte header, bottom-up rows, stride padding), decode it back
+    with the numpy BMP reader, emit per-strip features.  The oracle
+    recomputes the strip features from the closed-form pixel function —
+    so a decoder bug (stride, row order, channel offset) hash-fails."""
+    from .operators.multimodal import decode_frames_bmp, with_bmp_payload
+
+    media = with_bmp_payload(_docs(spark, sf_dir))
+    return decode_frames_bmp(media)
+
+
+def oracle_multimodal_real_decode():
+    """Pixel (row-major i) = (doc_id·31 + i·7) % 256 on a 16×17 plane;
+    strip fi covers rows [fi·4, (fi+1)·4) = pixel indices [fi·68,
+    (fi+1)·68)."""
+    from .operators.multimodal import BMP_FRAMES, BMP_H, BMP_W
+
+    strip_px = (BMP_H // BMP_FRAMES) * BMP_W
+    total_px = BMP_H * BMP_W
+    return f"""
+    WITH px AS (
+      SELECT d.doc_id, g.i // {strip_px} AS fi,
+             (d.doc_id * 31 + g.i * 7) % 256 AS p
+      FROM documents d, generate_series(0, {total_px - 1}) g(i)
+    )
+    SELECT doc_id, CAST(fi AS INT) AS frame_idx,
+           SUM(p)::DOUBLE / COUNT(*) AS feat_mean,
+           CAST(MAX(p) AS INT) AS feat_max,
+           CAST(COUNT(*) AS INT) AS frame_bytes
+    FROM px
+    GROUP BY doc_id, fi
     """
 
 

@@ -52,9 +52,11 @@ from ..wire import (
     TableSchema,
     WireColumn,
 )
-from ..spec import GTID_SID_HEX
+from ..spec import GTID_SID2_HEX, GTID_SID_HEX
 
-_GTID_SID = bytes.fromhex(GTID_SID_HEX)
+# Two source-server SIDs (multi-source topology, spec.py round 6):
+# a transaction's SID is xid % 2, its GNO is xid // 2 + 1.
+_GTID_SIDS = (bytes.fromhex(GTID_SID_HEX), bytes.fromhex(GTID_SID2_HEX))
 
 IMAGE_COLS_V1 = ["conv_id", "turn_idx", "role", "text", "tool", "ts"]
 IMAGE_COLS_V2 = IMAGE_COLS_V1 + ["tool_version"]
@@ -204,22 +206,27 @@ def generate_binlog_chunks(
                 batch.append(rows_list[j])
                 j += 1
             ts_sec = row["_ts"][0]
+            # Transaction framing FIRST: on a real GTID-enabled server the
+            # GTID_LOG_EVENT precedes every event of its transaction,
+            # INCLUDING table maps (ADVICE round-5: the old order wrote a
+            # first-seen TABLE_MAP before the GTID frame).  SID = xid % 2
+            # (two-source topology), GNO = xid // 2 + 1 (1-based,
+            # contiguous per SID) — spec.py gtid_expr is the oracle twin.
+            if row["xid"] != current_xid:
+                if current_xid is not None:
+                    writer.write_xid(ts_sec, int(current_xid))
+                xid_i = int(row["xid"])
+                writer.write_gtid(
+                    ts_sec, _GTID_SIDS[xid_i % 2], xid_i // 2 + 1
+                )
+                writer.write_query(ts_sec, row["schema_name"], "BEGIN")
+                current_xid = row["xid"]
             if key not in table_ids:
                 table_ids[key] = 100 + len(table_ids)
                 tschema = transcripts_schema(key[0], key[1], table_ids[key], ver >= 2)
                 writer.write_table_map(ts_sec, tschema)
             tschema = transcripts_schema(key[0], key[1], table_ids[key], ver >= 2)
             img_cols = IMAGE_COLS_V2 if ver >= 2 else IMAGE_COLS_V1
-            if row["xid"] != current_xid:
-                if current_xid is not None:
-                    writer.write_xid(ts_sec, int(current_xid))
-                # GTID_LOG_EVENT precedes the transaction's BEGIN, as on
-                # a real GTID-enabled server; GNO is 1-based (spec.py)
-                writer.write_gtid(
-                    ts_sec, _GTID_SID, int(row["xid"]) + 1
-                )
-                writer.write_query(ts_sec, row["schema_name"], "BEGIN")
-                current_xid = row["xid"]
             writer.server_id = int(row["server_id"])
             action = row["action"]
             images = [_image(r, img_cols) for r in batch]

@@ -631,14 +631,17 @@ def simhash48_from_hashes():
             out[notnull] = 0
             return pd.Series(out, dtype="object")
         flat = np.concatenate(vals.to_numpy()).astype(np.int64, copy=False)
-        offs = np.concatenate(([0], np.cumsum(lens)[:-1]))
-        # Zero-length segments (empty hash arrays) would make reduceat
-        # read a neighbour's first element; clamp then zero them out.
-        safe_offs = np.minimum(offs, total - 1)
+        ends = np.cumsum(lens)
+        offs = ends - lens
+        # Per-segment sums via prefix sums: exact for zero-length
+        # segments (csum[off+len]-csum[off] == 0), unlike reduceat with
+        # clamped offsets, which truncated the preceding segment's end.
         ones = np.empty((len(lens), 48), dtype=np.int64)
+        csum = np.empty(total + 1, dtype=np.int64)
+        csum[0] = 0
         for b in range(48):
-            ones[:, b] = np.add.reduceat((flat >> b) & 1, safe_offs)
-        ones[lens == 0] = 0
+            np.cumsum((flat >> b) & 1, out=csum[1:])
+            ones[:, b] = csum[ends] - csum[offs]
         sims = ((ones * 2 > lens[:, None]).astype(np.int64) << bitpos).sum(
             axis=1
         )

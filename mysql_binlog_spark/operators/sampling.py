@@ -92,23 +92,35 @@ def pack_sequences(
     n_tokens: Column,
     group_col: str = "source",
     order_col: str = "doc_id",
+    length_bucketed: bool = False,
 ) -> DataFrame:
     """Assign each document a ``bin_id`` inside its group such that the
     documents of one bin total ≈ ``budget`` tokens (contiguous packing
     by cumulative count; a boundary document overflows its bin by at
     most itself).  Output: group, order key, n_tokens, bin_id.
 
-    One shuffle (by group), one window per group — no global ordering.
+    ``length_bucketed=True`` orders each shard by ``n_tokens DESC``
+    (``order_col`` as the deterministic tiebreak) — the standard
+    fill-ratio improvement: long documents are placed first, so the
+    short tail fills boundary gaps instead of each long straggler
+    overflowing into a fresh bin.  Same plan shape either way: one
+    shuffle (by group), one window per group — no global ordering.
     """
+    nt = n_tokens.cast("bigint")
+    order = (
+        [nt.desc(), F.col(order_col)]
+        if length_bucketed
+        else [F.col(order_col)]
+    )
     w = (
         Window.partitionBy(group_col)
-        .orderBy(order_col)
+        .orderBy(*order)
         .rowsBetween(Window.unboundedPreceding, -1)
     )
-    cum_before = F.coalesce(F.sum(n_tokens).over(w), F.lit(0))
+    cum_before = F.coalesce(F.sum(nt).over(w), F.lit(0))
     return df.select(
         F.col(group_col),
         F.col(order_col),
-        n_tokens.cast("bigint").alias("n_tokens"),
+        nt.alias("n_tokens"),
         F.floor(cum_before / F.lit(budget)).cast("int").alias("bin_id"),
     )

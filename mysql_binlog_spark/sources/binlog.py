@@ -428,16 +428,23 @@ def read_binlog(
                     )
                 n = len(batch)
                 m = batch.meta_numpy()  # np.repeat expansion, not per-row
+                # String meta columns: encode once per EVENT, then a
+                # C-side Arrow take gathers per row — no per-row Python
+                # objects, no per-row UTF-8 encode (a GTID repeats across
+                # every row of its transaction; round-6 fix for the
+                # r5 decode_binary regression).
+                codes = pa.array(m["codes"], pa.int64())
+                take = lambda vals: pa.array(vals, pa.string()).take(codes)  # noqa: E731
                 arrays = [
                     pa.array([name] * n, pa.string()),
                     pa.array(m["log_pos"], pa.int64()),
                     pa.array(m["server_id"], pa.int64()),
                     pa.array(m["ts_us"], pa.timestamp("us")),
-                    pa.array(m["schema_name"], pa.string()),
-                    pa.array(m["table_name"], pa.string()),
-                    pa.array(m["action"], pa.string()),
+                    take(m["ev_schema"]),
+                    take(m["ev_table"]),
+                    take(m["ev_action"]),
                     pa.array(m["batch_seq"], pa.int32()),
-                    pa.array(m["gtid"], pa.string()),
+                    take(m["ev_gtid"]),
                 ]
                 names = [n_ for n_, _ in META_COLS]
                 if kinds is not None:

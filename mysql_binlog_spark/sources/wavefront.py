@@ -51,6 +51,7 @@ from ..wire import (
     _parse_table_map,
     _varlen_prefix,
     format_gtid,
+    normalize_gtid_resume,
     read_lenenc,
     table_admitted,
 )
@@ -215,7 +216,7 @@ def decode_chunk_wavefront(
     verify_crc: bool = False,
     before_mode: str = "full",
     tolerate_truncation: bool = False,
-    start_after_gtid: tuple[str, int] | None = None,
+    start_after_gtid: tuple[str, int] | dict[str, int] | None = None,
 ) -> DecodedBatch:
     """decode_chunk twin returning offsets-mode columns as numpy int64
     arrays, produced by the wavefront kernels.  Falls back to
@@ -233,9 +234,7 @@ def decode_chunk_wavefront(
     n_included = 0
     cur_gtid: str | None = None  # set by GTID frame, cleared by XID
     skip_txn = False  # inside a transaction at/before start_after_gtid
-    if start_after_gtid is not None:
-        resume_sid, resume_gno = start_after_gtid
-        resume_prefix = resume_sid + ":"
+    resume_map = normalize_gtid_resume(start_after_gtid)
     off = 4
     total = len(data)
     unpack = struct.unpack_from
@@ -314,10 +313,11 @@ def decode_chunk_wavefront(
             p0 = off + HEADER_LEN
             gno = unpack("<q", mv, p0 + 17)[0]
             cur_gtid = format_gtid(bytes(mv[p0 + 1 : p0 + 17]), gno)
-            if start_after_gtid is not None:
-                skip_txn = (
-                    cur_gtid.startswith(resume_prefix) and gno <= resume_gno
-                )
+            if resume_map is not None:
+                # mirrors decode_chunk: per-SID threshold on the fixed
+                # 36-char uuid prefix (GTID-set resume, round 6)
+                thr = resume_map.get(cur_gtid[:36])
+                skip_txn = thr is not None and gno <= thr
         elif etype == XID_EVENT:
             cur_gtid = None
             skip_txn = False

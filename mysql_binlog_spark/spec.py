@@ -34,21 +34,38 @@ SERVER_ID = 666
 ROW_EVENT_STRIDE = 128  # synthetic byte stride between events in a file
 
 # GTID lineage (beyond-parity superset; the reference skips GTID frames,
-# EventsIterator.php:244-253).  One fixed source-server SID; GNO = xid+1
-# (GNOs are 1-based).  The fixture generator writes a GTID_LOG_EVENT per
-# transaction and the decoder re-derives the same text — so the oracle
-# can compute it from xid alone.
+# EventsIterator.php:244-253).  TWO source-server SIDs — the common
+# multi-source-replication topology (round 6): a transaction's SID is
+# ``xid % 2`` and its GNO is ``xid // 2 + 1`` (1-based, contiguous per
+# SID, exactly as a real server numbers them).  The fixture generator
+# writes a GTID_LOG_EVENT per transaction and the decoder re-derives the
+# same text — so the oracle can compute it from xid alone.
 GTID_SID_HEX = "00000000000040008000000000000666"
-GTID_UUID = (
-    f"{GTID_SID_HEX[:8]}-{GTID_SID_HEX[8:12]}-{GTID_SID_HEX[12:16]}-"
-    f"{GTID_SID_HEX[16:20]}-{GTID_SID_HEX[20:]}"
-)
+GTID_SID2_HEX = "00000000000040008000000000000667"
+
+
+def _hex_to_uuid(h: str) -> str:
+    return f"{h[:8]}-{h[8:12]}-{h[12:16]}-{h[16:20]}-{h[20:]}"
+
+
+GTID_UUID = _hex_to_uuid(GTID_SID_HEX)
+GTID_UUID2 = _hex_to_uuid(GTID_SID2_HEX)
 
 
 def gtid_expr(dialect: str, xid_expr: str) -> str:
-    """SQL for the GTID text the decoder emits: '<sid-uuid>:<xid+1>'."""
+    """SQL for the GTID text the decoder emits:
+    '<sid-uuid[xid % 2]>:<xid // 2 + 1>'."""
     cast = "VARCHAR" if dialect == "duckdb" else "STRING"
-    return f"'{GTID_UUID}:' || CAST(({xid_expr}) + 1 AS {cast})"
+    gno = _idiv(dialect, f"({xid_expr})", "2")
+    return (
+        f"CASE WHEN ({xid_expr}) % 2 = 0 THEN '{GTID_UUID}:' "
+        f"ELSE '{GTID_UUID2}:' END || CAST({gno} + 1 AS {cast})"
+    )
+
+
+def gtid_gno_expr(dialect: str, xid_expr: str) -> str:
+    """SQL for the GNO alone (resume-threshold comparisons)."""
+    return f"({_idiv(dialect, f'({xid_expr})', '2')} + 1)"
 
 # key space / content knobs (all pure functions of event_id / user_id)
 N_TURNS = 40

@@ -121,13 +121,15 @@ def replay_batch(
         chunks[i : i + files_per_epoch]
         for i in range(0, len(chunks), files_per_epoch)
     ]
-    todo = []
+    # One ordered plan: skipped entries are recorded lazily in the main
+    # loop so stats.epochs preserves chronological group order (ADVICE
+    # round-5: the pre-pass batched every skipped epoch ahead of the
+    # applied ones, changing the epoch-log contract).
+    plan = []
     for group in groups:
         epoch_id = f"batch-{group[0]}-{group[-1]}"
-        if epoch_id in done:
-            stats.epochs.append({"epoch_id": epoch_id, "skipped": True})
-        else:
-            todo.append((epoch_id, group))
+        plan.append((epoch_id, group, epoch_id in done))
+    todo = [(eid, g) for eid, g, skipped in plan if not skipped]
 
     def prepare(group):
         """Materialize the epoch's winners (decode → filter → image →
@@ -157,12 +159,19 @@ def replay_batch(
     # FIFO scheduling gives N's tasks priority; N+1 only uses slack.
     with ThreadPoolExecutor(max_workers=1) as pool:
         fut = None
+        ti = 0  # index of the NEXT todo entry once this one is taken
         try:
-            for ti, (epoch_id, group) in enumerate(todo):
+            for epoch_id, group, skipped in plan:
+                if skipped:
+                    stats.epochs.append(
+                        {"epoch_id": epoch_id, "skipped": True}
+                    )
+                    continue
                 w = fut.result() if fut is not None else prepare(group)
+                ti += 1
                 fut = (
-                    pool.submit(prepare, todo[ti + 1][1])
-                    if pipeline and ti + 1 < len(todo)
+                    pool.submit(prepare, todo[ti][1])
+                    if pipeline and ti < len(todo)
                     else None
                 )
                 stats.epochs.append(table.merge_into(spark, w, epoch_id))

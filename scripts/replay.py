@@ -52,8 +52,9 @@ def parse_args(argv: list[str] | None = None) -> argparse.Namespace:
     p.add_argument("--exclude-databases", default=env("EXCLUDE_DATABASES"))
     p.add_argument("--binlog-file", default=env("BINLOG_FILE"))
     p.add_argument("--start-after-gtid", default=env("START_AFTER_GTID"),
-                   help="resume-by-GTID: 'sid-uuid:gno' — skip "
-                        "transactions of that SID with GNO <= gno")
+                   help="resume-by-GTID set: 'sid:gno[,sid:gno...]' — "
+                        "skip transactions of each listed SID with "
+                        "GNO <= its threshold (SIDs are case-folded)")
     p.add_argument("--binlog-position", type=int,
                    default=int(env("BINLOG_POSITION", "0")))
     p.add_argument("--files-per-epoch", type=int, default=8)
@@ -106,10 +107,14 @@ def main(argv: list[str] | None = None) -> dict:
     start_lsn = (a.binlog_file, a.binlog_position) if a.binlog_file else None
     start_gtid = None
     if a.start_after_gtid:
-        sid, _, gno = a.start_after_gtid.rpartition(":")
-        if not sid or not gno.isdigit():
-            raise SystemExit("--start-after-gtid must be 'sid-uuid:gno'")
-        start_gtid = (sid, int(gno))
+        from mysql_binlog_spark.wire import parse_gtid_set
+
+        try:
+            # lowercases + shape-validates each SID (ADVICE round-5: an
+            # uppercase UUID used to silently skip zero transactions)
+            start_gtid = parse_gtid_set(a.start_after_gtid)
+        except ValueError as e:
+            raise SystemExit(f"--start-after-gtid: {e}") from None
     spark = get_spark(app_name="mbs-replay", master=a.master)
     table = LakeTable.create(
         a.table_dir, DEFAULT_COLUMNS, _split(a.key), n_buckets=a.n_buckets

@@ -153,3 +153,40 @@ def test_gtid_resume_prunes_before_row_decode(spark, sf_dir):
     n_full, n_res = full.count(), resumed.count()
     assert 0 < n_res < n_full
     assert "Filter" not in plan(resumed).split("MapInArrow")[0]
+
+
+def test_gtid_set_resume_prunes_both_sids_in_kernel(spark, sf_dir):
+    """Round-6 GTID-SET resume: per-SID thresholds prune strictly more
+    than the single-SID resume at the same threshold (SID B transactions
+    are skipped too), still with no Catalyst Filter on gtid."""
+    from mysql_binlog_spark import driver_queries as dq
+    from mysql_binlog_spark import spec
+
+    single = dq.decoded_binary_df(
+        spark, sf_dir, start_after_gtid=(spec.GTID_UUID, 10)
+    )
+    both = dq.decoded_binary_df(
+        spark, sf_dir,
+        start_after_gtid={spec.GTID_UUID: 10, spec.GTID_UUID2: 10},
+    )
+    n_single, n_both = single.count(), both.count()
+    assert 0 < n_both < n_single
+    assert "Filter" not in plan(both).split("MapInArrow")[0]
+
+
+def test_pack_bpe_is_jvm_only_single_shuffle(spark, sf_dir):
+    """BPE token counting is a JVM replace chain — the bpe-budget packing
+    plan must show no Python eval node and exactly one group shuffle."""
+    from mysql_binlog_spark.functions.text import bpe_token_count
+    from mysql_binlog_spark.operators.sampling import pack_sequences
+
+    docs = spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
+    p = plan(
+        pack_sequences(docs, 512, bpe_token_count(F.col("text")),
+                       group_col="source", order_col="doc_id",
+                       length_bucketed=True)
+    )
+    assert p.count("Arguments: hashpartitioning") == 1
+    assert "hashpartitioning(source" in p
+    assert "SinglePartition" not in p
+    assert "BatchEvalPython" not in p and "ArrowEvalPython" not in p

@@ -328,3 +328,49 @@ def test_gtid_resume_skips_transactions_at_or_before():
     assert len(wf) == 2 and wf.gtid[0].endswith(":3")
     # no resume point → everything decodes
     assert len(decode_chunk(data)) == 4
+
+
+def test_gtid_set_resume_per_sid_thresholds():
+    """Round-6 GTID-SET resume: a per-SID threshold dict skips each
+    source's transactions independently (multi-source replication), an
+    UPPERCASE SID is case-folded (ADVICE round-5), a malformed SID is
+    rejected, and both kernels agree."""
+    import pytest
+
+    from mysql_binlog_spark.sources.wavefront import decode_chunk_wavefront
+    from mysql_binlog_spark.wire import normalize_gtid_resume, parse_gtid_set
+
+    sid_a = bytes.fromhex("00000000000040008000000000000666")
+    sid_b = bytes.fromhex("11111111111141118111111111111111")
+    uuid_a = "00000000-0000-4000-8000-000000000666"
+    uuid_b = "11111111-1111-4111-8111-111111111111"
+    w = BinlogWriter()
+    t = sample_schema()
+    w.write_table_map(0, t)
+    xid = 0
+    for sid, gno, turn in (
+        (sid_a, 1, 1), (sid_b, 1, 11), (sid_a, 2, 2),
+        (sid_b, 2, 12), (sid_a, 3, 3), (sid_b, 3, 13),
+    ):
+        xid += 1
+        w.write_gtid(0, sid, gno)
+        w.write_query(0, "app", "BEGIN")
+        w.write_rows(0, t, "insert", [dict(ROW, turn_idx=turn)])
+        w.write_xid(0, xid)
+    data = w.getvalue()
+    # A resumes after gno 2, B after gno 1 — uppercase A must case-fold
+    resume = {uuid_a.upper(): 2, uuid_b: 1}
+    batch = decode_chunk(data, start_after_gtid=resume)
+    assert [r["turn_idx"] for r in batch.after] == [12, 3, 13]
+    cols = [c.name for c in t.columns]
+    wf = decode_chunk_wavefront(data, image_cols=cols,
+                                start_after_gtid=resume)
+    assert len(wf) == 3 and wf.gtid == batch.gtid
+    # CLI set rendering round-trips through parse_gtid_set
+    assert parse_gtid_set(f"{uuid_a.upper()}:2,{uuid_b}:1") == {
+        uuid_a: 2, uuid_b: 1,
+    }
+    with pytest.raises(ValueError):
+        normalize_gtid_resume(("not-a-uuid", 5))
+    with pytest.raises(ValueError):
+        parse_gtid_set(f"{uuid_a}")  # missing :gno
