@@ -147,32 +147,29 @@ def timed(fn, name: str, runs: int = RUNS) -> float:
     steady-state median."""
     import statistics
 
-    wait_budget = WAIT_MAX_SEC  # shared across this query's runs
+    # Gate ONCE per query, before the warmup: the 1-min loadavg includes
+    # our own just-finished runs, so gating between runs would mostly
+    # wait out self-generated load.  External load arriving mid-query is
+    # still visible in the recorded before/after loadavg samples.
     waited = 0.0
     gave_up = False
-
-    def gate() -> None:
-        nonlocal wait_budget, waited, gave_up
-        if WAIT_LOAD <= 0:
-            return
-        while _loadavg() > WAIT_LOAD and wait_budget > 0:
-            step = min(10.0, wait_budget)
+    if WAIT_LOAD > 0:
+        budget = WAIT_MAX_SEC
+        while _loadavg() > WAIT_LOAD and budget > 0:
+            step = min(10.0, budget)
             time.sleep(step)
-            wait_budget -= step
+            budget -= step
             waited += step
-        if _loadavg() > WAIT_LOAD:
-            gave_up = True
+        gave_up = _loadavg() > WAIT_LOAD
 
     warmups: list[float] = []
     for _ in range(WARMUP):
-        gate()
         t0 = time.time()
         fn()
         warmups.append(round(time.time() - t0, 3))
     times: list[float] = []
     loads: list[list[float]] = []
     for _ in range(runs):
-        gate()
         la0 = _loadavg()
         t0 = time.time()
         fn()
