@@ -179,7 +179,7 @@ def _wait_for_quiet() -> None:
 
 def main() -> None:
     tag = FIXTURE_TAG or (
-        f"sf={os.path.basename(SF_DIR.rstrip('/'))}-amp={AMP}-epf={EPF}-v2"  # v2: 2-SID GTID fixtures
+        f"sf={os.path.basename(SF_DIR.rstrip('/'))}-amp={AMP}-epf={EPF}-v3"  # v3: 2-SID GTID fixtures (bench.py's tag)
     )
     chunk_dir = os.path.join(tempfile.gettempdir(), "mbs_bench", tag)
     if not os.path.exists(os.path.join(chunk_dir, "_COMPLETE")):
