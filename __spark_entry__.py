@@ -71,6 +71,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_pack": dq.q_doc_pack,
         "doc_tokens_bpe": dq.q_doc_tokens_bpe,
         "doc_pack_bpe": dq.q_doc_pack_bpe,
+        "doc_quality_filter": dq.q_doc_quality_filter,
+        "doc_tfidf": dq.q_doc_tfidf,
+        "corpus_top_ngrams": dq.q_corpus_top_ngrams,
         # similarity search / ANN
         "emb_cosine_knn": dq.q_emb_cosine_knn,
         "emb_sq8_knn": dq.q_emb_sq8_knn,
@@ -126,6 +129,9 @@ def oracle_sql() -> dict[str, str]:
         "doc_pack": dq.oracle_doc_pack(),
         "doc_tokens_bpe": dq.oracle_doc_tokens_bpe(),
         "doc_pack_bpe": dq.oracle_doc_pack_bpe(),
+        "doc_quality_filter": dq.oracle_doc_quality_filter(),
+        "doc_tfidf": dq.oracle_doc_tfidf(),
+        "corpus_top_ngrams": dq.oracle_corpus_top_ngrams(),
         "emb_cosine_knn": dq.oracle_emb_cosine_knn(),
         "emb_sq8_knn": dq.oracle_emb_sq8_knn(),
         "emb_ivf_knn": dq.oracle_emb_ivf_knn(),

@@ -1534,6 +1534,56 @@ def oracle_multimodal_real_decode():
     """
 
 
+def q_doc_quality_filter(spark, sf_dir):
+    """Gopher-style quality FILTER verdict (round 6): per-rule pass
+    flags + overall boolean — the actual gate a curation pipeline runs,
+    composed entirely of JVM builtins over the signals the features
+    queries already compute."""
+    docs = _docs(spark, sf_dir)
+    v = T.quality_verdict(F.col("text"))
+    return docs.select("doc_id", *[v[k].alias(k) for k in v])
+
+
+def oracle_doc_quality_filter():
+    v = T.quality_verdict_sql("text")
+    cols = ",\n           ".join(f"{sql} AS {k}" for k, sql in v.items())
+    return f"""
+    SELECT doc_id,
+           {cols}
+    FROM documents
+    """
+
+
+def q_doc_tfidf(spark, sf_dir):
+    """Top-5 TF-IDF keywords per document (round 6): doc-term counts →
+    corpus document frequencies → broadcast IDF join → per-doc window.
+    Scores rounded before ranking so Spark and DuckDB rank identically
+    despite last-ULP ln() differences."""
+    from .operators.corpus import tfidf_topk
+
+    return tfidf_topk(_docs(spark, sf_dir), k=5)
+
+
+def oracle_doc_tfidf():
+    from .operators.corpus import tfidf_topk_sql
+
+    return tfidf_topk_sql(k=5)
+
+
+def q_corpus_top_ngrams(spark, sf_dir):
+    """Corpus-level top-50 word bigrams by document frequency (round 6)
+    — TakeOrderedAndProject (per-partition heaps), not a global sort."""
+    from .operators.corpus import corpus_top_ngrams
+
+    return corpus_top_ngrams(_docs(spark, sf_dir), n=2, top=50)
+
+
+def oracle_corpus_top_ngrams():
+    from .operators.corpus import corpus_top_ngrams_sql
+
+    return corpus_top_ngrams_sql(n=2, top=50)
+
+
 # ------------------------------------------------------------ sessionization
 
 

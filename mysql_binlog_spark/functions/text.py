@@ -369,3 +369,88 @@ def bpe_token_count_sql(col: str = "text") -> str:
             f"{_sql_quote(f' {a}{b}')})"
         )
     return f"CAST(length({s}) - length(replace({s}, ' ', '')) AS INTEGER)"
+
+
+# ------------------------------------------------------- quality verdict
+
+# Gopher-style document-level repetition/shape thresholds (public rules:
+# Rae et al. 2021 table A1 family), applied to the signals already
+# computed above.  The operator is the actual FILTER a pipeline runs —
+# a per-document boolean with per-rule flags for auditability.
+QUALITY_RULES = {
+    "min_words": 5,
+    "max_words": 100_000,
+    "min_mean_word_len": 2.0,
+    "max_mean_word_len": 12.0,
+    "max_punct_ratio": 0.30,
+    "max_dup_ngram_frac": 0.50,
+}
+
+
+def quality_verdict(text: Column) -> dict[str, Column]:
+    """Per-rule pass flags + overall verdict (all JVM builtins)."""
+    r = QUALITY_RULES
+    w = F.split(F.lower(F.trim(text)), WS)
+    n_words = F.size(w)
+    sum_len = F.aggregate(
+        F.transform(w, F.length), F.lit(0), lambda a, x: a + x
+    )
+    mean_wl = F.round(
+        sum_len.cast("double") / F.greatest(n_words, F.lit(1)), 6
+    )
+    n_punct = F.size(F.regexp_extract_all(text, F.lit(PUNCT), 0))
+    punct_ratio = F.round(
+        n_punct / F.greatest(F.length(text), F.lit(1)), 6
+    )
+    dup_frac = repetition_stats(text)["dup_ngram_frac"]
+    ok_words = (n_words >= r["min_words"]) & (n_words <= r["max_words"])
+    ok_wl = (mean_wl >= r["min_mean_word_len"]) & (
+        mean_wl <= r["max_mean_word_len"]
+    )
+    ok_punct = punct_ratio <= r["max_punct_ratio"]
+    ok_rep = dup_frac <= r["max_dup_ngram_frac"]
+    return {
+        "n_words": n_words.cast("int"),
+        "mean_word_len": mean_wl,
+        "punct_ratio": punct_ratio,
+        "dup_ngram_frac": dup_frac,
+        "ok_words": ok_words,
+        "ok_word_len": ok_wl,
+        "ok_punct": ok_punct,
+        "ok_repetition": ok_rep,
+        "passes": ok_words & ok_wl & ok_punct & ok_rep,
+    }
+
+
+def quality_verdict_sql(col: str = "text") -> dict[str, str]:
+    """DuckDB twins of ``quality_verdict``."""
+    r = QUALITY_RULES
+    w = f"regexp_split_to_array(lower(trim({col})), '{WS}')"
+    n_words = f"len({w})"
+    sum_len = f"list_sum(list_transform({w}, x -> length(x)))"
+    mean_wl = (
+        f"round(CAST({sum_len} AS DOUBLE) / greatest({n_words}, 1), 6)"
+    )
+    n_punct = f"len(regexp_extract_all({col}, '{PUNCT}'))"
+    punct_ratio = f"round({n_punct} / greatest(length({col}), 1), 6)"
+    dup_frac = repetition_stats_sql(col)["dup_ngram_frac"]
+    ok_words = (
+        f"({n_words} >= {r['min_words']} AND {n_words} <= {r['max_words']})"
+    )
+    ok_wl = (
+        f"({mean_wl} >= {r['min_mean_word_len']} "
+        f"AND {mean_wl} <= {r['max_mean_word_len']})"
+    )
+    ok_punct = f"({punct_ratio} <= {r['max_punct_ratio']})"
+    ok_rep = f"({dup_frac} <= {r['max_dup_ngram_frac']})"
+    return {
+        "n_words": f"CAST({n_words} AS INTEGER)",
+        "mean_word_len": mean_wl,
+        "punct_ratio": punct_ratio,
+        "dup_ngram_frac": dup_frac,
+        "ok_words": ok_words,
+        "ok_word_len": ok_wl,
+        "ok_punct": ok_punct,
+        "ok_repetition": ok_rep,
+        "passes": f"({ok_words} AND {ok_wl} AND {ok_punct} AND {ok_rep})",
+    }

@@ -273,7 +273,7 @@ def read_binlog(
     include: set[tuple[str, str]] | None = None,
     exclude: set[tuple[str, str]] | None = None,
     start_lsn: tuple[str, int] | None = None,
-    start_after_gtid: tuple[str, int] | None = None,
+    start_after_gtid: tuple[str, int] | dict[str, int] | None = None,
     verify_crc: bool = False,
     files_df: DataFrame | None = None,
     before_mode: str = "full",

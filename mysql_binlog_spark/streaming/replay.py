@@ -82,7 +82,7 @@ def replay_batch(
     files_per_epoch: int = 4,
     stop_after_epochs: int | None = None,
     start_lsn: tuple[str, int] | None = None,
-    start_after_gtid: tuple[str, int] | None = None,
+    start_after_gtid: tuple[str, int] | dict[str, int] | None = None,
     maintain_every: int | None = 16,
     pipeline: bool = True,
 ) -> ReplayStats:
@@ -203,7 +203,7 @@ def replay_stream(
     max_files_per_trigger: int = 4,
     timeout_sec: float = 300.0,
     start_lsn: tuple[str, int] | None = None,
-    start_after_gtid: tuple[str, int] | None = None,
+    start_after_gtid: tuple[str, int] | dict[str, int] | None = None,
     maintain_every: int | None = 16,
 ) -> ReplayStats:
     """Structured Streaming replay over the chunk directory.

@@ -190,3 +190,26 @@ def test_pack_bpe_is_jvm_only_single_shuffle(spark, sf_dir):
     assert "hashpartitioning(source" in p
     assert "SinglePartition" not in p
     assert "BatchEvalPython" not in p and "ArrowEvalPython" not in p
+
+
+def test_tfidf_broadcasts_idf_vocabulary(spark, sf_dir):
+    """TF-IDF's vocabulary join must broadcast the tiny IDF side — the
+    doc-term side (the corpus) must never shuffle for the join."""
+    from mysql_binlog_spark.operators.corpus import tfidf_topk
+
+    docs = spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
+    p = plan(tfidf_topk(docs, k=5))
+    assert "BroadcastHashJoin" in p
+    assert "SortMergeJoin" not in p
+    assert "CartesianProduct" not in p
+
+
+def test_corpus_top_ngrams_uses_partial_topk(spark, sf_dir):
+    """Global top-k must plan as TakeOrderedAndProject (per-partition
+    heaps + driver merge), never a full global sort."""
+    from mysql_binlog_spark.operators.corpus import corpus_top_ngrams
+
+    docs = spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
+    p = plan(corpus_top_ngrams(docs, n=2, top=50))
+    assert "TakeOrderedAndProject" in p
+    assert "rangepartitioning" not in p.lower()
