@@ -295,17 +295,32 @@ def word_shingles_sql(col: str = "text", n: int = 3) -> str:
 # DuckDB, and Python alike, which is exactly BPE's greedy
 # leftmost-first application of a single merge rule, so the DuckDB
 # oracle replays the identical algorithm with the identical builtins.
-# Tokens are rendered space-PREFIXED (' a b' + merge → ' ab'); token
-# strings never contain ' ', so a merge pattern can only match at real
-# token boundaries, and the final count is simply the number of spaces.
 #
-# Merge-table invariant (checked by tests): each operand is a single
-# character or the output of an EARLIER merge — the well-formedness real
-# learned merge lists have, which makes one replace pass per rule reach
-# that rule's fixpoint (a rule's own output can never recreate its input
-# pair, and replace() already handles self-overlap greedily).
+# Token rendering: every token is wrapped in U+241F delimiters and
+# neighbours abut — "␟a␟␟b␟␟c␟".  A merge (a, b) is the literal replace
+# "␟a␟␟b␟" → "␟ab␟", which anchors BOTH operands to full-token
+# boundaries: `a` must be preceded by "␟" (no suffix-of-longer-token
+# match) and `b` must be followed by "␟" (no prefix-of-longer-token
+# match — a space-prefixed rendering gets this wrong: " Ġ in" matches
+# inside " Ġ ing" and fuses Ġ+ing, which classic BPE never does).  The
+# replacement re-emits one leading and one trailing "␟", so the
+# double-delimiter structure is preserved and consecutive pair
+# occurrences ([a,b,a,b]) all merge in one pass.  Final count = #␟ / 2.
+#
+# Merge-table invariants (checked by ``_bpe_merges_checked`` + tests):
+# each operand is a single character or the output of an EARLIER merge,
+# and merge outputs are pairwise distinct.  Together these make
+# "apply rules in rank order, each to fixpoint" equivalent to classic
+# lowest-rank-pair-first BPE: a rule's replacement can never create an
+# operand of an earlier rule (that operand would have to be the output
+# of two different rules), so earlier rules never regain work.  One
+# replace pass per rule reaches that rule's fixpoint because replacing
+# (a, b) consumes both operands and only mints token "ab" ≠ a, b.
+# A hypothesis test cross-checks the rendering against an independent
+# classic BPE (iterate: merge the lowest-rank adjacent pair).
 
 SPACE_MARK = "Ġ"  # GPT-2's space marker: survives the char split as one char
+TOK_DELIM = "␟"  # ␟ — wraps every token; stripped from input first
 
 BPE_MERGES: list[tuple[str, str]] = [
     ("t", "h"), ("i", "n"), ("e", "r"), ("a", "n"), ("r", "e"),
@@ -322,7 +337,7 @@ BPE_MERGES: list[tuple[str, str]] = [
 
 
 def _bpe_merges_checked() -> list[tuple[str, str]]:
-    """Validate the merge-table invariant once (tests call this too)."""
+    """Validate the merge-table invariants once (tests call this too)."""
     made: set[str] = set()
     for a, b in BPE_MERGES:
         for op in (a, b):
@@ -331,6 +346,8 @@ def _bpe_merges_checked() -> list[tuple[str, str]]:
                     f"merge operand {op!r} is neither a char nor a "
                     "previous merge output"
                 )
+        if a + b in made:
+            raise ValueError(f"duplicate merge output {a + b!r}")
         made.add(a + b)
     return BPE_MERGES
 
@@ -339,20 +356,22 @@ _MERGE_ORDER_OK = bool(_bpe_merges_checked())
 
 
 def bpe_tokens_rendered(text: Column) -> Column:
-    """The space-prefixed token rendering after all merges (JVM-only)."""
-    s = F.replace(F.lower(text), F.lit(" "), F.lit(SPACE_MARK))
-    s = F.regexp_replace(s, "(?s)(.)", " $1")
+    """The ␟-wrapped token rendering after all merges (JVM-only)."""
+    d = TOK_DELIM
+    s = F.replace(F.lower(text), F.lit(d), F.lit(""))
+    s = F.replace(s, F.lit(" "), F.lit(SPACE_MARK))
+    s = F.regexp_replace(s, "(?s)(.)", f"{d}$1{d}")
     for a, b in BPE_MERGES:
-        s = F.replace(s, F.lit(f" {a} {b}"), F.lit(f" {a}{b}"))
+        s = F.replace(s, F.lit(f"{d}{a}{d}{d}{b}{d}"), F.lit(f"{d}{a}{b}{d}"))
     return s
 
 
 def bpe_token_count(text: Column) -> Column:
-    """Exact BPE token count: one space per token in the rendering."""
+    """Exact BPE token count: every token carries exactly two ␟."""
+    d = TOK_DELIM
     s = bpe_tokens_rendered(text)
-    return (
-        F.length(s) - F.length(F.replace(s, F.lit(" "), F.lit("")))
-    ).cast("int")
+    n_delim = F.length(s) - F.length(F.replace(s, F.lit(d), F.lit("")))
+    return (n_delim / 2).cast("int")
 
 
 def _sql_quote(s: str) -> str:
@@ -361,14 +380,19 @@ def _sql_quote(s: str) -> str:
 
 def bpe_token_count_sql(col: str = "text") -> str:
     """DuckDB twin: the same char split + merge replays, same builtins."""
-    s = f"replace(lower({col}), ' ', {_sql_quote(SPACE_MARK)})"
-    s = f"regexp_replace({s}, '(.)', ' \\1', 'gs')"
+    d = TOK_DELIM
+    s = f"replace(lower({col}), {_sql_quote(d)}, '')"
+    s = f"replace({s}, ' ', {_sql_quote(SPACE_MARK)})"
+    s = f"regexp_replace({s}, '(.)', {_sql_quote(d + chr(92) + '1' + d)}, 'gs')"
     for a, b in BPE_MERGES:
         s = (
-            f"replace({s}, {_sql_quote(f' {a} {b}')}, "
-            f"{_sql_quote(f' {a}{b}')})"
+            f"replace({s}, {_sql_quote(f'{d}{a}{d}{d}{b}{d}')}, "
+            f"{_sql_quote(f'{d}{a}{b}{d}')})"
         )
-    return f"CAST(length({s}) - length(replace({s}, ' ', '')) AS INTEGER)"
+    return (
+        f"CAST((length({s}) - length(replace({s}, {_sql_quote(d)}, ''))) "
+        f"/ 2 AS INTEGER)"
+    )
 
 
 # ------------------------------------------------------- quality verdict
