@@ -51,6 +51,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cdc_gtid_set_resume": dq.q_cdc_gtid_set_resume,
         "cdc_decode_types": dq.q_cdc_decode_types,
         "cdc_apply_e2e": dq.q_cdc_apply_e2e,
+        "cdc_asof_lookup": dq.q_cdc_asof_lookup,
         # training-data pipeline: dedup families
         "doc_dedup_exact": dq.q_doc_dedup_exact,
         "doc_minhash_signatures": dq.q_doc_minhash_signatures,
@@ -74,6 +75,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_quality_filter": dq.q_doc_quality_filter,
         "doc_tfidf": dq.q_doc_tfidf,
         "corpus_top_ngrams": dq.q_corpus_top_ngrams,
+        "corpus_distinct_kmv": dq.q_corpus_distinct_kmv,
+        "doc_resample_sources": dq.q_doc_resample_sources,
         # similarity search / ANN
         "emb_cosine_knn": dq.q_emb_cosine_knn,
         "emb_sq8_knn": dq.q_emb_sq8_knn,
@@ -111,6 +114,7 @@ def oracle_sql() -> dict[str, str]:
         "cdc_gtid_set_resume": dq.oracle_cdc_gtid_set_resume(),
         "cdc_decode_types": dq.oracle_cdc_decode_types(),
         "cdc_apply_e2e": dq.oracle_cdc_apply_e2e(),
+        "cdc_asof_lookup": dq.oracle_cdc_asof_lookup(),
         "doc_dedup_exact": dq.oracle_doc_dedup_exact(),
         "doc_minhash_signatures": dq.oracle_doc_minhash_signatures(),
         "doc_neardup_minhash_lsh": dq.oracle_doc_neardup_minhash_lsh(),
@@ -132,6 +136,8 @@ def oracle_sql() -> dict[str, str]:
         "doc_quality_filter": dq.oracle_doc_quality_filter(),
         "doc_tfidf": dq.oracle_doc_tfidf(),
         "corpus_top_ngrams": dq.oracle_corpus_top_ngrams(),
+        "corpus_distinct_kmv": dq.oracle_corpus_distinct_kmv(),
+        "doc_resample_sources": dq.oracle_doc_resample_sources(),
         "emb_cosine_knn": dq.oracle_emb_cosine_knn(),
         "emb_sq8_knn": dq.oracle_emb_sq8_knn(),
         "emb_ivf_knn": dq.oracle_emb_ivf_knn(),

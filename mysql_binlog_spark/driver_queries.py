@@ -167,6 +167,41 @@ def q_cdc_turn_ordering(spark, sf_dir):
     )
 
 
+def _lsn_ord() -> F.Column:
+    """One sortable bigint per LSN: file number · 2^20 + log_pos (log_pos
+    is bounded by EVENTS_PER_FILE · stride ≪ 2^20)."""
+    file_no = F.substring("log_file", 8, 6).cast("int")
+    return (file_no.cast("bigint") * F.lit(1 << 20) + F.col("log_pos")).cast(
+        "bigint"
+    )
+
+
+ASOF_PROBE_XID_MOD = 9  # xid % 9 == 4 rows become probes (~11%)
+
+
+def q_cdc_asof_lookup(spark, sf_dir):
+    """Point-in-time state lookup: for sampled probe positions, the latest
+    change at (conv_id, probed turn) with LSN <= the probe's LSN — the
+    as-of join (operators/asof.py) the oracle cross-checks with DuckDB's
+    native ASOF LEFT JOIN."""
+    from .operators.asof import asof_join
+
+    df = filter_tables(
+        dedup_lsn(changelog_df(spark, sf_dir)), include=[("app", "transcripts")]
+    )
+    states = df.select(
+        "conv_id", "turn_idx", _lsn_ord().alias("ord"), "action", "role", "text"
+    )
+    probes = df.where(F.col("xid") % ASOF_PROBE_XID_MOD == 4).select(
+        "conv_id",
+        ((F.col("turn_idx") * 7 + 3) % spec.N_TURNS).cast("int").alias("turn_idx"),
+        _lsn_ord().alias("ord"),
+    )
+    return asof_join(
+        probes, states, ["conv_id", "turn_idx"], "ord", ["action", "role", "text"]
+    )
+
+
 # --------------------------------------------------- CDC (binary round-trip)
 
 
@@ -580,6 +615,37 @@ def oracle_cdc_turn_ordering():
              AS prev_turn_idx,
            text
     FROM fs
+    """
+
+
+_ASOF_ORD_SQL = "CAST(CAST(substr(log_file, 8) AS INT) * 1048576 + log_pos AS BIGINT)"
+
+
+def oracle_cdc_asof_lookup():
+    """DuckDB's NATIVE ASOF LEFT JOIN — an independent as-of algorithm
+    cross-checking the union+window implementation."""
+    return f"""
+    WITH dedup AS ({spec.dedup_sql('duckdb')}),
+    txn AS (
+      SELECT * FROM dedup
+      WHERE schema_name = 'app' AND table_name = 'transcripts'
+    ),
+    states AS (
+      SELECT conv_id, turn_idx, {_ASOF_ORD_SQL} AS ord, action, role, text
+      FROM txn
+    ),
+    probes AS (
+      SELECT conv_id,
+             CAST((turn_idx * 7 + 3) % {spec.N_TURNS} AS INT) AS turn_idx,
+             {_ASOF_ORD_SQL} AS ord
+      FROM txn WHERE xid % {ASOF_PROBE_XID_MOD} = 4
+    )
+    SELECT p.conv_id, p.turn_idx, p.ord,
+           s.ord AS m_ord, s.action AS m_action,
+           s.role AS m_role, s.text AS m_text
+    FROM probes p ASOF LEFT JOIN states s
+      ON p.conv_id = s.conv_id AND p.turn_idx = s.turn_idx
+     AND s.ord <= p.ord
     """
 
 
@@ -1582,6 +1648,44 @@ def oracle_corpus_top_ngrams():
     from .operators.corpus import corpus_top_ngrams_sql
 
     return corpus_top_ngrams_sql(n=2, top=50)
+
+
+def q_corpus_distinct_kmv(spark, sf_dir):
+    """Mergeable K-minimum-values distinct sketch over document text
+    (round 6): k smallest distinct md5 hashes → (k-1)·2^48 div kth_min.
+    Per-partition partial agg + TakeOrderedAndProject — the distinct
+    counter that combines across shards without rescanning at 100 TB."""
+    from .operators.corpus import distinct_kmv
+
+    return distinct_kmv(_docs(spark, sf_dir), col="text", k=256)
+
+
+def oracle_corpus_distinct_kmv():
+    from .operators.corpus import distinct_kmv_sql
+
+    return distinct_kmv_sql(col="text", k=256)
+
+
+def q_doc_resample_sources(spark, sf_dir):
+    """Temperature-0.5 source mixing (round 6) at a half-corpus output
+    budget: per-source keep targets ∝ sqrt(count), enforced by the
+    deterministic md5 coin — broadcast thresholds, stateless filter,
+    per-source summary."""
+    from .operators.sampling import temperature_resample
+
+    return temperature_resample(
+        _docs(spark, sf_dir), source_col="source", key_col="doc_id",
+        seed=0, budget_num=1, budget_den=2,
+    )
+
+
+def oracle_doc_resample_sources():
+    from .operators.sampling import temperature_resample_sql
+
+    return temperature_resample_sql(
+        source_col="source", key_col="doc_id", seed=0,
+        budget_num=1, budget_den=2,
+    )
 
 
 # ------------------------------------------------------------ sessionization

@@ -135,3 +135,88 @@ def corpus_top_ngrams_sql(
     SELECT ngram, COUNT(*) AS df FROM grams
     GROUP BY ngram ORDER BY df DESC, ngram LIMIT {top}
     """
+
+
+# ------------------------------------------------------------ KMV sketch
+#
+# K-minimum-values distinct sketch (Bar-Yossef et al. 2002): keep the k
+# smallest distinct hash values of a column; with hashes uniform on
+# [0, H), distinct-count ≈ (k-1)·H / kth_min.  The sketch is MERGEABLE
+# (union two sketches = merge-sort their value lists and re-truncate to
+# k), which is what makes it the right distinct-counter at 100 TB: each
+# day/shard/partition can be sketched independently and combined without
+# rescanning.  Hashing goes through the md5_bigint twin (48-bit range)
+# so the DuckDB oracle computes the IDENTICAL sketch — unlike
+# approx_count_distinct, whose HLL internals differ per engine and can
+# never hash-match.
+#
+# Plan shape: the per-partition partial aggregation of `distinct`
+# collapses the map output to each partition's distinct hashes, then
+# ORDER BY + LIMIT k plans TakeOrderedAndProject (per-partition top-k
+# heaps + a driver merge — no global sort).  The estimate itself uses
+# pure int64 arithmetic ((k-1)·2^48 div kth_min) so both engines round
+# identically; (k-1)·2^48 < 2^63 for every k < 2^15.
+
+
+def kmv_hashes(df: DataFrame, col: str = "text", k: int = 256) -> DataFrame:
+    """The sketch itself: the ``k`` smallest distinct md5 hashes of
+    ``col`` (one column ``h``).  Mergeable: the sketch of A ∪ B equals
+    distinct-sort-truncate over the UNION of A's and B's sketches — the
+    identity the mergeability test asserts."""
+    from ..functions.hashing import md5_bigint
+
+    return (
+        df.select(md5_bigint(F.col(col)).alias("h"))
+        .distinct()
+        .orderBy("h")
+        .limit(k)
+    )
+
+
+def kmv_merge(sketches: list[DataFrame], k: int = 256) -> DataFrame:
+    """Combine independently-built sketches (shards, days, partitions)
+    without touching the raw data."""
+    out = sketches[0]
+    for s in sketches[1:]:
+        out = out.unionByName(s)
+    return out.distinct().orderBy("h").limit(k)
+
+
+def distinct_kmv(
+    df: DataFrame, col: str = "text", k: int = 256
+) -> DataFrame:
+    """One-row KMV distinct estimate for ``col``: (k, n_kept, kth_min,
+    est_distinct).  When fewer than ``k`` distinct hashes exist the
+    sketch IS the exact distinct count (``est = n_kept``)."""
+    kmv = kmv_hashes(df, col, k)
+    big = (k - 1) << 48
+    return kmv.agg(
+        F.count("*").alias("n_kept"), F.max("h").alias("kth_min")
+    ).select(
+        F.lit(k).alias("k"),
+        F.col("n_kept").cast("bigint").alias("n_kept"),
+        "kth_min",
+        F.when(F.col("n_kept") < k, F.col("n_kept"))
+        .otherwise(F.expr(f"{big} div kth_min"))
+        .cast("bigint")
+        .alias("est_distinct"),
+    )
+
+
+def distinct_kmv_sql(
+    col: str = "text", k: int = 256, rel: str = "documents"
+) -> str:
+    from ..functions.hashing import md5_bigint_sql
+
+    big = (k - 1) << 48
+    return f"""
+    WITH kmv AS (
+      SELECT DISTINCT {md5_bigint_sql(col)} AS h FROM {rel}
+      ORDER BY h LIMIT {k}
+    ),
+    agg AS (SELECT COUNT(*) AS n_kept, MAX(h) AS kth_min FROM kmv)
+    SELECT {k} AS k, CAST(n_kept AS BIGINT) AS n_kept, kth_min,
+           CAST(CASE WHEN n_kept < {k} THEN n_kept
+                     ELSE {big} // kth_min END AS BIGINT) AS est_distinct
+    FROM agg
+    """

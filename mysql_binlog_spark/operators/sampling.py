@@ -124,3 +124,136 @@ def pack_sequences(
         nt.alias("n_tokens"),
         F.floor(cum_before / F.lit(budget)).cast("int").alias("bin_id"),
     )
+
+
+# ------------------------------------------- temperature source mixing
+
+# Temperature-weighted source rebalancing (the data-mixing step of
+# GPT-3/PaLM-style pipelines, public recipe: sample source i with
+# probability ∝ count_i^α, α < 1 flattening the source distribution).
+# α is fixed at 0.5 because sqrt is an IEEE-754 correctly-rounded
+# operation — Spark and DuckDB agree bit-for-bit, where a general
+# pow(count, α) may differ in the last ulp and flip an integer floor.
+# Everything downstream of the sqrt is exact int64 arithmetic:
+#
+#   weight_i    = floor(sqrt(count_i) · 2^10)          (2^10 = exact scale)
+#   share_i     = weight_i · 2^26 div Σ weight         ∈ [0, 2^26]
+#   budget      = N_total · budget_num div budget_den  (output size)
+#   target_i    = share_i · budget div 2^26            (docs to keep)
+#   threshold_i = min(2^20, target_i · 2^20 div count_i)
+#   keep doc    ⇔ md5_bigint(key ‖ seed) mod 2^20 < threshold_i
+#
+# The budget is a RATIONAL (num/den), not a float, so the whole chain
+# after the sqrt stays exact.  Small sources whose flattened target
+# exceeds their size cap at keep-everything (no replication in a
+# keep/drop sampler); the cut lands on the dominant sources — exactly
+# the rebalancing the recipe is for.
+#
+# Ranges: weight ≤ √c·2^10 ≤ 2^27 for c ≤ 10^10, so weight·2^26 < 2^53
+# and share·N < 2^56 — no int64 overflow for any realistic corpus.
+# The keep-decision is the same deterministic hash coin as
+# deterministic_sample: re-runs and different cluster sizes keep the
+# SAME documents, and raising a source's share keeps a superset.
+#
+# Scale shape: one small groupBy for the per-source counts, window over
+# the TINY counts frame for the totals, then a BROADCAST join of the
+# thresholds back onto the corpus and a stateless per-row filter — the
+# big side never shuffles.
+
+_TMP_W = 1 << 10
+_TMP_S = 1 << 26
+_TMP_M = 1 << 20
+
+
+def temperature_resample(
+    df: DataFrame,
+    source_col: str = "source",
+    key_col: str = "doc_id",
+    seed: int = 0,
+    budget_num: int = 1,
+    budget_den: int = 1,
+) -> DataFrame:
+    """Per-source summary of a temperature-0.5 resample targeting an
+    output of ``N_total · budget_num / budget_den`` documents: (source,
+    n_docs, weight, target, n_kept).  The kept rows themselves are the
+    ``_kept`` intermediate; the summary is what the oracle gates (n_kept
+    pins the exact membership hash-wise via the deterministic coin)."""
+    counts = df.groupBy(source_col).agg(F.count("*").alias("n_docs"))
+    whole = Window.partitionBy()
+    stats = (
+        counts.withColumn(
+            "weight",
+            F.floor(F.sqrt(F.col("n_docs")) * _TMP_W).cast("bigint"),
+        )
+        .withColumn("total_w", F.sum("weight").over(whole))
+        .withColumn("total_n", F.sum("n_docs").over(whole))
+        .withColumn("share", F.expr(f"weight * {_TMP_S} div total_w"))
+        .withColumn(
+            "budget",
+            F.expr(f"total_n * {budget_num} div {budget_den}"),
+        )
+        .withColumn("target", F.expr(f"share * budget div {_TMP_S}"))
+        .withColumn(
+            "threshold",
+            F.least(
+                F.lit(_TMP_M).cast("bigint"),
+                F.expr(f"target * {_TMP_M} div n_docs"),
+            ),
+        )
+        .select(source_col, "n_docs", "weight", "target", "threshold")
+    )
+    coin = md5_bigint(
+        F.concat(F.col(key_col).cast("string"), F.lit(f"#tmp{seed}"))
+    ) % _TMP_M
+    kept = df.join(F.broadcast(stats), source_col).filter(
+        coin < F.col("threshold")
+    )
+    return kept.groupBy(source_col, "n_docs", "weight", "target").agg(
+        F.count("*").alias("n_kept")
+    )
+
+
+def temperature_resample_sql(
+    source_col: str = "source",
+    key_col: str = "doc_id",
+    seed: int = 0,
+    rel: str = "documents",
+    budget_num: int = 1,
+    budget_den: int = 1,
+) -> str:
+    """DuckDB twin: identical sqrt + int64 chain + md5 coin."""
+    coin = (
+        f"(('0x' || substr(md5(CAST({key_col} AS VARCHAR) || '#tmp{seed}'),"
+        f" 1, 12))::BIGINT % {_TMP_M})"
+    )
+    return f"""
+    WITH counts AS (
+      SELECT {source_col}, COUNT(*) AS n_docs FROM {rel} GROUP BY 1
+    ),
+    stats AS (
+      SELECT {source_col}, n_docs,
+             CAST(floor(sqrt(n_docs) * {_TMP_W}) AS BIGINT) AS weight,
+             -- DuckDB SUM(BIGINT) returns HUGEINT; cast back so the whole
+             -- integer chain stays int64 like the Spark side
+             CAST(SUM(CAST(floor(sqrt(n_docs) * {_TMP_W}) AS BIGINT))
+                  OVER () AS BIGINT) AS total_w,
+             CAST(SUM(n_docs) OVER () AS BIGINT) AS total_n
+      FROM counts
+    ),
+    thresholds AS (
+      SELECT {source_col}, n_docs, weight,
+             CAST((weight * {_TMP_S} // total_w)
+                  * (total_n * {budget_num} // {budget_den}) // {_TMP_S}
+                  AS BIGINT) AS target,
+             CAST(LEAST({_TMP_M},
+                   ((weight * {_TMP_S} // total_w)
+                    * (total_n * {budget_num} // {budget_den}) // {_TMP_S})
+                     * {_TMP_M} // n_docs) AS BIGINT) AS threshold
+      FROM stats
+    )
+    SELECT t.{source_col}, t.n_docs, t.weight, t.target,
+           COUNT(*) AS n_kept
+    FROM {rel} d JOIN thresholds t USING ({source_col})
+    WHERE {coin} < t.threshold
+    GROUP BY 1, 2, 3, 4
+    """
