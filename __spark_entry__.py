@@ -52,6 +52,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cdc_decode_types": dq.q_cdc_decode_types,
         "cdc_apply_e2e": dq.q_cdc_apply_e2e,
         "cdc_asof_lookup": dq.q_cdc_asof_lookup,
+        "cdc_scd2_history": dq.q_cdc_scd2_history,
         # training-data pipeline: dedup families
         "doc_dedup_exact": dq.q_doc_dedup_exact,
         "doc_minhash_signatures": dq.q_doc_minhash_signatures,
@@ -77,6 +78,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "corpus_top_ngrams": dq.q_corpus_top_ngrams,
         "corpus_distinct_kmv": dq.q_corpus_distinct_kmv,
         "doc_resample_sources": dq.q_doc_resample_sources,
+        "doc_length_quantiles": dq.q_doc_length_quantiles,
+        "doc_training_shuffle": dq.q_doc_training_shuffle,
         # similarity search / ANN
         "emb_cosine_knn": dq.q_emb_cosine_knn,
         "emb_sq8_knn": dq.q_emb_sq8_knn,
@@ -90,6 +93,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "multimodal_real_decode": dq.q_multimodal_real_decode,
         # windowed / sessionization
         "events_sessionize": dq.q_events_sessionize,
+        "events_rate_window": dq.q_events_rate_window,
     }
 
 
@@ -115,6 +119,7 @@ def oracle_sql() -> dict[str, str]:
         "cdc_decode_types": dq.oracle_cdc_decode_types(),
         "cdc_apply_e2e": dq.oracle_cdc_apply_e2e(),
         "cdc_asof_lookup": dq.oracle_cdc_asof_lookup(),
+        "cdc_scd2_history": dq.oracle_cdc_scd2_history(),
         "doc_dedup_exact": dq.oracle_doc_dedup_exact(),
         "doc_minhash_signatures": dq.oracle_doc_minhash_signatures(),
         "doc_neardup_minhash_lsh": dq.oracle_doc_neardup_minhash_lsh(),
@@ -138,6 +143,8 @@ def oracle_sql() -> dict[str, str]:
         "corpus_top_ngrams": dq.oracle_corpus_top_ngrams(),
         "corpus_distinct_kmv": dq.oracle_corpus_distinct_kmv(),
         "doc_resample_sources": dq.oracle_doc_resample_sources(),
+        "doc_length_quantiles": dq.oracle_doc_length_quantiles(),
+        "doc_training_shuffle": dq.oracle_doc_training_shuffle(),
         "emb_cosine_knn": dq.oracle_emb_cosine_knn(),
         "emb_sq8_knn": dq.oracle_emb_sq8_knn(),
         "emb_ivf_knn": dq.oracle_emb_ivf_knn(),
@@ -148,4 +155,5 @@ def oracle_sql() -> dict[str, str]:
         "multimodal_frames": dq.oracle_multimodal_frames(),
         "multimodal_real_decode": dq.oracle_multimodal_real_decode(),
         "events_sessionize": dq.oracle_events_sessionize(),
+        "events_rate_window": dq.oracle_events_rate_window(),
     }

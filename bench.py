@@ -264,6 +264,41 @@ def main() -> None:
         "salted_last_writer",
         )
 
+    # q4b: point-in-time as-of lookup over the changelog (round 6) —
+    # union + window linear plan.  count() would let Catalyst prune the
+    # window (the matched columns die unobserved), so the consumer
+    # hash-folds every output column.
+    if want("asof_lookup"):
+        from mysql_binlog_spark.driver_queries import (
+            ASOF_PROBE_XID_MOD,
+            _lsn_ord,
+        )
+        from mysql_binlog_spark.operators.asof import asof_join
+
+        def asof():
+            df = filter_tables(
+                dedup_lsn(changelog), include=[("app", "transcripts")]
+            )
+            states = df.select(
+                "conv_id", "turn_idx", _lsn_ord().alias("ord"),
+                "action", "role", "text",
+            )
+            probes = df.where(F.col("xid") % ASOF_PROBE_XID_MOD == 4).select(
+                "conv_id",
+                ((F.col("turn_idx") * 7 + 3) % spec.N_TURNS)
+                .cast("int").alias("turn_idx"),
+                _lsn_ord().alias("ord"),
+            )
+            out = asof_join(
+                probes, states, ["conv_id", "turn_idx"], "ord",
+                ["action", "role", "text"],
+            )
+            out.select(
+                F.xxhash64(*[F.col(c) for c in out.columns]).alias("h")
+            ).agg(F.expr("bit_xor(h)")).collect()
+
+        q["asof_lookup"] = timed(asof, "asof_lookup")
+
     # q5/q6: training-pipeline headliners
     docs = spark.read.parquet(os.path.join(SF_DIR, "documents.parquet"))
     if want("minhash_lsh_dedup"):

@@ -202,6 +202,42 @@ def q_cdc_asof_lookup(spark, sf_dir):
     )
 
 
+def q_cdc_scd2_history(spark, sf_dir):
+    """Slowly-changing-dimension type-2 view of the transcripts changelog:
+    one row per surviving version of each (conv_id, turn_idx) with
+    [valid_from, valid_to) LSN intervals and an is_current flag — the
+    warehouse "time travel by key" format (operators/apply.scd2_history).
+    A delete closes the previous version without emitting a row."""
+    from .operators.apply import scd2_history
+
+    df = filter_tables(
+        dedup_lsn(changelog_df(spark, sf_dir)), include=[("app", "transcripts")]
+    ).withColumn("ord", _lsn_ord())
+    return scd2_history(
+        df, KEY_COLS, "ord", ["role", "text"]
+    )
+
+
+def oracle_cdc_scd2_history():
+    return f"""
+    WITH dedup AS ({spec.dedup_sql('duckdb')}),
+    base AS (
+      SELECT conv_id, turn_idx, {_ASOF_ORD_SQL} AS ord, action, role, text
+      FROM dedup
+      WHERE schema_name = 'app' AND table_name = 'transcripts'
+    ),
+    led AS (
+      SELECT *,
+             LEAD(ord) OVER (PARTITION BY conv_id, turn_idx ORDER BY ord)
+               AS valid_to
+      FROM base
+    )
+    SELECT conv_id, turn_idx, ord AS valid_from, valid_to,
+           valid_to IS NULL AS is_current, action, role, text
+    FROM led WHERE action <> 'delete'
+    """
+
+
 # --------------------------------------------------- CDC (binary round-trip)
 
 
@@ -1699,3 +1735,53 @@ def q_events_sessionize(spark, sf_dir):
 
 def oracle_events_sessionize():
     return sessionize_sql("events")
+
+
+def q_events_rate_window(spark, sf_dir):
+    """Trailing per-user rate over the last 60s (excluding the current
+    second): Spark's native RANGE window on epoch seconds — the rolling
+    rate-limit / burst signal, with the value sum folded to integer
+    cents so it is order-free exact (operators/sessionize.rate_window)."""
+    from .operators.sessionize import rate_window
+
+    _events(spark, sf_dir)
+    return rate_window(spark.table("events"))
+
+
+def oracle_events_rate_window():
+    from .operators.sessionize import rate_window_sql
+
+    return rate_window_sql(rel="events")
+
+
+# ---------------------------------------------------- corpus distributions
+
+
+def q_doc_length_quantiles(spark, sf_dir):
+    """Per-language length quantiles by the nearest-rank definition —
+    bit-exact across engines because the pick is integer selection, not
+    float interpolation (operators/corpus.length_quantiles)."""
+    from .operators.corpus import length_quantiles
+
+    return length_quantiles(_docs(spark, sf_dir))
+
+
+def oracle_doc_length_quantiles():
+    from .operators.corpus import length_quantiles_sql
+
+    return length_quantiles_sql()
+
+
+def q_doc_training_shuffle(spark, sf_dir):
+    """Deterministic global shuffle + sharding for training order: pos =
+    rank of md5(doc_id‖seed) within shard, one shuffle on the shard key,
+    never a global ORDER BY (operators/sampling.training_shuffle)."""
+    from .operators.sampling import training_shuffle
+
+    return training_shuffle(_docs(spark, sf_dir), n_shards=16, seed=0)
+
+
+def oracle_doc_training_shuffle():
+    from .operators.sampling import training_shuffle_sql
+
+    return training_shuffle_sql(n_shards=16, seed=0)

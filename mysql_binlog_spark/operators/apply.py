@@ -19,7 +19,7 @@ Scale notes (100 TB / 1000-executor thinking):
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 # total order of the change stream: natural sort of chunk names then byte
@@ -160,4 +160,42 @@ def final_state(winners: DataFrame, payload_cols: list[str],
     """Applied table state from winners: everything but deletes."""
     return winners.filter(F.col("action") != "delete").select(
         *key_cols, *payload_cols
+    )
+
+
+def scd2_history(
+    df: DataFrame,
+    key_cols: list[str],
+    order_col: str,
+    payload_cols: list[str],
+    action_col: str = "action",
+) -> DataFrame:
+    """Slowly-changing-dimension type-2 history from a deduped changelog:
+    one row per non-delete VERSION of each key, with
+    ``valid_from`` = the version's own position, ``valid_to`` = the next
+    change's position (NULL while current) and ``is_current``.
+
+    A delete CLOSES the preceding version (its position becomes that
+    version's ``valid_to``) without emitting a version row — which is
+    why the lead() runs over ALL actions and the delete filter comes
+    after the window, never before.
+
+    Scale shape: identical to last_writer's — one hash shuffle on the
+    key, one sorted window pass; no joins.  This is the standard
+    "time travel by key" output format a warehouse consumer expects
+    from a CDC feed (the reference stops at the event stream; engine-
+    side analytics, SURVEY §2.11)."""
+    w = Window.partitionBy(*key_cols).orderBy(order_col)
+    nxt = F.lead(order_col).over(w)
+    return (
+        df.withColumn("valid_to", nxt)
+        .where(F.col(action_col) != "delete")
+        .select(
+            *key_cols,
+            F.col(order_col).alias("valid_from"),
+            "valid_to",
+            F.col("valid_to").isNull().alias("is_current"),
+            F.col(action_col).alias(action_col),
+            *payload_cols,
+        )
     )

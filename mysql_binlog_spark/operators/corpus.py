@@ -220,3 +220,69 @@ def distinct_kmv_sql(
                      ELSE {big} // kth_min END AS BIGINT) AS est_distinct
     FROM agg
     """
+
+
+# -------------------------------------------------- nearest-rank quantiles
+
+# Per-group length quantiles by the NEAREST-RANK definition (value at
+# row_number == ceil(p·n) in sorted order, doc_id tiebreak) rather than
+# interpolating percentile functions: interpolation is float arithmetic
+# whose expression shape differs between engines (lower + frac·(upper −
+# lower) vs (1−frac)·lower + frac·upper can differ in the last ulp and
+# flip a hash), while nearest-rank is pure integer selection — the same
+# double product ceil(p·n) is computed identically by both engines, so
+# the result is bit-exact by construction.  One shuffle on the group
+# key, one sorted window pass, conditional-aggregation pick.
+
+
+def length_quantiles(
+    df: DataFrame,
+    group_col: str = "lang",
+    value_col: str = "n_chars",
+    id_col: str = "doc_id",
+    ps: tuple[float, ...] = (0.5, 0.9, 0.99),
+) -> DataFrame:
+    w = Window.partitionBy(group_col).orderBy(value_col, id_col)
+    n = Window.partitionBy(group_col)
+    base = df.select(
+        F.col(group_col),
+        F.col(value_col),
+        F.row_number().over(w).alias("rn"),
+        F.count(F.lit(1)).over(n).alias("n"),
+    )
+    picks = [
+        F.max(
+            F.when(
+                F.col("rn") == F.ceil(F.col("n") * F.lit(p)), F.col(value_col)
+            )
+        ).alias(f"p{str(p)[2:]}")
+        for p in ps
+    ]
+    return base.groupBy(group_col).agg(
+        F.max("n").cast("bigint").alias("n_docs"), *picks
+    )
+
+
+def length_quantiles_sql(
+    group_col: str = "lang",
+    value_col: str = "n_chars",
+    id_col: str = "doc_id",
+    ps: tuple[float, ...] = (0.5, 0.9, 0.99),
+    rel: str = "documents",
+) -> str:
+    picks = ", ".join(
+        f"MAX(CASE WHEN rn = CEIL(n * {p}) THEN {value_col} END)"
+        f" AS p{str(p)[2:]}"
+        for p in ps
+    )
+    return f"""
+    WITH ranked AS (
+      SELECT {group_col}, {value_col},
+             ROW_NUMBER() OVER (PARTITION BY {group_col}
+                                ORDER BY {value_col}, {id_col}) AS rn,
+             COUNT(*) OVER (PARTITION BY {group_col}) AS n
+      FROM {rel}
+    )
+    SELECT {group_col}, CAST(MAX(n) AS BIGINT) AS n_docs, {picks}
+    FROM ranked GROUP BY {group_col}
+    """

@@ -257,3 +257,60 @@ def temperature_resample_sql(
     WHERE {coin} < t.threshold
     GROUP BY 1, 2, 3, 4
     """
+
+
+# ------------------------------------------------- training-order shuffle
+
+# Deterministic global shuffle + sharding: the step that turns a curated
+# corpus into a training order.  Position = rank of md5(key ‖ seed)
+# within the document's shard (shard = hash mod n_shards), so the order
+# is (a) uniform, (b) identical on any cluster size / re-run, and
+# (c) computed with ONE shuffle on the shard key and a per-shard sort —
+# never a global ORDER BY (rangepartitioning + skew at 100 TB).  Readers
+# stream shard files in (shard, pos) order; cross-shard interleaving is
+# the reader's round-robin, standard practice for sharded training data.
+
+
+def training_shuffle(
+    df: DataFrame,
+    key_col: str = "doc_id",
+    n_shards: int = 16,
+    seed: int = 0,
+) -> DataFrame:
+    """(key, shard, pos): a reproducible random order, parallel by
+    shard.  Hash ties (md5 collisions) break on the key for full
+    determinism."""
+    h = md5_bigint(
+        F.concat(F.col(key_col).cast("string"), F.lit(f"#shuf{seed}"))
+    )
+    out = df.select(F.col(key_col), h.alias("h"))
+    out = out.withColumn("shard", (F.col("h") % n_shards).cast("int"))
+    w = Window.partitionBy("shard").orderBy("h", key_col)
+    return out.select(
+        key_col,
+        "shard",
+        (F.row_number().over(w) - 1).cast("bigint").alias("pos"),
+    )
+
+
+def training_shuffle_sql(
+    key_col: str = "doc_id",
+    n_shards: int = 16,
+    seed: int = 0,
+    rel: str = "documents",
+) -> str:
+    h = (
+        f"('0x' || substr(md5(CAST({key_col} AS VARCHAR) || '#shuf{seed}'),"
+        f" 1, 12))::BIGINT"
+    )
+    return f"""
+    WITH hashed AS (
+      SELECT {key_col}, {h} AS h,
+             CAST({h} % {n_shards} AS INT) AS shard
+      FROM {rel}
+    )
+    SELECT {key_col}, shard,
+           CAST(ROW_NUMBER() OVER (PARTITION BY shard ORDER BY h, {key_col})
+                - 1 AS BIGINT) AS pos
+    FROM hashed
+    """

@@ -457,3 +457,115 @@ def test_bmp_codec_roundtrip_and_header_checks():
         return
     img = np.asarray(Image.open(BytesIO(payload)).convert("L"))
     assert (img == pix).all()
+
+
+def test_scd2_history_versions_and_delete_close(spark):
+    """SCD2: each non-delete change opens a version; the next change on
+    the same key closes it; a delete closes without emitting a row."""
+    from mysql_binlog_spark.operators.apply import scd2_history
+
+    rows = [
+        ("c1", 0, 1, "insert", "user", "a"),
+        ("c1", 0, 3, "update", "user", "b"),
+        ("c1", 0, 5, "delete", "user", "b"),
+        ("c1", 1, 2, "insert", "asst", "x"),
+    ]
+    df = spark.createDataFrame(
+        rows, "conv_id string, turn_idx int, ord long, action string,"
+        " role string, text string"
+    )
+    out = scd2_history(df, ["conv_id", "turn_idx"], "ord", ["role", "text"])
+    got = {
+        (r.conv_id, r.turn_idx, r.valid_from): (
+            r.valid_to, r.is_current, r.action, r.text
+        )
+        for r in out.collect()
+    }
+    assert got == {
+        ("c1", 0, 1): (3, False, "insert", "a"),
+        ("c1", 0, 3): (5, False, "update", "b"),  # closed by the delete
+        ("c1", 1, 2): (None, True, "insert", "x"),
+    }
+
+
+def test_rate_window_trailing_seconds_excludes_current(spark):
+    """RANGE window [t-60, t-1]: same-second events never see each other;
+    events exactly 60s apart are still inside the window."""
+    import datetime as dt
+
+    from mysql_binlog_spark.operators.sessionize import rate_window
+
+    def t(sec):
+        return dt.datetime(2026, 1, 1, 0, 0, 0) + dt.timedelta(seconds=sec)
+
+    rows = [
+        (1, 10, t(0), 1.00),
+        (2, 10, t(10), 2.50),
+        (3, 10, t(50), 0.25),
+        (4, 10, t(70), 4.00),
+        (5, 10, t(130), 8.00),
+        (6, 10, t(200), 1.00),   # same second as event 7
+        (7, 10, t(200), 1.00),
+        (8, 99, t(10), 9.99),    # other user, invisible to user 10
+    ]
+    df = spark.createDataFrame(
+        rows, "event_id long, user_id long, ts timestamp, value double"
+    )
+    out = {
+        r.event_id: (r.n_prev, r.prev_value_cents)
+        for r in rate_window(df).collect()
+    }
+    assert out[1] == (0, 0)
+    assert out[2] == (1, 100)          # sees t=0
+    assert out[3] == (2, 350)          # sees t=0 and t=10
+    assert out[4] == (2, 275)          # [10, 69]: t=10, t=50
+    assert out[5] == (1, 400)          # [70, 129]: t=70 exactly 60s back
+    assert out[6] == (0, 0)            # same-second sibling excluded
+    assert out[7] == (0, 0)
+    assert out[8] == (0, 0)
+
+
+def test_length_quantiles_nearest_rank(spark):
+    """Nearest-rank definition: value at row ceil(p·n) in sorted order."""
+    from mysql_binlog_spark.operators.corpus import length_quantiles
+
+    rows = [(i, "en", 10 * i) for i in range(1, 11)]  # n_chars 10..100
+    rows += [(100, "fr", 7)]                           # single-row group
+    df = spark.createDataFrame(rows, "doc_id long, lang string, n_chars long")
+    out = {r.lang: r for r in length_quantiles(df).collect()}
+    assert (out["en"].n_docs, out["en"].p5, out["en"].p9, out["en"].p99) == (
+        10, 50, 90, 100
+    )
+    assert (out["fr"].n_docs, out["fr"].p5, out["fr"].p9, out["fr"].p99) == (
+        1, 7, 7, 7
+    )
+
+
+def test_training_shuffle_is_a_permutation_and_deterministic(spark, sf_dir):
+    """Per-shard positions are a contiguous 0..n_s-1 run, every doc
+    appears exactly once, and the order is identical across runs."""
+    from mysql_binlog_spark.operators.sampling import training_shuffle
+
+    docs = _docs(spark, sf_dir)
+    n = docs.count()
+    out = training_shuffle(docs, n_shards=8, seed=3)
+    assert out.count() == n
+    per = {
+        r.shard: (r.n, r.mx)
+        for r in out.groupBy("shard")
+        .agg(F.count("*").alias("n"), F.max("pos").alias("mx"))
+        .collect()
+    }
+    assert set(per) <= set(range(8))
+    for shard, (cnt, mx) in per.items():
+        assert mx == cnt - 1, shard  # contiguous 0..n_s-1
+    a = out.orderBy("shard", "pos").select("doc_id").collect()
+    b = (
+        training_shuffle(docs.repartition(13), n_shards=8, seed=3)
+        .orderBy("shard", "pos").select("doc_id").collect()
+    )
+    assert a == b  # partitioning-independent determinism
+    c = training_shuffle(docs, n_shards=8, seed=4).orderBy(
+        "shard", "pos"
+    ).select("doc_id").collect()
+    assert a != c  # the seed actually changes the order

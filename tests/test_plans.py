@@ -213,3 +213,44 @@ def test_corpus_top_ngrams_uses_partial_topk(spark, sf_dir):
     p = plan(corpus_top_ngrams(docs, n=2, top=50))
     assert "TakeOrderedAndProject" in p
     assert "rangepartitioning" not in p.lower()
+
+
+def test_training_shuffle_single_shard_shuffle_no_global_sort(spark, sf_dir):
+    """The training-order shuffle must be one hashpartitioning(shard)
+    exchange + per-shard sort — never a rangepartitioning global sort,
+    which would single-thread the 100 TB corpus through one skewed
+    range boundary computation."""
+    from mysql_binlog_spark.operators.sampling import training_shuffle
+
+    docs = spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
+    p = plan(training_shuffle(docs, n_shards=16, seed=0))
+    assert p.count("Arguments: hashpartitioning") == 1
+    assert "hashpartitioning(shard" in p
+    assert "rangepartitioning" not in p
+    assert "SinglePartition" not in p
+    # scan reads only the key column — text never leaves the parquet
+    assert "text" not in p.split("ReadSchema:")[-1]
+
+
+def test_scd2_history_single_key_shuffle_no_join(spark, sf_dir):
+    """SCD2 is a window pass over one key shuffle: any Join node would
+    mean a self-join rewrite (quadratic on hot keys at scale)."""
+    from mysql_binlog_spark import driver_queries as dq
+
+    p = plan(dq.q_cdc_scd2_history(spark, sf_dir))
+    assert "Join" not in p
+    assert "hashpartitioning(conv_id" in p
+
+
+def test_rate_window_native_range_frame_single_shuffle(spark, sf_dir):
+    """The trailing-rate signal must be Spark's native RANGE window —
+    exactly one user-key exchange, no self-join (the naive ts-BETWEEN
+    join is quadratic in the hot user)."""
+    from mysql_binlog_spark.operators.sessionize import rate_window
+
+    ev = spark.read.parquet(os.path.join(sf_dir, "events.parquet"))
+    p = plan(rate_window(ev))
+    assert "Join" not in p
+    assert p.count("Arguments: hashpartitioning") == 1
+    assert "hashpartitioning(user_id" in p
+    assert "specifiedwindowframe(RangeFrame, -60, -1)" in p
