@@ -225,14 +225,24 @@ def distinct_kmv_sql(
 # -------------------------------------------------- nearest-rank quantiles
 
 # Per-group length quantiles by the NEAREST-RANK definition (value at
-# row_number == ceil(p·n) in sorted order, doc_id tiebreak) rather than
-# interpolating percentile functions: interpolation is float arithmetic
-# whose expression shape differs between engines (lower + frac·(upper −
-# lower) vs (1−frac)·lower + frac·upper can differ in the last ulp and
-# flip a hash), while nearest-rank is pure integer selection — the same
-# double product ceil(p·n) is computed identically by both engines, so
-# the result is bit-exact by construction.  One shuffle on the group
-# key, one sorted window pass, conditional-aggregation pick.
+# rank ceil(p·n) in sorted order) rather than interpolating percentile
+# functions: interpolation is float arithmetic whose expression shape
+# differs between engines (lower + frac·(upper − lower) vs
+# (1−frac)·lower + frac·upper can differ in the last ulp and flip a
+# hash), while nearest-rank is pure integer selection — the same double
+# product ceil(p·n) is computed identically by both engines, so the
+# result is bit-exact by construction.
+#
+# 100 TB shape: NOT a row-level window.  partitionBy(lang) over raw
+# rows is the classic hot-partition trap — a handful of languages means
+# a handful of partitions each holding terabytes, single-task sorted.
+# Instead this is the histogram algorithm: aggregate counts by
+# (group, value) — a UNIFORM high-cardinality shuffle with map-side
+# partial aggregation, so shuffle volume is |distinct (group, value)|,
+# not |rows| — then rank-pick on the tiny aggregate (a per-group window
+# over ≤ |value domain| rows, thousands not billions).  The value at
+# nearest rank r is the one whose cumulative count first reaches r:
+# cum − cnt < r ≤ cum.
 
 
 def length_quantiles(
@@ -242,22 +252,29 @@ def length_quantiles(
     id_col: str = "doc_id",
     ps: tuple[float, ...] = (0.5, 0.9, 0.99),
 ) -> DataFrame:
-    w = Window.partitionBy(group_col).orderBy(value_col, id_col)
+    counts = df.groupBy(group_col, value_col).agg(
+        F.count(F.lit(1)).alias("cnt")
+    )
+    w = Window.partitionBy(group_col).orderBy(value_col)
     n = Window.partitionBy(group_col)
-    base = df.select(
+    base = counts.select(
         F.col(group_col),
         F.col(value_col),
-        F.row_number().over(w).alias("rn"),
-        F.count(F.lit(1)).over(n).alias("n"),
+        F.col("cnt"),
+        F.sum("cnt").over(w).alias("cum"),
+        F.sum("cnt").over(n).alias("n"),
     )
-    picks = [
-        F.max(
-            F.when(
-                F.col("rn") == F.ceil(F.col("n") * F.lit(p)), F.col(value_col)
-            )
-        ).alias(f"p{str(p)[2:]}")
-        for p in ps
-    ]
+    picks = []
+    for p in ps:
+        r = F.ceil(F.col("n") * F.lit(p))
+        picks.append(
+            F.max(
+                F.when(
+                    (F.col("cum") - F.col("cnt") < r) & (r <= F.col("cum")),
+                    F.col(value_col),
+                )
+            ).alias(f"p{str(p)[2:]}")
+        )
     return base.groupBy(group_col).agg(
         F.max("n").cast("bigint").alias("n_docs"), *picks
     )

@@ -254,3 +254,25 @@ def test_rate_window_native_range_frame_single_shuffle(spark, sf_dir):
     assert p.count("Arguments: hashpartitioning") == 1
     assert "hashpartitioning(user_id" in p
     assert "specifiedwindowframe(RangeFrame, -60, -1)" in p
+
+
+def test_length_quantiles_histogram_not_row_window(spark, sf_dir):
+    """Quantiles must be the histogram algorithm: the raw-row shuffle is
+    the uniform (group, value) partial-count aggregate; the per-group
+    window runs only over the tiny histogram.  A row-level
+    partitionBy(lang) window would funnel terabytes through a handful
+    of hot partitions at 100 TB."""
+    from mysql_binlog_spark.operators.corpus import length_quantiles
+
+    docs = spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
+    p = plan(length_quantiles(docs))
+    # map-side combine on the uniform key happens BELOW the first exchange
+    first_exchange = p.index("Arguments: hashpartitioning")
+    assert "partial_count" in p[:first_exchange]
+    # the raw-row shuffle is keyed on (group, value) — uniform — and the
+    # group-only shuffle exists only downstream, over the histogram
+    import re
+
+    keys = re.findall(r"hashpartitioning\(([^)]*)\)", p)
+    assert any("lang" in k and "n_chars" in k for k in keys), keys
+    assert "text" not in p.split("ReadSchema:")[-1]
