@@ -238,6 +238,52 @@ def oracle_cdc_scd2_history():
     """
 
 
+# Time-travel cut: "state as of the middle of binlog.000002".
+TT_LSN = ("binlog.000002", 4 + 1250 * 128)
+
+
+def q_cdc_time_travel(spark, sf_dir):
+    """Point-in-time table reconstruction: the transcripts state as of a
+    mid-log LSN — changes after the cut never reach the last-writer
+    reduce (filter_until_lsn is a pure partition-prunable predicate, so
+    on a file-partitioned log every later file is skipped at the scan).
+    The consumer-facing dual of scd2_history: the same answer falls out
+    of the version intervals (valid_from <= cut < valid_to), which a
+    test cross-checks."""
+    from .operators.apply import filter_until_lsn
+
+    df = filter_until_lsn(
+        filter_tables(
+            dedup_lsn(changelog_df(spark, sf_dir)),
+            include=[("app", "transcripts")],
+        ),
+        TT_LSN,
+    )
+    w = last_writer(df, key_cols=KEY_COLS, payload_cols=PAYLOAD_COLS)
+    return final_state(w, PAYLOAD_COLS, KEY_COLS).select(*FINAL_COLS)
+
+
+def oracle_cdc_time_travel():
+    f, p = TT_LSN
+    return f"""
+    WITH dedup AS ({spec.dedup_sql('duckdb')}),
+    upto AS (
+      SELECT * FROM dedup
+      WHERE schema_name = 'app' AND table_name = 'transcripts'
+        AND (log_file < '{f}' OR (log_file = '{f}' AND log_pos <= {p}))
+    ),
+    ranked AS (
+      SELECT u.*,
+             ROW_NUMBER() OVER (
+               PARTITION BY conv_id, turn_idx
+               ORDER BY log_file DESC, log_pos DESC, server_id DESC) AS rn
+      FROM upto u
+    )
+    SELECT conv_id, turn_idx, role, text, tool, tool_version, ts
+    FROM ranked WHERE rn = 1 AND action <> 'delete'
+    """
+
+
 # --------------------------------------------------- CDC (binary round-trip)
 
 

@@ -81,6 +81,19 @@ def filter_start_lsn(df: DataFrame, start_lsn: tuple[str, int]) -> DataFrame:
     )
 
 
+def filter_until_lsn(df: DataFrame, until_lsn: tuple[str, int]) -> DataFrame:
+    """Mirror of filter_start_lsn: keep only changes at/before the given
+    position — the read-side half of point-in-time (time-travel)
+    reconstruction.  Same partition-prunable shape: a pure predicate on
+    (log_file, log_pos), so a file/position-partitioned log scan skips
+    every later file entirely."""
+    f, p = until_lsn
+    return df.filter(
+        (F.col("log_file") < f)
+        | ((F.col("log_file") == f) & (F.col("log_pos") <= p))
+    )
+
+
 def dedup_lsn(df: DataFrame, lsn_cols: list[str] | None = None) -> DataFrame:
     """Drop exact re-deliveries: events are identical iff their LSN is —
     (log_file, log_pos, server_id[, batch_seq]) — north-rule A1 first half

@@ -569,3 +569,27 @@ def test_training_shuffle_is_a_permutation_and_deterministic(spark, sf_dir):
         "shard", "pos"
     ).select("doc_id").collect()
     assert a != c  # the seed actually changes the order
+
+
+def test_time_travel_agrees_with_scd2_intervals(spark, sf_dir):
+    """Two independent derivations of 'state as of LSN X' must agree:
+    (a) filter-then-last-writer (cdc_time_travel), and (b) the scd2
+    version whose interval covers X (valid_from <= X < valid_to).  A
+    delete before X correctly drops the key from BOTH."""
+    from mysql_binlog_spark import driver_queries as dq
+
+    cut_ord = (2 << 20) + dq.TT_LSN[1]  # _lsn_ord of the TT cut
+    tt = {
+        (r.conv_id, r.turn_idx): r.text
+        for r in dq.q_cdc_time_travel(spark, sf_dir).collect()
+    }
+    scd = dq.q_cdc_scd2_history(spark, sf_dir)
+    covering = scd.where(
+        (F.col("valid_from") <= cut_ord)
+        & (F.col("valid_to").isNull() | (F.col("valid_to") > cut_ord))
+    )
+    sc = {
+        (r.conv_id, r.turn_idx): r.text for r in covering.collect()
+    }
+    assert len(tt) > 0
+    assert tt == sc
