@@ -81,6 +81,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_resample_sources": dq.q_doc_resample_sources,
         "doc_length_quantiles": dq.q_doc_length_quantiles,
         "doc_training_shuffle": dq.q_doc_training_shuffle,
+        "doc_training_mix": dq.q_doc_training_mix,
         # similarity search / ANN
         "emb_cosine_knn": dq.q_emb_cosine_knn,
         "emb_sq8_knn": dq.q_emb_sq8_knn,
@@ -147,6 +148,7 @@ def oracle_sql() -> dict[str, str]:
         "doc_resample_sources": dq.oracle_doc_resample_sources(),
         "doc_length_quantiles": dq.oracle_doc_length_quantiles(),
         "doc_training_shuffle": dq.oracle_doc_training_shuffle(),
+        "doc_training_mix": dq.oracle_doc_training_mix(),
         "emb_cosine_knn": dq.oracle_emb_cosine_knn(),
         "emb_sq8_knn": dq.oracle_emb_sq8_knn(),
         "emb_ivf_knn": dq.oracle_emb_ivf_knn(),

@@ -1831,3 +1831,20 @@ def oracle_doc_training_shuffle():
     from .operators.sampling import training_shuffle_sql
 
     return training_shuffle_sql(n_shards=16, seed=0)
+
+
+def q_doc_training_mix(spark, sf_dir):
+    """End-to-end curation mix: temperature-0.5 resample to a half-size
+    budget, then the deterministic sharded training order — the composed
+    last mile (operators/sampling.training_mix)."""
+    from .operators.sampling import training_mix
+
+    return training_mix(
+        _docs(spark, sf_dir), seed=0, budget_num=1, budget_den=2, n_shards=8
+    )
+
+
+def oracle_doc_training_mix():
+    from .operators.sampling import training_mix_sql
+
+    return training_mix_sql(seed=0, budget_num=1, budget_den=2, n_shards=8)

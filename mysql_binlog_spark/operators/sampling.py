@@ -165,7 +165,7 @@ _TMP_S = 1 << 26
 _TMP_M = 1 << 20
 
 
-def temperature_resample(
+def temperature_kept(
     df: DataFrame,
     source_col: str = "source",
     key_col: str = "doc_id",
@@ -173,11 +173,10 @@ def temperature_resample(
     budget_num: int = 1,
     budget_den: int = 1,
 ) -> DataFrame:
-    """Per-source summary of a temperature-0.5 resample targeting an
-    output of ``N_total · budget_num / budget_den`` documents: (source,
-    n_docs, weight, target, n_kept).  The kept rows themselves are the
-    ``_kept`` intermediate; the summary is what the oracle gates (n_kept
-    pins the exact membership hash-wise via the deterministic coin)."""
+    """The KEPT rows of the temperature-0.5 resample (all input columns
+    plus the per-source n_docs/weight/target stats) — the composable
+    half of temperature_resample: feed these into packing, shuffling, or
+    a writer.  Broadcast thresholds; the corpus side never shuffles."""
     counts = df.groupBy(source_col).agg(F.count("*").alias("n_docs"))
     whole = Window.partitionBy()
     stats = (
@@ -205,29 +204,47 @@ def temperature_resample(
     coin = md5_bigint(
         F.concat(F.col(key_col).cast("string"), F.lit(f"#tmp{seed}"))
     ) % _TMP_M
-    kept = df.join(F.broadcast(stats), source_col).filter(
+    return df.join(F.broadcast(stats), source_col).filter(
         coin < F.col("threshold")
+    )
+
+
+def temperature_resample(
+    df: DataFrame,
+    source_col: str = "source",
+    key_col: str = "doc_id",
+    seed: int = 0,
+    budget_num: int = 1,
+    budget_den: int = 1,
+) -> DataFrame:
+    """Per-source summary of a temperature-0.5 resample targeting an
+    output of ``N_total · budget_num / budget_den`` documents: (source,
+    n_docs, weight, target, n_kept).  The kept rows themselves come from
+    ``temperature_kept``; the summary is what the oracle gates (n_kept
+    pins the exact membership hash-wise via the deterministic coin)."""
+    kept = temperature_kept(
+        df, source_col, key_col, seed, budget_num, budget_den
     )
     return kept.groupBy(source_col, "n_docs", "weight", "target").agg(
         F.count("*").alias("n_kept")
     )
 
 
-def temperature_resample_sql(
-    source_col: str = "source",
-    key_col: str = "doc_id",
-    seed: int = 0,
-    rel: str = "documents",
-    budget_num: int = 1,
-    budget_den: int = 1,
-) -> str:
-    """DuckDB twin: identical sqrt + int64 chain + md5 coin."""
+def _temperature_ctes(
+    source_col: str,
+    key_col: str,
+    seed: int,
+    rel: str,
+    budget_num: int,
+    budget_den: int,
+) -> tuple[str, str]:
+    """(CTE text for counts/stats/thresholds, coin expression) — shared
+    by the resample-summary and training-mix DuckDB twins."""
     coin = (
         f"(('0x' || substr(md5(CAST({key_col} AS VARCHAR) || '#tmp{seed}'),"
         f" 1, 12))::BIGINT % {_TMP_M})"
     )
-    return f"""
-    WITH counts AS (
+    ctes = f"""counts AS (
       SELECT {source_col}, COUNT(*) AS n_docs FROM {rel} GROUP BY 1
     ),
     stats AS (
@@ -250,7 +267,24 @@ def temperature_resample_sql(
                     * (total_n * {budget_num} // {budget_den}) // {_TMP_S})
                      * {_TMP_M} // n_docs) AS BIGINT) AS threshold
       FROM stats
+    )"""
+    return ctes, coin
+
+
+def temperature_resample_sql(
+    source_col: str = "source",
+    key_col: str = "doc_id",
+    seed: int = 0,
+    rel: str = "documents",
+    budget_num: int = 1,
+    budget_den: int = 1,
+) -> str:
+    """DuckDB twin: identical sqrt + int64 chain + md5 coin."""
+    ctes, coin = _temperature_ctes(
+        source_col, key_col, seed, rel, budget_num, budget_den
     )
+    return f"""
+    WITH {ctes}
     SELECT t.{source_col}, t.n_docs, t.weight, t.target,
            COUNT(*) AS n_kept
     FROM {rel} d JOIN thresholds t USING ({source_col})
@@ -276,18 +310,21 @@ def training_shuffle(
     key_col: str = "doc_id",
     n_shards: int = 16,
     seed: int = 0,
+    carry_cols: list[str] | None = None,
 ) -> DataFrame:
-    """(key, shard, pos): a reproducible random order, parallel by
-    shard.  Hash ties (md5 collisions) break on the key for full
+    """(key, *carry, shard, pos): a reproducible random order, parallel
+    by shard.  Hash ties (md5 collisions) break on the key for full
     determinism."""
+    carry = carry_cols or []
     h = md5_bigint(
         F.concat(F.col(key_col).cast("string"), F.lit(f"#shuf{seed}"))
     )
-    out = df.select(F.col(key_col), h.alias("h"))
+    out = df.select(F.col(key_col), *carry, h.alias("h"))
     out = out.withColumn("shard", (F.col("h") % n_shards).cast("int"))
     w = Window.partitionBy("shard").orderBy("h", key_col)
     return out.select(
         key_col,
+        *carry,
         "shard",
         (F.row_number().over(w) - 1).cast("bigint").alias("pos"),
     )
@@ -310,6 +347,70 @@ def training_shuffle_sql(
       FROM {rel}
     )
     SELECT {key_col}, shard,
+           CAST(ROW_NUMBER() OVER (PARTITION BY shard ORDER BY h, {key_col})
+                - 1 AS BIGINT) AS pos
+    FROM hashed
+    """
+
+
+# --------------------------------------------------- end-to-end curation mix
+
+# The last mile of a curation pipeline, composed from the pieces above:
+# temperature-resample the sources to the output budget, then lay the
+# kept documents into a reproducible sharded training order.  Scale
+# shape is the union of its parts: broadcast thresholds + stateless
+# keep filter (corpus never shuffles for the mix decision), then ONE
+# hashpartitioning(shard) exchange for the order.
+
+
+def training_mix(
+    df: DataFrame,
+    source_col: str = "source",
+    key_col: str = "doc_id",
+    seed: int = 0,
+    budget_num: int = 1,
+    budget_den: int = 1,
+    n_shards: int = 16,
+) -> DataFrame:
+    """(key, source, shard, pos) for the temperature-resampled corpus in
+    deterministic training order."""
+    kept = temperature_kept(
+        df, source_col, key_col, seed, budget_num, budget_den
+    )
+    return training_shuffle(
+        kept, key_col, n_shards, seed, carry_cols=[source_col]
+    )
+
+
+def training_mix_sql(
+    source_col: str = "source",
+    key_col: str = "doc_id",
+    seed: int = 0,
+    rel: str = "documents",
+    budget_num: int = 1,
+    budget_den: int = 1,
+    n_shards: int = 16,
+) -> str:
+    ctes, coin = _temperature_ctes(
+        source_col, key_col, seed, rel, budget_num, budget_den
+    )
+    h = (
+        f"('0x' || substr(md5(CAST({key_col} AS VARCHAR) || '#shuf{seed}'),"
+        f" 1, 12))::BIGINT"
+    )
+    return f"""
+    WITH {ctes},
+    kept AS (
+      SELECT d.{key_col}, d.{source_col}
+      FROM {rel} d JOIN thresholds t USING ({source_col})
+      WHERE {coin} < t.threshold
+    ),
+    hashed AS (
+      SELECT {key_col}, {source_col}, {h} AS h,
+             CAST({h} % {n_shards} AS INT) AS shard
+      FROM kept
+    )
+    SELECT {key_col}, {source_col}, shard,
            CAST(ROW_NUMBER() OVER (PARTITION BY shard ORDER BY h, {key_col})
                 - 1 AS BIGINT) AS pos
     FROM hashed

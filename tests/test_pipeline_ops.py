@@ -593,3 +593,23 @@ def test_time_travel_agrees_with_scd2_intervals(spark, sf_dir):
     }
     assert len(tt) > 0
     assert tt == sc
+
+
+def test_training_mix_composes_resample_and_shuffle(spark, sf_dir):
+    """training_mix keeps exactly the temperature_kept membership and
+    orders it exactly as training_shuffle would order that subset."""
+    from mysql_binlog_spark.operators.sampling import (
+        temperature_kept,
+        training_mix,
+        training_shuffle,
+    )
+
+    docs = _docs(spark, sf_dir)
+    mix = training_mix(docs, seed=0, budget_num=1, budget_den=2, n_shards=8)
+    kept = temperature_kept(docs, seed=0, budget_num=1, budget_den=2)
+    ref = training_shuffle(kept, n_shards=8, seed=0, carry_cols=["source"])
+    a = sorted(map(tuple, mix.collect()))
+    b = sorted(map(tuple, ref.collect()))
+    assert len(a) > 0 and a == b
+    n_docs = docs.count()
+    assert len(a) < n_docs  # the budget actually cut something
