@@ -54,6 +54,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cdc_asof_lookup": dq.q_cdc_asof_lookup,
         "cdc_scd2_history": dq.q_cdc_scd2_history,
         "cdc_time_travel": dq.q_cdc_time_travel,
+        "cdc_snapshot_diff": dq.q_cdc_snapshot_diff,
         # training-data pipeline: dedup families
         "doc_dedup_exact": dq.q_doc_dedup_exact,
         "doc_minhash_signatures": dq.q_doc_minhash_signatures,
@@ -123,6 +124,7 @@ def oracle_sql() -> dict[str, str]:
         "cdc_asof_lookup": dq.oracle_cdc_asof_lookup(),
         "cdc_scd2_history": dq.oracle_cdc_scd2_history(),
         "cdc_time_travel": dq.oracle_cdc_time_travel(),
+        "cdc_snapshot_diff": dq.oracle_cdc_snapshot_diff(),
         "doc_dedup_exact": dq.oracle_doc_dedup_exact(),
         "doc_minhash_signatures": dq.oracle_doc_minhash_signatures(),
         "doc_neardup_minhash_lsh": dq.oracle_doc_neardup_minhash_lsh(),

@@ -284,6 +284,78 @@ def oracle_cdc_time_travel():
     """
 
 
+# Diff window: cut A = the time-travel cut, cut B = the middle of
+# binlog.000004.
+DIFF_LSN_B = ("binlog.000004", 4 + 1250 * 128)
+
+
+def _ord_of(lsn: tuple[str, int]) -> int:
+    return (int(lsn[0][7:]) << 20) + lsn[1]
+
+
+def q_cdc_snapshot_diff(spark, sf_dir):
+    """What changed between two positions: added/removed/changed keys
+    with old (as-of A) and new (as-of B) payloads, computed in ONE
+    aggregation pass via conditional max_by — never a join of two
+    time-travel snapshots (operators/apply.snapshot_diff).  The oracle
+    deliberately IS the naive two-snapshot full-outer join, as an
+    independent algorithm."""
+    from .operators.apply import snapshot_diff
+
+    df = filter_tables(
+        dedup_lsn(changelog_df(spark, sf_dir)),
+        include=[("app", "transcripts")],
+    ).withColumn("ord", _lsn_ord())
+    return snapshot_diff(
+        df, KEY_COLS, "ord", ["role", "text"],
+        _ord_of(TT_LSN), _ord_of(DIFF_LSN_B),
+    )
+
+
+def oracle_cdc_snapshot_diff():
+    a, b = _ord_of(TT_LSN), _ord_of(DIFF_LSN_B)
+    snap = """
+      SELECT conv_id, turn_idx, action, role, text FROM (
+        SELECT t.*, ROW_NUMBER() OVER (
+          PARTITION BY conv_id, turn_idx ORDER BY ord DESC) AS rn
+        FROM txn t WHERE ord <= {cut}
+      ) WHERE rn = 1
+    """
+    return f"""
+    WITH dedup AS ({spec.dedup_sql('duckdb')}),
+    txn AS (
+      SELECT conv_id, turn_idx, action, role, text,
+             {_ASOF_ORD_SQL} AS ord
+      FROM dedup
+      WHERE schema_name = 'app' AND table_name = 'transcripts'
+    ),
+    sa AS ({snap.format(cut=a)}),
+    sb AS ({snap.format(cut=b)}),
+    j AS (
+      SELECT COALESCE(sa.conv_id, sb.conv_id) AS conv_id,
+             COALESCE(sa.turn_idx, sb.turn_idx) AS turn_idx,
+             (sa.conv_id IS NOT NULL AND sa.action <> 'delete') AS ea,
+             (sb.conv_id IS NOT NULL AND sb.action <> 'delete') AS eb,
+             sa.role AS a_role, sa.text AS a_text,
+             sb.role AS b_role, sb.text AS b_text
+      FROM sa FULL OUTER JOIN sb
+        ON sa.conv_id = sb.conv_id AND sa.turn_idx = sb.turn_idx
+    )
+    SELECT conv_id, turn_idx,
+           CASE WHEN NOT ea AND eb THEN 'added'
+                WHEN ea AND NOT eb THEN 'removed'
+                ELSE 'changed' END AS change,
+           CASE WHEN ea THEN a_role END AS old_role,
+           CASE WHEN ea THEN a_text END AS old_text,
+           CASE WHEN eb THEN b_role END AS new_role,
+           CASE WHEN eb THEN b_text END AS new_text
+    FROM j
+    WHERE (ea OR eb)
+      AND NOT (ea AND eb AND (a_role, a_text) IS NOT DISTINCT FROM
+                             (b_role, b_text))
+    """
+
+
 # --------------------------------------------------- CDC (binary round-trip)
 
 

@@ -176,6 +176,68 @@ def final_state(winners: DataFrame, payload_cols: list[str],
     )
 
 
+def snapshot_diff(
+    df: DataFrame,
+    key_cols: list[str],
+    order_col: str,
+    payload_cols: list[str],
+    cut_a: int,
+    cut_b: int,
+    action_col: str = "action",
+) -> DataFrame:
+    """Net change per key between two positions ``cut_a < cut_b``: one
+    row per key whose live state differs — ``change`` ∈ added / removed
+    / changed, with the old (as-of A) and new (as-of B) payloads.
+
+    ONE aggregation pass, not a join of two time-travel snapshots: both
+    states come from the same groupBy via ``max_by`` with a conditional
+    ordering key (``max_by`` ignores NULL ordering values, so
+    ``when(ord <= cut_a, ord)`` yields the as-of-A winner and the plain
+    ``ord`` the as-of-B winner).  Map-side partial max_by bounds the
+    shuffle by |touched keys|; the naive two-snapshot full-outer join
+    would shuffle the events twice and join besides.  Keys dead at both
+    cuts (e.g. insert+delete entirely between them, or deleted before A
+    and still deleted) are dropped, as are unchanged keys."""
+    o = F.col(order_col)
+    pay = F.struct(
+        F.col(action_col).alias("__act"),
+        *[F.col(c).alias(c) for c in payload_cols],
+    )
+    agg = (
+        df.where(o <= cut_b)
+        .groupBy(*key_cols)
+        .agg(
+            F.max_by(pay, F.when(o <= cut_a, o)).alias("sa"),
+            F.max_by(pay, o).alias("sb"),
+        )
+    )
+    ea = F.col("sa").isNotNull() & (F.col("sa.__act") != "delete")
+    eb = F.col("sb").isNotNull() & (F.col("sb.__act") != "delete")
+    same_pay = F.struct(
+        *[F.col(f"sa.{c}") for c in payload_cols]
+    ).eqNullSafe(F.struct(*[F.col(f"sb.{c}") for c in payload_cols]))
+    change = (
+        F.when(~ea & eb, "added")
+        .when(ea & ~eb, "removed")
+        .when(ea & eb & ~same_pay, "changed")
+    )
+    return (
+        agg.select(
+            *key_cols,
+            change.alias("change"),
+            *[
+                F.when(ea, F.col(f"sa.{c}")).alias(f"old_{c}")
+                for c in payload_cols
+            ],
+            *[
+                F.when(eb, F.col(f"sb.{c}")).alias(f"new_{c}")
+                for c in payload_cols
+            ],
+        )
+        .where(F.col("change").isNotNull())
+    )
+
+
 def scd2_history(
     df: DataFrame,
     key_cols: list[str],

@@ -613,3 +613,42 @@ def test_training_mix_composes_resample_and_shuffle(spark, sf_dir):
     assert len(a) > 0 and a == b
     n_docs = docs.count()
     assert len(a) < n_docs  # the budget actually cut something
+
+
+def test_snapshot_diff_classifies_all_transitions(spark):
+    """added / removed / changed / unchanged / dead-at-both, including
+    the tricky cases: delete before A then re-insert between A and B
+    (added), and insert+delete entirely between the cuts (dropped)."""
+    from mysql_binlog_spark.operators.apply import snapshot_diff
+
+    A, B = 10, 20
+    rows = [
+        ("k_add", 0, 15, "insert", "u", "new"),        # added between
+        ("k_rm", 0, 5, "insert", "u", "old"),
+        ("k_rm", 0, 12, "delete", "u", "old"),          # removed
+        ("k_chg", 0, 3, "insert", "u", "v1"),
+        ("k_chg", 0, 18, "update", "u", "v2"),          # changed
+        ("k_same", 0, 4, "insert", "u", "same"),        # unchanged -> drop
+        ("k_ghost", 0, 13, "insert", "u", "x"),
+        ("k_ghost", 0, 14, "delete", "u", "x"),         # dead at both -> drop
+        ("k_deadre", 0, 2, "insert", "u", "a"),
+        ("k_deadre", 0, 6, "delete", "u", "a"),
+        ("k_deadre", 0, 16, "insert", "u", "b"),        # added (dead at A)
+        ("k_later", 0, 25, "insert", "u", "future"),    # after B -> invisible
+    ]
+    df = spark.createDataFrame(
+        rows, "conv_id string, turn_idx int, ord long, action string,"
+        " role string, text string"
+    )
+    out = {
+        r.conv_id: (r.change, r.old_text, r.new_text)
+        for r in snapshot_diff(
+            df, ["conv_id", "turn_idx"], "ord", ["role", "text"], A, B
+        ).collect()
+    }
+    assert out == {
+        "k_add": ("added", None, "new"),
+        "k_rm": ("removed", "old", None),
+        "k_chg": ("changed", "v1", "v2"),
+        "k_deadre": ("added", None, "b"),
+    }

@@ -276,3 +276,16 @@ def test_length_quantiles_histogram_not_row_window(spark, sf_dir):
     keys = re.findall(r"hashpartitioning\(([^)]*)\)", p)
     assert any("lang" in k and "n_chars" in k for k in keys), keys
     assert "text" not in p.split("ReadSchema:")[-1]
+
+
+def test_snapshot_diff_single_pass_no_join(spark, sf_dir):
+    """The two-cut diff must be ONE aggregation over the changelog —
+    map-side partial max_by, one key shuffle, and no Join node (the
+    naive plan is a full-outer join of two time-travel snapshots)."""
+    from mysql_binlog_spark import driver_queries as dq
+
+    p = plan(dq.q_cdc_snapshot_diff(spark, sf_dir))
+    assert "Join" not in p
+    # partial_* aggregates only ever appear map-side (below their
+    # exchange), so this alone proves the shuffle carries <=1 row/key
+    assert "partial_max_by" in p
