@@ -83,6 +83,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_length_quantiles": dq.q_doc_length_quantiles,
         "doc_training_shuffle": dq.q_doc_training_shuffle,
         "doc_training_mix": dq.q_doc_training_mix,
+        "doc_topk_per_source": dq.q_doc_topk_per_source,
         # similarity search / ANN
         "emb_cosine_knn": dq.q_emb_cosine_knn,
         "emb_sq8_knn": dq.q_emb_sq8_knn,
@@ -151,6 +152,7 @@ def oracle_sql() -> dict[str, str]:
         "doc_length_quantiles": dq.oracle_doc_length_quantiles(),
         "doc_training_shuffle": dq.oracle_doc_training_shuffle(),
         "doc_training_mix": dq.oracle_doc_training_mix(),
+        "doc_topk_per_source": dq.oracle_doc_topk_per_source(),
         "emb_cosine_knn": dq.oracle_emb_cosine_knn(),
         "emb_sq8_knn": dq.oracle_emb_sq8_knn(),
         "emb_ivf_knn": dq.oracle_emb_ivf_knn(),

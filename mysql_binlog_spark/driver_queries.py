@@ -1905,6 +1905,23 @@ def oracle_doc_training_shuffle():
     return training_shuffle_sql(n_shards=16, seed=0)
 
 
+def q_doc_topk_per_source(spark, sf_dir):
+    """Top-10 longest documents per source via the SALTED two-phase
+    top-k (operators/corpus.grouped_topk) — local top-k per (group,
+    salt) then re-rank the bounded survivors, the skew-safe shape when
+    groups are few and huge.  The oracle is the naive single-window
+    algorithm."""
+    from .operators.corpus import grouped_topk
+
+    return grouped_topk(_docs(spark, sf_dir), k=10)
+
+
+def oracle_doc_topk_per_source():
+    from .operators.corpus import grouped_topk_sql
+
+    return grouped_topk_sql(k=10)
+
+
 def q_doc_training_mix(spark, sf_dir):
     """End-to-end curation mix: temperature-0.5 resample to a half-size
     budget, then the deterministic sharded training order — the composed

@@ -303,3 +303,65 @@ def length_quantiles_sql(
     SELECT {group_col}, CAST(MAX(n) AS BIGINT) AS n_docs, {picks}
     FROM ranked GROUP BY {group_col}
     """
+
+
+# --------------------------------------------------- skew-aware grouped top-k
+
+# Top-k rows per group, two-phase: the naive
+# ROW_NUMBER() OVER (PARTITION BY group) is the same hot-partition trap
+# as row-level quantiles — with a handful of groups (sources, languages)
+# one partition holds terabytes and one task sorts it.  Phase 1 salts
+# each group into n_salt buckets (hash of the id — deterministic, no
+# RNG) and takes a LOCAL top-k per (group, salt): correct because every
+# row of the group's true top-k ranks ≤ k inside whatever salt bucket it
+# landed in.  Phase 2 re-ranks the ≤ k·n_salt survivors per group — a
+# bounded window.  Same two-phase shape as salted_last_writer
+# (SURVEY §2.11 A2), applied to ranking instead of reduction.
+
+
+def grouped_topk(
+    df: DataFrame,
+    k: int,
+    group_col: str = "source",
+    order_col: str = "n_chars",
+    id_col: str = "doc_id",
+    n_salt: int = 16,
+) -> DataFrame:
+    """Top-k per group by (order_col DESC, id_col ASC): group, id,
+    order value, and the final dense 1-based ``rank``."""
+    salt = F.pmod(F.hash(F.col(id_col)), F.lit(n_salt))
+    w1 = Window.partitionBy(F.col(group_col), salt).orderBy(
+        F.col(order_col).desc(), F.col(id_col)
+    )
+    local = (
+        df.select(group_col, id_col, order_col)
+        .withColumn("__rn", F.row_number().over(w1))
+        .where(F.col("__rn") <= k)
+        .drop("__rn")
+    )
+    w2 = Window.partitionBy(group_col).orderBy(
+        F.col(order_col).desc(), F.col(id_col)
+    )
+    return (
+        local.withColumn("rank", F.row_number().over(w2))
+        .where(F.col("rank") <= k)
+    )
+
+
+def grouped_topk_sql(
+    k: int,
+    group_col: str = "source",
+    order_col: str = "n_chars",
+    id_col: str = "doc_id",
+    rel: str = "documents",
+) -> str:
+    """DuckDB twin: the single-window algorithm (independent of the
+    salted two-phase plan — same answer by construction)."""
+    return f"""
+    SELECT {group_col}, {id_col}, {order_col}, rank FROM (
+      SELECT {group_col}, {id_col}, {order_col},
+             ROW_NUMBER() OVER (PARTITION BY {group_col}
+                                ORDER BY {order_col} DESC, {id_col}) AS rank
+      FROM {rel}
+    ) WHERE rank <= {k}
+    """

@@ -652,3 +652,27 @@ def test_snapshot_diff_classifies_all_transitions(spark):
         "k_chg": ("changed", "v1", "v2"),
         "k_deadre": ("added", None, "b"),
     }
+
+
+def test_grouped_topk_salted_equals_single_window(spark, sf_dir):
+    """The salted two-phase top-k must equal the naive single-window
+    answer for every n_salt, including n_salt larger than group sizes."""
+    from pyspark.sql import Window
+
+    from mysql_binlog_spark.operators.corpus import grouped_topk
+
+    docs = _docs(spark, sf_dir)
+    w = Window.partitionBy("source").orderBy(
+        F.col("n_chars").desc(), F.col("doc_id")
+    )
+    naive = (
+        docs.select("source", "doc_id", "n_chars")
+        .withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= 7)
+    )
+    want = sorted(map(tuple, naive.collect()))
+    for n_salt in (1, 4, 64):
+        got = sorted(
+            map(tuple, grouped_topk(docs, k=7, n_salt=n_salt).collect())
+        )
+        assert got == want, n_salt

@@ -289,3 +289,25 @@ def test_snapshot_diff_single_pass_no_join(spark, sf_dir):
     # partial_* aggregates only ever appear map-side (below their
     # exchange), so this alone proves the shuffle carries <=1 row/key
     assert "partial_max_by" in p
+
+
+def test_grouped_topk_salts_the_row_level_window(spark, sf_dir):
+    """Phase 1's row-level window must partition on (group, salt) — the
+    full-rows exchange is never keyed on the group alone (hot-partition
+    trap with few groups); only the bounded phase-2 survivors shuffle
+    by group."""
+    from mysql_binlog_spark.operators.corpus import grouped_topk
+
+    docs = spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
+    p = plan(grouped_topk(docs, k=10))
+    import re
+
+    keys = re.findall(r"hashpartitioning\(([^)]*)\)", p)
+    assert len(keys) == 2, keys
+    # first (row-level) exchange carries the salt (projected as _w0)
+    # alongside the group; the group-only exchange is second
+    assert "source" in keys[0] and "_w0" in keys[0], keys
+    assert "_w0" not in keys[1] and "source" in keys[1], keys
+    assert "pmod" in p  # the salt expression itself
+    # text is never read
+    assert "text" not in p.split("ReadSchema:")[-1]
