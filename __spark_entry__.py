@@ -39,6 +39,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cdc_final_state": dq.q_cdc_final_state,
         "cdc_stats_by_table": dq.q_cdc_stats_by_table,
         "cdc_stats_interval": dq.q_cdc_stats_interval,
+        "cdc_stats_rollup": dq.q_cdc_stats_rollup,
         "cdc_lineage": dq.q_cdc_lineage,
         "cdc_filter_tables": dq.q_cdc_filter_tables,
         "cdc_filter_databases": dq.q_cdc_filter_databases,
@@ -98,6 +99,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # windowed / sessionization
         "events_sessionize": dq.q_events_sessionize,
         "events_rate_window": dq.q_events_rate_window,
+        "events_funnel": dq.q_events_funnel,
+        "events_pivot": dq.q_events_pivot,
     }
 
 
@@ -110,6 +113,7 @@ def oracle_sql() -> dict[str, str]:
         "cdc_final_state": dq.oracle_cdc_final_state(),
         "cdc_stats_by_table": dq.oracle_cdc_stats_by_table(),
         "cdc_stats_interval": dq.oracle_cdc_stats_interval(),
+        "cdc_stats_rollup": dq.oracle_cdc_stats_rollup(),
         "cdc_lineage": dq.oracle_cdc_lineage(),
         "cdc_filter_tables": dq.oracle_cdc_filter_tables(),
         "cdc_filter_databases": dq.oracle_cdc_filter_databases(),
@@ -164,4 +168,6 @@ def oracle_sql() -> dict[str, str]:
         "multimodal_real_decode": dq.oracle_multimodal_real_decode(),
         "events_sessionize": dq.oracle_events_sessionize(),
         "events_rate_window": dq.oracle_events_rate_window(),
+        "events_funnel": dq.oracle_events_funnel(),
+        "events_pivot": dq.oracle_events_pivot(),
     }

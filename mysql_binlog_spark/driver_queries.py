@@ -115,6 +115,32 @@ def q_cdc_stats_interval(spark, sf_dir):
     )
 
 
+def q_cdc_stats_rollup(spark, sf_dir):
+    """Multi-level stats in one pass: ROLLUP(schema_name, table_name)
+    gives per-table, per-schema, and grand-total rows with a single
+    shuffle + map-side partial aggregation — never three separate
+    aggregation jobs unioned.  grouping_id() disambiguates NULL group
+    values from NULL subtotal markers."""
+    df = dedup_lsn(changelog_df(spark, sf_dir))
+    return df.rollup("schema_name", "table_name").agg(
+        F.grouping_id().cast("int").alias("gid"),
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum(F.length("text")).alias("text_chars"),
+    ).select("schema_name", "table_name", "gid", "n_rows", "text_chars")
+
+
+def oracle_cdc_stats_rollup():
+    return _over_dedup(
+        """
+        SELECT schema_name, table_name,
+               CAST(GROUPING(schema_name, table_name) AS INT) AS gid,
+               COUNT(*) AS n_rows,
+               CAST(SUM(LENGTH(text)) AS BIGINT) AS text_chars
+        FROM dedup GROUP BY ROLLUP(schema_name, table_name)
+        """
+    )
+
+
 def q_cdc_lineage(spark, sf_dir):
     df = dedup_lsn(changelog_df(spark, sf_dir))
     return df.groupBy("log_file").agg(
@@ -1853,6 +1879,53 @@ def q_events_sessionize(spark, sf_dir):
 
 def oracle_events_sessionize():
     return sessionize_sql("events")
+
+
+def q_events_funnel(spark, sf_dir):
+    """view → click → purchase conversion funnel per user: chained
+    whole-frame windows over ONE user-key shuffle, never the k-way
+    self-join (operators/sessionize.funnel)."""
+    from .operators.sessionize import funnel
+
+    _events(spark, sf_dir)
+    return funnel(spark.table("events"))
+
+
+def oracle_events_funnel():
+    from .operators.sessionize import funnel_sql
+
+    return funnel_sql(rel="events")
+
+
+def q_events_pivot(spark, sf_dir):
+    """Hour × event-type count crosstab via the native pivot (explicit
+    value list — no extra distinct pass over the data; one shuffle with
+    map-side partial counts).  Missing cells filled 0 like the
+    conditional-aggregation oracle."""
+    _events(spark, sf_dir)
+    types = ["click", "error", "purchase", "signup", "view"]
+    ev = spark.table("events")
+    out = (
+        ev.groupBy(F.date_trunc("hour", F.col("ts")).alias("bucket_ts"))
+        .pivot("event_type", types)
+        .count()
+    )
+    return out.na.fill(0, types).select(
+        "bucket_ts", *[F.col(t).cast("bigint").alias(t) for t in types]
+    )
+
+
+def oracle_events_pivot():
+    types = ["click", "error", "purchase", "signup", "view"]
+    cells = ", ".join(
+        f"CAST(COUNT(*) FILTER (WHERE event_type = '{t}') AS BIGINT)"
+        f" AS {t}"
+        for t in types
+    )
+    return f"""
+    SELECT date_trunc('hour', ts) AS bucket_ts, {cells}
+    FROM events GROUP BY 1
+    """
 
 
 def q_events_rate_window(spark, sf_dir):

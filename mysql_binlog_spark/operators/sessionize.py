@@ -129,3 +129,100 @@ def rate_window_sql(
       RANGE BETWEEN {window_sec} PRECEDING AND 1 PRECEDING
     )
     """
+
+
+# ---------------------------------------------------------------- funnel
+
+# Ordered multi-step funnel per user: step i counts only at/after the
+# user's FIRST completion of step i-1 (the standard conversion-funnel
+# semantics — a purchase before any view does not convert).  Chained
+# whole-frame windows over ONE user-key shuffle: t1 = min ord of step 1;
+# t2 = min ord of step 2 with ord >= t1; ...  Each chained select reuses
+# the same partitionBy(user) spec, so Catalyst plans a single exchange;
+# the final per-user collapse is a groupBy on the already-partitioned
+# frame.  Never the k-way self-join (quadratic in the hot user, k joins).
+#
+# Event order is the int64 ord = epoch_sec·2^32 + event_id mod 2^32 —
+# identical in both engines, so ties resolve identically by construction
+# (within a second the event_id decides; event_id mod 2^32 collisions
+# would need 4B events in one second for one user).
+
+
+def _funnel_ord(ts_col: str, id_col: str) -> F.Column:
+    return (
+        F.unix_timestamp(F.col(ts_col)) * F.lit(1 << 32)
+        + F.pmod(F.col(id_col), F.lit(1 << 32))
+    ).cast("bigint")
+
+
+def funnel(
+    df: DataFrame,
+    steps: tuple[str, ...] = ("view", "click", "purchase"),
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    id_col: str = "event_id",
+    type_col: str = "event_type",
+) -> DataFrame:
+    """One row per user: t_1..t_k (ord of the first in-order completion
+    of each step, NULL once the chain breaks) and ``steps_completed``."""
+    w = Window.partitionBy(user_col)
+    cur = df.select(
+        F.col(user_col),
+        F.col(type_col),
+        _funnel_ord(ts_col, id_col).alias("ord"),
+    )
+    prev_t = None
+    for i, step in enumerate(steps, start=1):
+        cond = F.col(type_col) == step
+        if prev_t is not None:
+            cond = cond & (F.col("ord") >= F.col(prev_t))
+        cur = cur.withColumn(
+            f"t_{i}", F.min(F.when(cond, F.col("ord"))).over(w)
+        )
+        prev_t = f"t_{i}"
+    ts = [f"t_{i}" for i in range(1, len(steps) + 1)]
+    agg = cur.groupBy(user_col).agg(
+        *[F.max(t).alias(t) for t in ts]
+    )
+    completed = sum(
+        (F.col(t).isNotNull()).cast("int") for t in ts
+    )
+    return agg.select(
+        user_col, *ts, completed.cast("int").alias("steps_completed")
+    )
+
+
+def funnel_sql(
+    steps: tuple[str, ...] = ("view", "click", "purchase"),
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    id_col: str = "event_id",
+    type_col: str = "event_type",
+    rel: str = "events",
+) -> str:
+    """DuckDB twin: identical chained windows and ord encoding."""
+    ordx = (
+        f"(CAST(FLOOR(epoch({ts_col})) AS BIGINT) * 4294967296"
+        f" + {id_col} % 4294967296)"
+    )
+    sel = f"SELECT {user_col}, {type_col}, {ordx} AS ord FROM {rel}"
+    prev = None
+    for i, step in enumerate(steps, start=1):
+        cond = f"{type_col} = '{step}'"
+        if prev:
+            cond += f" AND ord >= {prev}"
+        sel = (
+            f"SELECT *, MIN(CASE WHEN {cond} THEN ord END)"
+            f" OVER (PARTITION BY {user_col}) AS t_{i} FROM ({sel})"
+        )
+        prev = f"t_{i}"
+    ts = [f"t_{i}" for i in range(1, len(steps) + 1)]
+    maxes = ", ".join(f"MAX({t}) AS {t}" for t in ts)
+    completed = " + ".join(
+        f"CASE WHEN MAX({t}) IS NOT NULL THEN 1 ELSE 0 END" for t in ts
+    )
+    return f"""
+    SELECT {user_col}, {maxes},
+           CAST({completed} AS INT) AS steps_completed
+    FROM ({sel}) GROUP BY {user_col}
+    """

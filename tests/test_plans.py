@@ -311,3 +311,18 @@ def test_grouped_topk_salts_the_row_level_window(spark, sf_dir):
     assert "pmod" in p  # the salt expression itself
     # text is never read
     assert "text" not in p.split("ReadSchema:")[-1]
+
+
+def test_funnel_single_user_exchange(spark, sf_dir):
+    """k chained step windows + the final per-user collapse must share
+    ONE hashpartitioning(user_id) exchange — never the k-way self-join
+    (k exchanges + k joins) and never one exchange per window."""
+    from mysql_binlog_spark.operators.sessionize import funnel
+
+    ev = spark.read.parquet(os.path.join(sf_dir, "events.parquet"))
+    p = plan(funnel(ev))
+    import re
+
+    keys = re.findall(r"hashpartitioning\(([^)]*)\)", p)
+    assert len(keys) == 1 and "user_id" in keys[0], keys
+    assert "Join" not in p
