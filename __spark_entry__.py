@@ -40,6 +40,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cdc_stats_by_table": dq.q_cdc_stats_by_table,
         "cdc_stats_interval": dq.q_cdc_stats_interval,
         "cdc_stats_rollup": dq.q_cdc_stats_rollup,
+        "cdc_validate": dq.q_cdc_validate,
         "cdc_lineage": dq.q_cdc_lineage,
         "cdc_filter_tables": dq.q_cdc_filter_tables,
         "cdc_filter_databases": dq.q_cdc_filter_databases,
@@ -101,6 +102,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_rate_window": dq.q_events_rate_window,
         "events_funnel": dq.q_events_funnel,
         "events_pivot": dq.q_events_pivot,
+        "events_cohort_retention": dq.q_events_cohort_retention,
+        "doc_chunk": dq.q_doc_chunk,
+        "corpus_pmi_bigrams": dq.q_corpus_pmi_bigrams,
     }
 
 
@@ -114,6 +118,7 @@ def oracle_sql() -> dict[str, str]:
         "cdc_stats_by_table": dq.oracle_cdc_stats_by_table(),
         "cdc_stats_interval": dq.oracle_cdc_stats_interval(),
         "cdc_stats_rollup": dq.oracle_cdc_stats_rollup(),
+        "cdc_validate": dq.oracle_cdc_validate(),
         "cdc_lineage": dq.oracle_cdc_lineage(),
         "cdc_filter_tables": dq.oracle_cdc_filter_tables(),
         "cdc_filter_databases": dq.oracle_cdc_filter_databases(),
@@ -170,4 +175,7 @@ def oracle_sql() -> dict[str, str]:
         "events_rate_window": dq.oracle_events_rate_window(),
         "events_funnel": dq.oracle_events_funnel(),
         "events_pivot": dq.oracle_events_pivot(),
+        "events_cohort_retention": dq.oracle_events_cohort_retention(),
+        "doc_chunk": dq.oracle_doc_chunk(),
+        "corpus_pmi_bigrams": dq.oracle_corpus_pmi_bigrams(),
     }

@@ -141,6 +141,25 @@ def oracle_cdc_stats_rollup():
     )
 
 
+def q_cdc_validate(spark, sf_dir):
+    """Write-audit-publish gate: per-rule constraint-violation counts
+    over the deduped changelog in one aggregation pass
+    (operators/apply.validate_changelog)."""
+    from .operators.apply import validate_changelog
+
+    return validate_changelog(dedup_lsn(changelog_df(spark, sf_dir)))
+
+
+def oracle_cdc_validate():
+    from .operators.apply import validate_changelog_sql
+
+    # chains its own _audit CTE onto the dedup WITH (no nested WITH)
+    return (
+        f"WITH dedup AS ({spec.dedup_sql('duckdb')})"
+        + validate_changelog_sql(rel="dedup")
+    )
+
+
 def q_cdc_lineage(spark, sf_dir):
     df = dedup_lsn(changelog_df(spark, sf_dir))
     return df.groupBy("log_file").agg(
@@ -1926,6 +1945,53 @@ def oracle_events_pivot():
     SELECT date_trunc('hour', ts) AS bucket_ts, {cells}
     FROM events GROUP BY 1
     """
+
+
+def q_events_cohort_retention(spark, sf_dir):
+    """Weekly cohort retention matrix: integer week index (engine-
+    neutral, unlike date_trunc('week')), one user-key exchange for the
+    cohort tag, distinct-user collapse shuffles only de-duplicated
+    triples (operators/sessionize.cohort_retention)."""
+    from .operators.sessionize import cohort_retention
+
+    _events(spark, sf_dir)
+    return cohort_retention(spark.table("events"))
+
+
+def oracle_events_cohort_retention():
+    from .operators.sessionize import cohort_retention_sql
+
+    return cohort_retention_sql(rel="events")
+
+
+def q_doc_chunk(spark, sf_dir):
+    """Sliding context-window chunker (window 32 tokens, stride 24):
+    shuffle-free narrow stage, closed-form chunk count so no window is
+    fully contained in its predecessor (operators/chunking)."""
+    from .operators.chunking import chunk_documents
+
+    return chunk_documents(_docs(spark, sf_dir), window=32, stride=24)
+
+
+def oracle_doc_chunk():
+    from .operators.chunking import chunk_documents_sql
+
+    return chunk_documents_sql(window=32, stride=24)
+
+
+def q_corpus_pmi_bigrams(spark, sf_dir):
+    """Top-50 PMI collocations: two exploded count aggregations, then
+    broadcast vocabulary joins onto the surviving bigrams; global top-k
+    via TakeOrderedAndProject (operators/corpus.pmi_bigrams)."""
+    from .operators.corpus import pmi_bigrams
+
+    return pmi_bigrams(_docs(spark, sf_dir), top=50, min_count=5)
+
+
+def oracle_corpus_pmi_bigrams():
+    from .operators.corpus import pmi_bigrams_sql
+
+    return pmi_bigrams_sql(top=50, min_count=5)
 
 
 def q_events_rate_window(spark, sf_dir):

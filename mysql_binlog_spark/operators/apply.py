@@ -274,3 +274,77 @@ def scd2_history(
             *payload_cols,
         )
     )
+
+
+# ------------------------------------------------------------ validation
+
+# Write-audit-publish gate: declarative row-level constraints evaluated
+# over the deduped changelog in ONE aggregation pass — per-rule
+# violation counts against the total, the audit report a pipeline
+# checks before publishing a snapshot downstream.
+#
+# 100 TB shape: every rule is a JVM boolean expression folded into a
+# single partial-aggregating scan (no per-rule pass, no quarantine
+# shuffle); the long-form output is a driver-side stack() over the
+# 1-row aggregate.  NULL rule results count as non-violations (when()
+# semantics), so a NULL text never trips the regex rule instead of the
+# null rule.
+
+# (name, spark condition, duckdb condition or None when identical).
+# Non-ascii detection is the byte-vs-char length comparison — UTF-8
+# multibyte iff octet length exceeds char length — because a regex
+# literal would need different backslash escaping per dialect.
+TRANSCRIPT_RULES: list[tuple[str, str, str | None]] = [
+    ("bad_role",
+     "NOT role IN ('user','assistant','system','tool')", None),
+    ("turn_out_of_range", "turn_idx < 0 OR turn_idx >= 40", None),
+    ("empty_text", "text IS NULL OR length(text) = 0", None),
+    ("tool_role_mismatch", "(role = 'tool') != (tool IS NOT NULL)", None),
+    ("non_ascii_text",
+     "octet_length(text) > length(text)",
+     "strlen(text) > length(text)"),
+    ("tool_without_version",
+     "tool IS NOT NULL AND tool_version IS NULL", None),
+]
+
+
+def validate_changelog(
+    df: DataFrame,
+    rules: list[tuple[str, str, str | None]] = TRANSCRIPT_RULES,
+) -> DataFrame:
+    """(rule, n_violations, n_rows) — one row per rule, counted in a
+    single scan (NULL conditions count as pass, when() semantics)."""
+    aggs = [
+        F.sum(
+            F.when(F.expr(cond), F.lit(1)).otherwise(F.lit(0))
+        ).alias(name)
+        for name, cond, _ in rules
+    ]
+    one = df.agg(F.count(F.lit(1)).alias("n_rows"), *aggs)
+    pairs = ", ".join(f"'{name}', {name}" for name, _, _ in rules)
+    return one.select(
+        F.expr(
+            f"stack({len(rules)}, {pairs}) as (rule, n_violations)"
+        ),
+        "n_rows",
+    )
+
+
+def validate_changelog_sql(
+    rel: str = "dedup",
+    rules: list[tuple[str, str, str | None]] = TRANSCRIPT_RULES,
+) -> str:
+    """DuckDB twin: same one-pass aggregate, unpivoted by constant
+    selects over the 1-row result.  Emitted as ``, a AS (...) SELECT``
+    so it chains onto the caller's existing WITH clause (DuckDB forbids
+    nested WITH)."""
+    aggs = ", ".join(
+        "CAST(SUM(CASE WHEN COALESCE(" + (duck or cond) + ", FALSE) "
+        f"THEN 1 ELSE 0 END) AS BIGINT) AS {name}"
+        for name, cond, duck in rules
+    )
+    arms = "\nUNION ALL ".join(
+        f"SELECT '{name}' AS rule, {name} AS n_violations, n_rows FROM _audit"
+        for name, _, _ in rules
+    )
+    return f", _audit AS (SELECT COUNT(*) AS n_rows, {aggs} FROM {rel}) {arms}"

@@ -365,3 +365,105 @@ def grouped_topk_sql(
       FROM {rel}
     ) WHERE rank <= {k}
     """
+
+
+# ----------------------------------------------------------------- PMI
+
+# Pointwise mutual information of adjacent word pairs — the classic
+# collocation detector (Church & Hanks 1990): score(x,y) =
+# ln(c_xy·N / (c_x·c_y)) over corpus unigram counts c_x and bigram
+# occurrence counts c_xy, N = total tokens.  High-PMI pairs are phrases
+# ("new york"), low-PMI pairs are chance co-occurrences.
+#
+# 100 TB shape: two exploded aggregations (tok, bigram) — each one
+# uniform-key shuffle with map-side partial counts — then BOTH joins of
+# the vocabulary back onto surviving bigrams are broadcasts: post-
+# aggregation sides are vocabulary-sized, orders of magnitude below the
+# corpus.  Global top-k via orderBy+limit lowers to
+# TakeOrderedAndProject (per-partition heaps + driver merge), never a
+# full-sort shuffle.  Determinism: ln() rounded to 6 decimals BEFORE
+# ranking, ties on the bigram text — identical ranks in both engines.
+
+
+def pmi_bigrams(
+    df: DataFrame,
+    top: int = 50,
+    min_count: int = 5,
+    text_col: str = "text",
+) -> DataFrame:
+    """Top-``top`` adjacent-pair collocations by PMI (occurrence count
+    >= ``min_count`` to suppress noise estimates)."""
+    w = F.split(F.lower(F.trim(F.col(text_col))), WS)
+    pairs = F.filter(
+        F.zip_with(
+            w,
+            F.slice(w, 2, F.size(w)),
+            lambda x, y: F.concat(x, F.lit(" "), y),
+        ),
+        lambda s: s.isNotNull(),
+    )
+    uni = (
+        df.select(F.explode(w).alias("tok"))
+        .groupBy("tok")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    total = uni.agg(F.sum("c").alias("n"))
+    bi = (
+        df.select(F.explode(pairs).alias("bigram"))
+        .groupBy("bigram")
+        .agg(F.count(F.lit(1)).alias("c_xy"))
+        .filter(F.col("c_xy") >= min_count)
+    )
+    joined = (
+        bi.withColumn("w1", F.split_part(F.col("bigram"), F.lit(" "), F.lit(1)))
+        .withColumn("w2", F.split_part(F.col("bigram"), F.lit(" "), F.lit(2)))
+        .join(
+            F.broadcast(uni.select(F.col("tok").alias("w1"), F.col("c").alias("c_x"))),
+            "w1",
+        )
+        .join(
+            F.broadcast(uni.select(F.col("tok").alias("w2"), F.col("c").alias("c_y"))),
+            "w2",
+        )
+        .crossJoin(F.broadcast(total))
+    )
+    pmi = F.round(
+        F.log(F.col("c_xy") * F.col("n") / (F.col("c_x") * F.col("c_y"))), 6
+    )
+    return (
+        joined.select("bigram", F.col("c_xy").cast("bigint").alias("c_xy"),
+                      pmi.alias("pmi"))
+        .orderBy(F.col("pmi").desc(), "bigram")
+        .limit(top)
+    )
+
+
+def pmi_bigrams_sql(
+    top: int = 50,
+    min_count: int = 5,
+    text_col: str = "text",
+    rel: str = "documents",
+) -> str:
+    """DuckDB twin: identical counts, PMI formula, rounding, and ranking."""
+    w = f"regexp_split_to_array(lower(trim({text_col})), '{WS}')"
+    return f"""
+    WITH docs AS (SELECT {w} AS w FROM {rel}),
+    toks AS (SELECT unnest(w) AS tok FROM docs),
+    uni AS (SELECT tok, COUNT(*) AS c FROM toks GROUP BY tok),
+    total AS (SELECT CAST(SUM(c) AS BIGINT) AS n FROM uni),
+    big AS (
+      SELECT array_to_string(w[i:i+1], ' ') AS bigram
+      FROM docs, UNNEST(generate_series(1, len(w) - 1)) AS g(i)
+    ),
+    bi AS (
+      SELECT bigram, COUNT(*) AS c_xy FROM big
+      GROUP BY bigram HAVING COUNT(*) >= {min_count}
+    )
+    SELECT bigram, CAST(c_xy AS BIGINT) AS c_xy,
+           round(ln(c_xy * n / (u1.c * u2.c)), 6) AS pmi
+    FROM bi
+    CROSS JOIN total
+    JOIN uni u1 ON u1.tok = split_part(bigram, ' ', 1)
+    JOIN uni u2 ON u2.tok = split_part(bigram, ' ', 2)
+    ORDER BY pmi DESC, bigram LIMIT {top}
+    """

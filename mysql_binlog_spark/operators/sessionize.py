@@ -226,3 +226,69 @@ def funnel_sql(
            CAST({completed} AS INT) AS steps_completed
     FROM ({sel}) GROUP BY {user_col}
     """
+
+
+# ------------------------------------------------------------- retention
+
+# Cohort retention matrix: users are grouped by the week of their first
+# event (the cohort); each cell counts distinct users from that cohort
+# active N weeks later.  Week index is an integer
+# floor(days_since(anchor)/7) — NOT date_trunc('week', ...), whose
+# week-start convention is an engine config knob; the integer form is
+# bit-identical everywhere.
+#
+# Plan: one window min over the user partition tags every event with its
+# cohort in a single user-key exchange (the groupBy-then-join-back
+# alternative shuffles the events twice); the distinct-count collapse
+# then shuffles only (cohort, offset, user) triples — already
+# de-duplicated map-side by the partial aggregate, so the second
+# exchange carries at most |users|·|weeks| rows however many raw events
+# exist.
+
+
+def cohort_retention(
+    events: DataFrame,
+    anchor: str = "2024-01-01",
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+) -> DataFrame:
+    """(cohort_week, week_offset, n_users) — distinct active users per
+    cohort and offset; offset 0 row is the cohort size."""
+    week = F.floor(
+        F.datediff(F.col(ts_col).cast("date"), F.lit(anchor).cast("date")) / 7
+    )
+    tagged = events.select(user_col, week.alias("week"))
+    cohort = F.min("week").over(Window.partitionBy(user_col))
+    return (
+        tagged.withColumn("cohort_week", cohort)
+        .groupBy(
+            F.col("cohort_week").cast("int").alias("cohort_week"),
+            (F.col("week") - F.col("cohort_week"))
+            .cast("int")
+            .alias("week_offset"),
+        )
+        .agg(F.countDistinct(user_col).alias("n_users"))
+    )
+
+
+def cohort_retention_sql(
+    anchor: str = "2024-01-01",
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    rel: str = "events",
+) -> str:
+    """DuckDB twin: identical integer week index and window cohort tag."""
+    week = f"CAST(FLOOR(datediff('day', DATE '{anchor}', CAST({ts_col} AS DATE)) / 7) AS BIGINT)"
+    return f"""
+    WITH tagged AS (
+      SELECT {user_col}, {week} AS week FROM {rel}
+    ), c AS (
+      SELECT {user_col}, week,
+             MIN(week) OVER (PARTITION BY {user_col}) AS cohort_week
+      FROM tagged
+    )
+    SELECT CAST(cohort_week AS INT) AS cohort_week,
+           CAST(week - cohort_week AS INT) AS week_offset,
+           COUNT(DISTINCT {user_col}) AS n_users
+    FROM c GROUP BY 1, 2
+    """

@@ -676,3 +676,108 @@ def test_grouped_topk_salted_equals_single_window(spark, sf_dir):
             map(tuple, grouped_topk(docs, k=7, n_salt=n_salt).collect())
         )
         assert got == want, n_salt
+
+
+# ------------------------------------------------------------ round 6 batch 2
+
+
+def test_chunker_covers_every_token_exactly_once_at_stride(spark):
+    """With stride == window (no overlap) the chunks partition the
+    token sequence; with stride < window each token appears in
+    ceil(window/stride) chunks at most and every token is covered."""
+    from mysql_binlog_spark.operators.chunking import chunk_documents
+
+    rows = [(1, " ".join(f"t{i}" for i in range(100))),
+            (2, "a b c"), (3, "solo")]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    # no overlap: exact partition of the 100 tokens
+    got = chunk_documents(df, window=32, stride=32).orderBy(
+        "doc_id", "chunk_idx").collect()
+    d1 = [r for r in got if r.doc_id == 1]
+    assert [r.n_tokens for r in d1] == [32, 32, 32, 4]
+    assert " ".join(r.chunk_text for r in d1) == rows[0][1]
+    # short docs: exactly one chunk, full text
+    assert [r.chunk_text for r in got if r.doc_id == 2] == ["a b c"]
+    assert [r.chunk_text for r in got if r.doc_id == 3] == ["solo"]
+    # overlap: consecutive chunks shift by stride and no chunk is
+    # fully contained in its predecessor
+    ov = chunk_documents(df, window=32, stride=24)
+    d1 = [r for r in ov.filter("doc_id = 1").orderBy("chunk_idx").collect()]
+    assert [r.start_tok for r in d1] == [0, 24, 48, 72]
+    assert d1[-1].start_tok + d1[-1].n_tokens == 100
+
+
+def test_chunker_plan_is_shuffle_free(spark, sf_dir):
+    from mysql_binlog_spark.operators.chunking import chunk_documents
+
+    docs = _docs(spark, sf_dir)
+    p = chunk_documents(docs)._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in p
+
+
+def test_cohort_offset0_is_cohort_size(spark):
+    """Every user appears in their cohort's offset-0 cell (the first
+    event's week is by definition offset 0), so offset-0 n_users equals
+    the cohort's total distinct users; offsets are never negative."""
+    from mysql_binlog_spark.operators.sessionize import cohort_retention
+
+    import datetime as dt
+
+    rows = []
+    for u in range(20):
+        first = dt.datetime(2024, 1, 1 + (u % 3) * 7)
+        rows.append((u, first))
+        if u % 2 == 0:  # half return two weeks later
+            rows.append((u, first + dt.timedelta(days=14)))
+    df = spark.createDataFrame(rows, "user_id long, ts timestamp")
+    got = {(r.cohort_week, r.week_offset): r.n_users
+           for r in cohort_retention(df).collect()}
+    assert all(off >= 0 for _, off in got)
+    for cw in {k[0] for k in got}:
+        size = got[(cw, 0)]
+        assert all(n <= size for (c, o), n in got.items() if c == cw)
+    # cohort 0: users u%3==0 (7 of 20) -> offset 2 has the even ones
+    assert got[(0, 0)] == 7 and got[(0, 2)] == 4
+
+
+def test_validate_changelog_counts_crafted_violations(spark):
+    from mysql_binlog_spark.operators.apply import validate_changelog
+
+    rows = [
+        # ok row
+        ("user", 3, "hello", None, None),
+        # bad role + turn out of range
+        ("robot", 99, "hi", None, None),
+        # empty text + tool mismatch (tool set, role not tool)
+        ("user", 1, "", "grep", "v1"),
+        # non-ascii + tool role without tool value (mismatch)
+        ("tool", 2, "café", None, None),
+        # tool ok but version missing
+        ("tool", 4, "x", "sed", None),
+    ]
+    df = spark.createDataFrame(
+        rows, "role string, turn_idx int, text string, "
+              "tool string, tool_version string"
+    )
+    got = {r.rule: r.n_violations for r in validate_changelog(df).collect()}
+    assert got == {
+        "bad_role": 1,
+        "turn_out_of_range": 1,
+        "empty_text": 1,
+        "tool_role_mismatch": 2,
+        "non_ascii_text": 1,
+        "tool_without_version": 1,
+    }
+
+
+def test_pmi_vocabulary_joins_broadcast(spark, sf_dir):
+    """Both vocabulary joins must broadcast (post-agg sides are
+    vocab-sized); the global top-k must lower to TakeOrderedAndProject,
+    never a full-sort shuffle."""
+    from mysql_binlog_spark.operators.corpus import pmi_bigrams
+
+    p = (pmi_bigrams(_docs(spark, sf_dir))
+         ._jdf.queryExecution().executedPlan().toString())
+    assert p.count("BroadcastHashJoin") == 2
+    assert "TakeOrderedAndProject" in p
+    assert "rangepartitioning" not in p

@@ -75,8 +75,10 @@ def test_no_cartesian_in_any_driver_query(spark, sf_dir):
     the all-pairs Jaccard baseline was a BNL join)."""
     import __spark_entry__ as entry
 
-    # broadcast query-side cross joins (intentional: corpus never shuffles)
-    allowed_bnlj = {"emb_cosine_knn", "emb_sq8_knn"}
+    # broadcast query-side cross joins (intentional: corpus never
+    # shuffles) and the 1-row broadcast scalar join of the corpus token
+    # total in PMI (canonical scalar-attach shape, bounded by 1 row)
+    allowed_bnlj = {"emb_cosine_knn", "emb_sq8_knn", "corpus_pmi_bigrams"}
     for name, fn in entry.queries().items():
         if name in ("cdc_apply_e2e",):  # executes merges on construction
             continue
