@@ -105,6 +105,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_cohort_retention": dq.q_events_cohort_retention,
         "doc_chunk": dq.q_doc_chunk,
         "corpus_pmi_bigrams": dq.q_corpus_pmi_bigrams,
+        "cdc_conversation_render": dq.q_cdc_conversation_render,
+        "cdc_tool_chains": dq.q_cdc_tool_chains,
+        "cdc_turn_latency": dq.q_cdc_turn_latency,
+        "events_transitions": dq.q_events_transitions,
+        "corpus_dup_spans": dq.q_corpus_dup_spans,
     }
 
 
@@ -178,4 +183,9 @@ def oracle_sql() -> dict[str, str]:
         "events_cohort_retention": dq.oracle_events_cohort_retention(),
         "doc_chunk": dq.oracle_doc_chunk(),
         "corpus_pmi_bigrams": dq.oracle_corpus_pmi_bigrams(),
+        "cdc_conversation_render": dq.oracle_cdc_conversation_render(),
+        "cdc_tool_chains": dq.oracle_cdc_tool_chains(),
+        "cdc_turn_latency": dq.oracle_cdc_turn_latency(),
+        "events_transitions": dq.oracle_events_transitions(),
+        "corpus_dup_spans": dq.oracle_corpus_dup_spans(),
     }

@@ -1994,6 +1994,85 @@ def oracle_corpus_pmi_bigrams():
     return pmi_bigrams_sql(top=50, min_count=5)
 
 
+def q_cdc_conversation_render(spark, sf_dir):
+    """Reassemble each conversation from the applied table state:
+    turn-ordered `role: text` rendering via array_sort-after-collapse
+    (one conv-key exchange, per-group work bounded by turns/conv —
+    operators/conversation.render_conversations)."""
+    from .operators.conversation import render_conversations
+
+    return render_conversations(q_cdc_final_state(spark, sf_dir))
+
+
+def oracle_cdc_conversation_render():
+    from .operators.conversation import render_conversations_sql
+
+    return f"WITH fs AS ({spec.final_state_sql('duckdb')})" + render_conversations_sql()
+
+
+def q_cdc_tool_chains(spark, sf_dir):
+    """Tool-invocation chain signatures per conversation (a>b>c),
+    counted across conversations — two bounded conv/chain-key
+    aggregations (operators/conversation.tool_chains)."""
+    from .operators.conversation import tool_chains
+
+    return tool_chains(q_cdc_final_state(spark, sf_dir))
+
+
+def oracle_cdc_tool_chains():
+    from .operators.conversation import tool_chains_sql
+
+    return f"WITH fs AS ({spec.final_state_sql('duckdb')})" + tool_chains_sql()
+
+
+def q_cdc_turn_latency(spark, sf_dir):
+    """Per-role inter-turn latency over the final state: exact bigint
+    microsecond gaps (unix_micros), one final division — invariant to
+    partial-agg merge order (operators/conversation.turn_latency)."""
+    from .operators.conversation import turn_latency
+
+    return turn_latency(q_cdc_final_state(spark, sf_dir))
+
+
+def oracle_cdc_turn_latency():
+    from .operators.conversation import turn_latency_sql
+
+    return f"WITH fs AS ({spec.final_state_sql('duckdb')})" + turn_latency_sql()
+
+
+def q_events_transitions(spark, sf_dir):
+    """First-order Markov transition matrix over per-user event streams:
+    one user-key lag window (event_id tie-break), (src,dst) aggregation,
+    normalizer window over the tiny aggregated matrix
+    (operators/sessionize.transition_matrix)."""
+    from .operators.sessionize import transition_matrix
+
+    _events(spark, sf_dir)
+    return transition_matrix(spark.table("events"))
+
+
+def oracle_events_transitions():
+    from .operators.sessionize import transition_matrix_sql
+
+    return transition_matrix_sql(rel="events")
+
+
+def q_corpus_dup_spans(spark, sf_dir):
+    """Cross-document duplicate 8-gram spans (exact-substring dedup
+    detection, Lee et al. 2022): narrow-stage span generation, one
+    uniform-key count aggregation, top-k via TakeOrderedAndProject
+    (operators/corpus.dup_spans)."""
+    from .operators.corpus import dup_spans
+
+    return dup_spans(_docs(spark, sf_dir), n=8, top=100)
+
+
+def oracle_corpus_dup_spans():
+    from .operators.corpus import dup_spans_sql
+
+    return dup_spans_sql(n=8, top=100)
+
+
 def q_events_rate_window(spark, sf_dir):
     """Trailing per-user rate over the last 60s (excluding the current
     second): Spark's native RANGE window on epoch seconds — the rolling

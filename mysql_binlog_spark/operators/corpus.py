@@ -467,3 +467,77 @@ def pmi_bigrams_sql(
     JOIN uni u2 ON u2.tok = split_part(bigram, ' ', 2)
     ORDER BY pmi DESC, bigram LIMIT {top}
     """
+
+
+# ----------------------------------------------------------- dup spans
+
+# Cross-document duplicate n-gram spans — the detection pass behind
+# exact-substring training-data dedup (Lee et al. 2022, "Deduplicating
+# Training Data Makes Language Models Better"): any n-token span that
+# occurs in two or more distinct documents is memorization fuel and a
+# cut candidate.
+#
+# 100 TB shape: spans are generated by JVM array expressions (split →
+# sequence → transform/slice) in the narrow scan stage, then ONE
+# uniform-key aggregation counts (distinct docs, occurrences) per span —
+# count_distinct(doc_id) partials are per-span doc sets bounded by the
+# duplication factor, and the HAVING-style filter drops the unique-span
+# long tail before any further movement.  Global top-k lowers to
+# TakeOrderedAndProject (per-partition heaps + driver merge), never a
+# range-partitioned full sort.  At real scale the span string would be
+# a 64-bit hash; the text form is kept here so the oracle can verify
+# values, and the hashed variant is a one-expression swap.
+
+
+def dup_spans(
+    df: DataFrame,
+    n: int = 8,
+    top: int = 100,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Top-``top`` n-token spans occurring in >= 2 distinct documents:
+    (gram, n_docs, n_occ), ranked by n_docs, n_occ, then gram text."""
+    w = F.split(F.lower(F.trim(F.col(text_col))), WS)
+    grams = F.transform(
+        F.sequence(F.lit(1), F.size(w) - (n - 1)),
+        lambda i: F.array_join(F.slice(w, i, n), " "),
+    )
+    return (
+        df.filter(F.size(w) >= n)
+        .select(F.col(id_col), F.explode(grams).alias("gram"))
+        .groupBy("gram")
+        .agg(
+            F.countDistinct(id_col).cast("bigint").alias("n_docs"),
+            F.count(F.lit(1)).cast("bigint").alias("n_occ"),
+        )
+        .filter(F.col("n_docs") >= 2)
+        .orderBy(F.col("n_docs").desc(), F.col("n_occ").desc(), "gram")
+        .limit(top)
+    )
+
+
+def dup_spans_sql(
+    n: int = 8,
+    top: int = 100,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    rel: str = "documents",
+) -> str:
+    """DuckDB twin: identical span generation, counts, and ranking."""
+    return f"""
+    WITH docs AS (
+      SELECT {id_col},
+             regexp_split_to_array(lower(trim({text_col})), '{WS}') AS w
+      FROM {rel}
+    ), g AS (
+      SELECT {id_col}, array_to_string(w[i:i+{n - 1}], ' ') AS gram
+      FROM docs, UNNEST(generate_series(1, len(w) - {n - 1})) AS t(i)
+      WHERE len(w) >= {n}
+    )
+    SELECT gram,
+           COUNT(DISTINCT {id_col}) AS n_docs,
+           COUNT(*) AS n_occ
+    FROM g GROUP BY gram HAVING COUNT(DISTINCT {id_col}) >= 2
+    ORDER BY n_docs DESC, n_occ DESC, gram LIMIT {top}
+    """

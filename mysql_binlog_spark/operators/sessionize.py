@@ -292,3 +292,70 @@ def cohort_retention_sql(
            COUNT(DISTINCT {user_col}) AS n_users
     FROM c GROUP BY 1, 2
     """
+
+
+# ----------------------------------------------------------- transitions
+
+# First-order Markov transition matrix over per-user event streams:
+# count (prev_type -> type) pairs for consecutive events of the same
+# user, plus the conditional probability P(dst | src).
+#
+# Plan: ONE user-key exchange for the lag window (ordered by ts with
+# event_id as the total-order tie-break so ties can't flip pairs between
+# runs), then a (src,dst)-key aggregation with map-side partials.  The
+# per-src normalizer is a window over the AGGREGATED matrix — at most
+# |event_types|² rows, so the second window exchange is negligible at
+# any scale.  Probability is one exact-integer division + round(6),
+# invariant to partial-agg merge order.
+
+
+def transition_matrix(
+    events: DataFrame,
+    user_col: str = "user_id",
+    type_col: str = "event_type",
+    ts_col: str = "ts",
+    id_col: str = "event_id",
+) -> DataFrame:
+    """(src_type, dst_type, n_transitions, p) for consecutive per-user
+    event pairs; p sums to 1 over each src row."""
+    w = Window.partitionBy(user_col).orderBy(ts_col, id_col)
+    pairs = (
+        events.select(
+            F.lag(type_col).over(w).alias("src_type"),
+            F.col(type_col).alias("dst_type"),
+        )
+        .filter(F.col("src_type").isNotNull())
+        .groupBy("src_type", "dst_type")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_transitions"))
+    )
+    norm = Window.partitionBy("src_type")
+    return pairs.withColumn(
+        "p",
+        F.round(F.col("n_transitions") / F.sum("n_transitions").over(norm), 6),
+    )
+
+
+def transition_matrix_sql(
+    user_col: str = "user_id",
+    type_col: str = "event_type",
+    ts_col: str = "ts",
+    id_col: str = "event_id",
+    rel: str = "events",
+) -> str:
+    """DuckDB twin: same tie-broken lag, counts, and normalization."""
+    return f"""
+    WITH pairs AS (
+      SELECT LAG({type_col}) OVER (
+               PARTITION BY {user_col} ORDER BY {ts_col}, {id_col}
+             ) AS src_type,
+             {type_col} AS dst_type
+      FROM {rel}
+    ), m AS (
+      SELECT src_type, dst_type, COUNT(*) AS n_transitions
+      FROM pairs WHERE src_type IS NOT NULL GROUP BY src_type, dst_type
+    )
+    SELECT src_type, dst_type, n_transitions,
+           round(n_transitions / SUM(n_transitions) OVER (PARTITION BY src_type),
+                 6) AS p
+    FROM m
+    """

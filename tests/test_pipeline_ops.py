@@ -781,3 +781,125 @@ def test_pmi_vocabulary_joins_broadcast(spark, sf_dir):
     assert p.count("BroadcastHashJoin") == 2
     assert "TakeOrderedAndProject" in p
     assert "rangepartitioning" not in p
+
+
+# ------------------------------------------------------------ round 6 batch 3
+
+
+def test_render_reassembles_turn_order(spark):
+    """Out-of-order input rows must render in turn order with exact
+    n_turns / n_chars, and NULL text renders as empty."""
+    from mysql_binlog_spark.operators.conversation import render_conversations
+
+    rows = [
+        ("c1", 2, "assistant", "fine"),
+        ("c1", 0, "user", "hi"),
+        ("c1", 1, "assistant", None),
+        ("c2", 5, "system", "x"),
+    ]
+    df = spark.createDataFrame(
+        rows, "conv_id string, turn_idx int, role string, text string"
+    )
+    got = {r.conv_id: r for r in render_conversations(df).collect()}
+    assert got["c1"].rendered == "user: hi\nassistant: \nassistant: fine"
+    assert got["c1"].n_turns == 3 and got["c1"].n_chars == 6
+    assert got["c2"].rendered == "system: x" and got["c2"].n_turns == 1
+
+
+def test_render_plan_single_exchange(spark):
+    """One conv-key exchange, no global sort: ordering is reconstructed
+    by array_sort after the collapse."""
+    from mysql_binlog_spark.operators.conversation import render_conversations
+
+    df = spark.createDataFrame(
+        [("c", 0, "user", "t")],
+        "conv_id string, turn_idx int, role string, text string",
+    )
+    p = render_conversations(df)._jdf.queryExecution().executedPlan().toString()
+    assert p.count("Exchange") == 1
+    assert "rangepartitioning" not in p
+
+
+def test_tool_chains_signatures(spark):
+    from mysql_binlog_spark.operators.conversation import tool_chains
+
+    rows = [
+        ("c1", 3, "tool", "grep"), ("c1", 1, "tool", "read"),
+        ("c2", 0, "tool", "read"), ("c2", 9, "tool", "grep"),
+        ("c3", 2, "tool", "read"), ("c4", 0, "user", None),
+    ]
+    df = spark.createDataFrame(
+        rows, "conv_id string, turn_idx int, role string, tool string"
+    )
+    got = {r.chain: r.n_convs for r in tool_chains(df).collect()}
+    # c1 and c2 both invoke read then grep (turn order, not input order)
+    assert got == {"read>grep": 2, "read": 1}
+
+
+def test_turn_latency_exact_microseconds(spark):
+    from mysql_binlog_spark.operators.conversation import turn_latency
+
+    import datetime as dt
+
+    t0 = dt.datetime(2024, 1, 1)
+    rows = [
+        ("c1", 0, "user", t0),
+        ("c1", 1, "assistant", t0 + dt.timedelta(microseconds=1_500_000)),
+        ("c1", 2, "user", t0 + dt.timedelta(microseconds=2_000_001)),
+        ("c2", 0, "user", t0),
+        ("c2", 1, "assistant", t0 + dt.timedelta(microseconds=2_500_000)),
+    ]
+    df = spark.createDataFrame(
+        rows, "conv_id string, turn_idx int, role string, ts timestamp_ntz"
+    )
+    got = {r.role: r for r in turn_latency(df).collect()}
+    assert got["assistant"].n_gaps == 2
+    assert got["assistant"].avg_gap_s == 2.0  # (1.5 + 2.5) / 2
+    assert got["assistant"].max_gap_s == 2.5
+    assert got["user"].n_gaps == 1 and got["user"].avg_gap_s == 0.500001
+
+
+def test_transition_matrix_probabilities(spark):
+    """Counts follow the tie-broken per-user order; p sums to 1 per src."""
+    from mysql_binlog_spark.operators.sessionize import transition_matrix
+
+    import datetime as dt
+
+    t0 = dt.datetime(2024, 1, 1)
+    rows = [
+        # user 1: a -> b -> a   user 2: a -> a  (ts tie broken by id)
+        (1, t0, 1, "a"), (2, t0 + dt.timedelta(1), 1, "b"),
+        (3, t0 + dt.timedelta(2), 1, "a"),
+        (4, t0, 2, "a"), (5, t0, 2, "a"),
+    ]
+    df = spark.createDataFrame(
+        rows, "event_id long, ts timestamp, user_id long, event_type string"
+    )
+    got = {(r.src_type, r.dst_type): (r.n_transitions, r.p)
+           for r in transition_matrix(df).collect()}
+    assert got == {("a", "b"): (1, 0.5), ("b", "a"): (1, 1.0),
+                   ("a", "a"): (1, 0.5)}
+
+
+def test_dup_spans_detects_shared_span(spark):
+    from mysql_binlog_spark.operators.corpus import dup_spans
+
+    shared = "one two three four five six seven eight"
+    rows = [(1, f"{shared} tail1"), (2, f"head2 {shared}"),
+            (3, "no overlap here at all in this document")]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r.gram: (r.n_docs, r.n_occ) for r in dup_spans(df, n=8).collect()}
+    assert got[shared] == (2, 2)
+    # spans private to one doc never appear
+    assert all(n_docs >= 2 for n_docs, _ in got.values())
+
+
+def test_dup_spans_topk_plan(spark, sf_dir):
+    """Global top-k must lower to TakeOrderedAndProject, never a
+    range-partitioned full sort."""
+    from mysql_binlog_spark.operators.corpus import dup_spans
+
+    p = (dup_spans(_docs(spark, sf_dir))
+         ._jdf.queryExecution().executedPlan().toString())
+    assert "TakeOrderedAndProject" in p
+    assert "rangepartitioning" not in p
