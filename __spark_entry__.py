@@ -110,6 +110,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cdc_turn_latency": dq.q_cdc_turn_latency,
         "events_transitions": dq.q_events_transitions,
         "corpus_dup_spans": dq.q_corpus_dup_spans,
+        "cdc_hot_keys": dq.q_cdc_hot_keys,
+        "doc_perplexity": dq.q_doc_perplexity,
+        "events_anomalies": dq.q_events_anomalies,
     }
 
 
@@ -188,4 +191,7 @@ def oracle_sql() -> dict[str, str]:
         "cdc_turn_latency": dq.oracle_cdc_turn_latency(),
         "events_transitions": dq.oracle_events_transitions(),
         "corpus_dup_spans": dq.oracle_corpus_dup_spans(),
+        "cdc_hot_keys": dq.oracle_cdc_hot_keys(),
+        "doc_perplexity": dq.oracle_doc_perplexity(),
+        "events_anomalies": dq.oracle_events_anomalies(),
     }

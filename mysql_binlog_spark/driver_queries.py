@@ -2155,3 +2155,58 @@ def oracle_doc_training_mix():
     from .operators.sampling import training_mix_sql
 
     return training_mix_sql(seed=0, budget_num=1, budget_den=2, n_shards=8)
+
+
+# ------------------------------------------------------ round-6 monitoring
+
+
+def q_cdc_hot_keys(spark, sf_dir):
+    """Skew diagnostics: top-20 hottest conversation keys by change
+    volume with their share of total traffic — one map-side-partial key
+    aggregation, a 1-row broadcast total, top-k via
+    TakeOrderedAndProject (operators/apply.hot_keys)."""
+    from .operators.apply import hot_keys
+
+    return hot_keys(dedup_lsn(changelog_df(spark, sf_dir)), k=20)
+
+
+def oracle_cdc_hot_keys():
+    from .operators.apply import hot_keys_sql
+
+    return f"WITH dedup AS ({spec.dedup_sql('duckdb')})" + hot_keys_sql(
+        rel="dedup", k=20
+    )
+
+
+def q_doc_perplexity(spark, sf_dir):
+    """Unigram LM perplexity per document (CCNet-shape quality filter,
+    corpus as its own LM): vocabulary via one uniform-key aggregation,
+    broadcast log-prob join back onto the token stream, exact
+    nano-nat-integer partials so the per-doc sum is order-free
+    (operators/corpus.unigram_perplexity)."""
+    from .operators.corpus import unigram_perplexity
+
+    return unigram_perplexity(_docs(spark, sf_dir))
+
+
+def oracle_doc_perplexity():
+    from .operators.corpus import unigram_perplexity_sql
+
+    return unigram_perplexity_sql()
+
+
+def q_events_anomalies(spark, sf_dir):
+    """Hourly volume anomaly detection: |z| >= 2 hours per event type,
+    z from exact-bigint moments + one correctly-rounded sqrt — the CDC
+    burst/outage monitoring query
+    (operators/sessionize.hourly_anomalies)."""
+    from .operators.sessionize import hourly_anomalies
+
+    _events(spark, sf_dir)
+    return hourly_anomalies(spark.table("events"), z_thresh=2.0)
+
+
+def oracle_events_anomalies():
+    from .operators.sessionize import hourly_anomalies_sql
+
+    return hourly_anomalies_sql(z_thresh=2.0, rel="events")

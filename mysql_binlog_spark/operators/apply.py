@@ -348,3 +348,45 @@ def validate_changelog_sql(
         for name, _, _ in rules
     )
     return f", _audit AS (SELECT COUNT(*) AS n_rows, {aggs} FROM {rel}) {arms}"
+
+
+# -------------------------------------------------------------- hot keys
+
+# Skew diagnostics: the top-k hottest keys by change volume with their
+# share of total traffic — the report that decides whether A2's salted
+# reduce is needed and how to size the salt.  One key aggregation
+# (map-side partials), a 1-row broadcast total attach (the canonical
+# scalar shape), and top-k via TakeOrderedAndProject — per-partition
+# heaps + driver merge, never a full sort.
+
+
+def hot_keys(df: DataFrame, k: int = 20, key_col: str = "conv_id") -> DataFrame:
+    """(key, n_changes, pct): the k keys with the most changes and their
+    percentage of all changes (round 6; ties broken by key text)."""
+    per = df.groupBy(F.col(key_col).alias("key")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_changes")
+    )
+    total = per.agg(F.sum("n_changes").alias("t"))
+    return (
+        per.crossJoin(F.broadcast(total))
+        .select(
+            "key",
+            "n_changes",
+            F.round(F.col("n_changes") * 100 / F.col("t"), 6).alias("pct"),
+        )
+        .orderBy(F.col("n_changes").desc(), "key")
+        .limit(k)
+    )
+
+
+def hot_keys_sql(rel: str = "dedup", k: int = 20, key_col: str = "conv_id") -> str:
+    """DuckDB twin; chains onto the caller's WITH clause like
+    validate_changelog_sql."""
+    return f"""
+    , per AS (
+      SELECT {key_col} AS key, COUNT(*) AS n_changes FROM {rel} GROUP BY 1
+    ), t AS (SELECT SUM(n_changes) AS t FROM per)
+    SELECT key, n_changes, round(n_changes * 100 / t, 6) AS pct
+    FROM per CROSS JOIN t
+    ORDER BY n_changes DESC, key LIMIT {k}
+    """

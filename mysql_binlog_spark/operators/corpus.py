@@ -541,3 +541,85 @@ def dup_spans_sql(
     FROM g GROUP BY gram HAVING COUNT(DISTINCT {id_col}) >= 2
     ORDER BY n_docs DESC, n_occ DESC, gram LIMIT {top}
     """
+
+
+# ------------------------------------------------------------ perplexity
+
+# Unigram language-model perplexity per document — the classic
+# model-free quality filter (CCNet / Wenzek et al. 2020 shape, with the
+# corpus itself as the LM): documents whose token distribution diverges
+# from the corpus score a high cross-entropy and are cut candidates.
+#
+# Determinism contract: per-token log-probabilities are QUANTIZED to
+# integer nano-nats (round(ln(c)·1e9)) before summing, so the per-doc
+# sum is an exact bigint — invariant to partition merge order — and the
+# only floating-point steps are one exact-integer division and the
+# final exp/round.  A raw float Σln would drift at the 1e-16 level with
+# aggregation order and hash-mismatch across engines.
+#
+# 100 TB shape: one uniform-key (tok) aggregation builds the vocabulary;
+# the vocabulary joins BACK onto the exploded token stream as a
+# broadcast (map-side, the corpus never shuffles for the join); the
+# per-doc collapse is one doc-key exchange with exact-int partials.  At
+# open-web scale the vocabulary can exceed broadcast limits — the
+# fallback is the same plan with a shuffle join on the uniform tok key.
+
+
+def unigram_perplexity(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """(doc_id, n_toks, xent_nats, ppl): per-document cross-entropy (in
+    nats, round 6) and perplexity (round 2) under the corpus's own
+    unigram distribution."""
+    q = 1e9
+    w = F.split(F.lower(F.trim(F.col(text_col))), WS)
+    toks = df.select(F.col(id_col), F.explode(w).alias("tok"))
+    uni = toks.groupBy("tok").agg(F.count(F.lit(1)).alias("c"))
+    lnq = uni.select(
+        "tok", F.round(F.log("c") * q).cast("bigint").alias("lq")
+    )
+    total = uni.agg(
+        F.round(F.log(F.sum("c")) * q).cast("bigint").alias("lnq_total")
+    )
+    per_doc = (
+        toks.join(F.broadcast(lnq), "tok")
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_toks"),
+            F.sum("lq").alias("slq"),
+        )
+    )
+    xent = (
+        F.col("lnq_total") * F.col("n_toks") - F.col("slq")
+    ) / F.col("n_toks") / F.lit(q)
+    return per_doc.crossJoin(F.broadcast(total)).select(
+        F.col(id_col),
+        "n_toks",
+        F.round(xent, 6).alias("xent_nats"),
+        F.round(F.exp(xent), 2).alias("ppl"),
+    )
+
+
+def unigram_perplexity_sql(
+    text_col: str = "text", id_col: str = "doc_id", rel: str = "documents"
+) -> str:
+    """DuckDB twin: identical nano-nat quantization and exact-int sums."""
+    w = f"regexp_split_to_array(lower(trim({text_col})), '{WS}')"
+    return f"""
+    WITH toks AS (
+      SELECT {id_col}, unnest({w}) AS tok FROM {rel}
+    ), uni AS (
+      SELECT tok, COUNT(*) AS c FROM toks GROUP BY tok
+    ), lnq AS (
+      SELECT tok, CAST(round(ln(c) * 1e9) AS BIGINT) AS lq FROM uni
+    ), total AS (
+      SELECT CAST(round(ln(SUM(c)) * 1e9) AS BIGINT) AS lnq_total FROM uni
+    ), per_doc AS (
+      SELECT {id_col}, COUNT(*) AS n_toks, SUM(lq) AS slq
+      FROM toks JOIN lnq USING (tok) GROUP BY {id_col}
+    )
+    SELECT {id_col}, n_toks,
+           round((lnq_total * n_toks - slq) / n_toks / 1e9, 6) AS xent_nats,
+           round(exp((lnq_total * n_toks - slq) / n_toks / 1e9), 2) AS ppl
+    FROM per_doc CROSS JOIN total
+    """

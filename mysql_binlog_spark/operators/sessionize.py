@@ -359,3 +359,78 @@ def transition_matrix_sql(
                  6) AS p
     FROM m
     """
+
+
+# -------------------------------------------------------------- anomalies
+
+# Hourly volume anomaly detection: z-score of each (event_type, hour)
+# count against that type's own hourly distribution.  The monitoring
+# query a CDC operator runs against the change stream to catch bursts
+# and outages.
+#
+# Determinism contract: z = (n·H − Σn) / sqrt(H·Σn² − (Σn)²) — every
+# term inside the sqrt is an exact bigint (sums of integer counts), and
+# IEEE-754 REQUIRES sqrt to be correctly rounded (unlike ln/exp), so
+# the whole expression is one exact-int chain + sqrt + one division:
+# bit-identical across engines and partition orders.  Degenerate types
+# (constant hourly counts ⇒ zero variance) yield NULL, filtered in both
+# engines rather than relying on engine-specific inf/NaN division.
+#
+# 100 TB shape: one (type, hour) aggregation with map-side partials;
+# the per-type moment table is |event_types| rows — broadcast back onto
+# the hourly counts, nothing corpus-sized moves twice.
+
+
+def hourly_anomalies(
+    events: DataFrame,
+    z_thresh: float = 2.0,
+    type_col: str = "event_type",
+    ts_col: str = "ts",
+) -> DataFrame:
+    """(event_type, bucket_ts, n, z) for hours whose volume deviates
+    from the type's mean by >= z_thresh standard deviations."""
+    hourly = events.groupBy(
+        F.col(type_col).alias("event_type"),
+        F.date_trunc("hour", F.col(ts_col)).alias("bucket_ts"),
+    ).agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+    moments = hourly.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("bigint").alias("h"),
+        F.sum("n").alias("s1"),
+        F.sum(F.col("n") * F.col("n")).alias("s2"),
+    )
+    disc = F.col("h") * F.col("s2") - F.col("s1") * F.col("s1")
+    z = F.when(
+        disc > 0,
+        F.round((F.col("n") * F.col("h") - F.col("s1")) / F.sqrt(disc), 6),
+    )
+    return (
+        hourly.join(F.broadcast(moments), "event_type")
+        .select("event_type", "bucket_ts", "n", z.alias("z"))
+        .filter(F.col("z").isNotNull() & (F.abs("z") >= F.lit(z_thresh)))
+    )
+
+
+def hourly_anomalies_sql(
+    z_thresh: float = 2.0,
+    type_col: str = "event_type",
+    ts_col: str = "ts",
+    rel: str = "events",
+) -> str:
+    """DuckDB twin: identical exact-int moments and guarded z."""
+    return f"""
+    WITH hourly AS (
+      SELECT {type_col} AS event_type,
+             date_trunc('hour', {ts_col}) AS bucket_ts,
+             COUNT(*) AS n
+      FROM {rel} GROUP BY 1, 2
+    ), m AS (
+      SELECT event_type, COUNT(*) AS h, SUM(n) AS s1, SUM(n * n) AS s2
+      FROM hourly GROUP BY event_type
+    )
+    SELECT event_type, bucket_ts, n,
+           CASE WHEN h * s2 - s1 * s1 > 0
+                THEN round((n * h - s1) / sqrt(h * s2 - s1 * s1), 6)
+           END AS z
+    FROM hourly JOIN m USING (event_type)
+    WHERE z IS NOT NULL AND abs(z) >= {z_thresh}
+    """

@@ -903,3 +903,51 @@ def test_dup_spans_topk_plan(spark, sf_dir):
          ._jdf.queryExecution().executedPlan().toString())
     assert "TakeOrderedAndProject" in p
     assert "rangepartitioning" not in p
+
+
+def test_hot_keys_shares_and_ties(spark):
+    from mysql_binlog_spark.operators.apply import hot_keys
+
+    rows = [("k1",)] * 6 + [("k2",)] * 3 + [("k3",)] * 3 + [("k4",)] * 0
+    df = spark.createDataFrame(rows, "conv_id string")
+    got = [(r.key, r.n_changes, float(r.pct)) for r in hot_keys(df, k=2).collect()]
+    # k2/k3 tie on count -> key text breaks the tie; pct of 12 total
+    assert got == [("k1", 6, 50.0), ("k2", 3, 25.0)]
+
+
+def test_unigram_perplexity_exact_small_corpus(spark):
+    import math
+
+    from mysql_binlog_spark.operators.corpus import unigram_perplexity
+
+    # corpus: a a b | a  -> counts a=3, b=1, total=4
+    df = spark.createDataFrame(
+        [(1, "a a b"), (2, "a")], "doc_id long, text string"
+    )
+    got = {r.doc_id: (r.n_toks, r.xent_nats, r.ppl)
+           for r in unigram_perplexity(df).collect()}
+    x1 = -(2 * math.log(3 / 4) + math.log(1 / 4)) / 3
+    x2 = -math.log(3 / 4)
+    assert got[1][0] == 3 and abs(got[1][1] - x1) < 1e-5
+    assert got[2][0] == 1 and abs(got[2][1] - x2) < 1e-5
+    assert abs(got[1][2] - math.exp(x1)) < 1e-2
+
+
+def test_hourly_anomalies_flags_burst_hour(spark):
+    import datetime as dt
+
+    from mysql_binlog_spark.operators.sessionize import hourly_anomalies
+
+    t0 = dt.datetime(2024, 1, 1)
+    rows = []
+    # type "click": 1 event/hour for 9 hours, then a 20-event burst
+    for h in range(9):
+        rows.append((t0 + dt.timedelta(hours=h), "click"))
+    rows += [(t0 + dt.timedelta(hours=9), "click")] * 20
+    # type "view": perfectly flat -> zero variance -> never flagged
+    for h in range(10):
+        rows.append((t0 + dt.timedelta(hours=h), "view"))
+    df = spark.createDataFrame(rows, "ts timestamp, event_type string")
+    got = hourly_anomalies(df, z_thresh=2.0).collect()
+    assert [(r.event_type, r.n) for r in got] == [("click", 20)]
+    assert got[0].z > 2.0

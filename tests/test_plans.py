@@ -78,7 +78,14 @@ def test_no_cartesian_in_any_driver_query(spark, sf_dir):
     # broadcast query-side cross joins (intentional: corpus never
     # shuffles) and the 1-row broadcast scalar join of the corpus token
     # total in PMI (canonical scalar-attach shape, bounded by 1 row)
-    allowed_bnlj = {"emb_cosine_knn", "emb_sq8_knn", "corpus_pmi_bigrams"}
+    allowed_bnlj = {
+        "emb_cosine_knn",
+        "emb_sq8_knn",
+        "corpus_pmi_bigrams",
+        # 1-row broadcast scalar-attach (total-count / total-log join):
+        "cdc_hot_keys",
+        "doc_perplexity",
+    }
     for name, fn in entry.queries().items():
         if name in ("cdc_apply_e2e",):  # executes merges on construction
             continue
