@@ -113,6 +113,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cdc_hot_keys": dq.q_cdc_hot_keys,
         "doc_perplexity": dq.q_doc_perplexity,
         "events_anomalies": dq.q_events_anomalies,
+        "cdc_preimage_audit": dq.q_cdc_preimage_audit,
+        "doc_winnow": dq.q_doc_winnow,
     }
 
 
@@ -194,4 +196,6 @@ def oracle_sql() -> dict[str, str]:
         "cdc_hot_keys": dq.oracle_cdc_hot_keys(),
         "doc_perplexity": dq.oracle_doc_perplexity(),
         "events_anomalies": dq.oracle_events_anomalies(),
+        "cdc_preimage_audit": dq.oracle_cdc_preimage_audit(),
+        "doc_winnow": dq.oracle_doc_winnow(),
     }

@@ -2210,3 +2210,39 @@ def oracle_events_anomalies():
     from .operators.sessionize import hourly_anomalies_sql
 
     return hourly_anomalies_sql(z_thresh=2.0, rel="events")
+
+
+def q_cdc_preimage_audit(spark, sf_dir):
+    """UPDATE before-image integrity over the DECODED binary stream:
+    per key in LSN order, every update's decoded before-image must equal
+    the previous event's effective image — one key-window exchange + a
+    per-table collapse.  The oracle states the healthy-log expectation
+    (ok == n_updates, bad == 0) from the spec; the Spark side earns it
+    from the wire bytes (operators/apply.preimage_audit)."""
+    from .operators.apply import preimage_audit
+
+    return preimage_audit(decoded_binary_df(spark, sf_dir))
+
+
+def oracle_cdc_preimage_audit():
+    from .operators.apply import preimage_audit_sql
+
+    return f"WITH dedup AS ({spec.dedup_sql('duckdb')})" + preimage_audit_sql(
+        rel="dedup"
+    )
+
+
+def q_doc_winnow(spark, sf_dir):
+    """Winnowing fingerprints (Schleimer et al. 2003 / MOSS): per-window
+    minima over word 4-gram hashes, window 4 — local document sampling
+    with a shared-run detection guarantee; zero exchanges before the
+    (doc_id, fp) explode (operators/dedup.winnow_fingerprints)."""
+    from .operators.dedup import winnow_fingerprints
+
+    return winnow_fingerprints(_docs(spark, sf_dir), k=4, w=4)
+
+
+def oracle_doc_winnow():
+    from .operators.dedup import winnow_fingerprints_sql
+
+    return winnow_fingerprints_sql(k=4, w=4)

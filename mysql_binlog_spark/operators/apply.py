@@ -19,7 +19,7 @@ Scale notes (100 TB / 1000-executor thinking):
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, Window
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 # total order of the change stream: natural sort of chunk names then byte
@@ -389,4 +389,87 @@ def hot_keys_sql(rel: str = "dedup", k: int = 20, key_col: str = "conv_id") -> s
     SELECT key, n_changes, round(n_changes * 100 / t, 6) AS pct
     FROM per CROSS JOIN t
     ORDER BY n_changes DESC, key LIMIT {k}
+    """
+
+
+# --------------------------------------------------------- pre-image audit
+
+# UPDATE before-image integrity: a healthy row-based binlog's UPDATE
+# events carry the key's previous committed image (binlog_row_image=FULL
+# — reference RowFactory.php:171-177 decodes exactly two images per
+# update row).  This audit replays that invariant over the DECODED
+# stream: per key in LSN order, the decoded before-image of every UPDATE
+# must equal the effective image of the key's previous event (after for
+# insert/update, before for delete).  A mismatch means wire corruption,
+# a decode bug, or an out-of-order/lossy log — the first thing a CDC
+# operator checks when a MERGE produces wrong state.
+#
+# 100 TB shape: ONE key-partitioned window (the same (schema, table,
+# conv, turn) exchange every apply-side operator uses) + a per-table
+# partial-aggregating collapse to |tables| rows.  Null-safe equality
+# (eqNullSafe) so NULL-valued columns compare exactly, not three-valued.
+
+
+def preimage_audit(
+    dec: DataFrame,
+    image_cols: tuple[str, ...] = ("role", "text", "tool", "ts", "tool_version"),
+) -> DataFrame:
+    """(schema_name, table_name, n_inserts, n_updates, n_deletes,
+    n_preimage_ok, n_preimage_bad) over a decoded binlog stream with
+    before_*/after_* image columns (sources/binlog.read_binlog)."""
+
+    def eff(c: str) -> Column:
+        return F.when(
+            F.col("action") == "delete", F.col(f"before_{c}")
+        ).otherwise(F.col(f"after_{c}"))
+
+    d = dec.select(
+        "log_file", "log_pos", "batch_seq", "schema_name", "table_name",
+        "action",
+        eff("conv_id").alias("conv_id"),
+        eff("turn_idx").alias("turn_idx"),
+        *[eff(c).alias(f"img_{c}") for c in image_cols],
+        *[F.col(f"before_{c}").alias(f"bef_{c}") for c in image_cols],
+    )
+    w = Window.partitionBy(
+        "schema_name", "table_name", "conv_id", "turn_idx"
+    ).orderBy("log_file", "log_pos", "batch_seq")
+    d = d.select(
+        "schema_name", "table_name", "action",
+        *[f"bef_{c}" for c in image_cols],
+        *[F.lag(f"img_{c}").over(w).alias(f"prev_{c}") for c in image_cols],
+    )
+    ok = F.lit(True)
+    for c in image_cols:
+        ok = ok & F.col(f"bef_{c}").eqNullSafe(F.col(f"prev_{c}"))
+    is_u = F.col("action") == "update"
+    cnt = lambda cond: F.sum(cond.cast("bigint")).alias  # noqa: E731
+    return d.groupBy("schema_name", "table_name").agg(
+        cnt(F.col("action") == "insert")("n_inserts"),
+        cnt(is_u)("n_updates"),
+        cnt(F.col("action") == "delete")("n_deletes"),
+        cnt(is_u & ok)("n_preimage_ok"),
+        cnt(is_u & ~ok)("n_preimage_bad"),
+    )
+
+
+def preimage_audit_sql(rel: str = "dedup") -> str:
+    """DuckDB twin: the EXPECTED audit — on an uncorrupted log every
+    update's before-image matches by construction (the fixture writes
+    befores from the same per-key lag the audit recomputes), so
+    n_preimage_ok == n_updates and n_preimage_bad == 0.  The Spark side
+    earns those numbers from the decoded binary; the oracle states them
+    from the spec — a decode/pairing bug breaks the hash."""
+    return f"""
+    SELECT schema_name, table_name,
+           CAST(SUM(CASE WHEN action = 'insert' THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_inserts,
+           CAST(SUM(CASE WHEN action = 'update' THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_updates,
+           CAST(SUM(CASE WHEN action = 'delete' THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_deletes,
+           CAST(SUM(CASE WHEN action = 'update' THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_preimage_ok,
+           CAST(0 AS BIGINT) AS n_preimage_bad
+    FROM {rel} GROUP BY 1, 2
     """

@@ -673,3 +673,124 @@ def simhash_buckets(
         for b in range(48 // band_bits)
     ]
     return sh.select(id_col, "simhash", *bands)
+
+
+# ------------------------------------------------------------- winnowing
+
+# Winnowing fingerprints (Schleimer, Wilkerson & Aiken, SIGMOD 2003 —
+# the MOSS algorithm): hash every word k-gram, slide a window of w
+# consecutive gram hashes, keep each window's minimum — guaranteeing any
+# shared run of >= k+w-1 words between two documents shares at least one
+# fingerprint, while storing ~2/(w+1) of the grams.  The standard
+# local-sampling upgrade over the global rolling-hash fingerprint
+# (functions/text.fingerprint): sampling density is position-local, so
+# edits only perturb nearby fingerprints.
+#
+# 100 TB shape: entirely JVM array expressions in the narrow stage —
+# ZERO exchanges before the (doc_id, fp) explode.  Two codegen traps
+# avoided deliberately:
+#  * gram strings are built with zip_with over SHIFTED slices (the
+#    word_shingles lesson above: an array referenced INSIDE a transform
+#    lambda re-evaluates per element after projection collapse);
+#  * the sliding min folds w shifted copies of the HASH array with
+#    zip_with(least) — the gram-hash array appears only at the TOP level
+#    of the projection, where whole-stage codegen's subexpression
+#    elimination evaluates it once (inside a lambda it could not).
+# Window minima are selected BY VALUE (48-bit md5 ties are negligible),
+# so the fingerprint set needs no positional tie-break and is identical
+# in both engines.
+
+
+def winnow_fingerprints(
+    df: DataFrame,
+    k: int = 4,
+    w: int = 4,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """(doc_id, fp): the document's distinct winnowing fingerprints.
+
+    Staged ``select``s on purpose: the token / gram / gram-hash arrays
+    are materialized as NAMED columns, each referenced multiple times by
+    the next stage.  CollapseProject declines to inline a non-cheap
+    alias used more than once, so each array is computed exactly once
+    per row — folding this into one expression would re-run the md5
+    pass per shifted copy (w×) and the split per slice (k×)."""
+    from ..functions.hashing import md5_bigint
+    from ..functions.text import WS
+
+    d = df.select(
+        F.col(id_col),
+        F.split(F.lower(F.trim(F.col(text_col))), WS).alias("_t"),
+    )
+    # ordered k-gram strings: zip_with over k-1 shifted copies of the
+    # token column, zip-tail NULLs trimmed by slicing to n-k+1 grams
+    toks = F.col("_t")
+    z = toks
+    for j in range(1, k):
+        z = F.zip_with(
+            z,
+            F.slice(toks, j + 1, F.greatest(F.size(toks) - j, F.lit(1))),
+            lambda a, b: F.concat_ws(" ", a, b),
+        )
+    grams = F.when(
+        F.size(toks) >= k,
+        F.slice(z, 1, F.size(toks) - F.lit(k - 1)),
+    ).otherwise(F.array(F.concat_ws(" ", toks)))
+    d = d.select(F.col(id_col), grams.alias("_g"))
+    d = d.select(
+        F.col(id_col),
+        F.transform("_g", md5_bigint).alias("_gh"),
+        F.size("_g").alias("_m"),
+    )
+    gh = F.col("_gh")
+    acc = gh
+    for j in range(1, w):
+        acc = F.zip_with(
+            acc,
+            F.slice(gh, j + 1, F.greatest(F.col("_m") - j, F.lit(1))),
+            lambda a, b: F.least(a, b),
+        )
+    fps = F.when(
+        F.col("_m") > w,
+        F.slice(acc, 1, F.col("_m") - F.lit(w - 1)),
+    ).otherwise(F.array(F.array_min(gh)))
+    return d.select(
+        F.col(id_col), F.explode(F.array_distinct(fps)).alias("fp")
+    )
+
+
+def winnow_fingerprints_sql(
+    k: int = 4,
+    w: int = 4,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    rel: str = "documents",
+) -> str:
+    """DuckDB twin: direct O(n·w) definition over list ops (oracle
+    scale), same by-value window minima and short-doc fallbacks."""
+    from ..functions.hashing import md5_bigint_sql
+
+    toks = f"regexp_split_to_array(lower(trim({text_col})), '\\s+')"
+    gram = md5_bigint_sql(f"array_to_string(t[i:i+{k - 1}], ' ')")
+    whole = md5_bigint_sql("array_to_string(t, ' ')")
+    return f"""
+    WITH tok AS (
+      SELECT {id_col}, {toks} AS t FROM {rel}
+    ), gr AS (
+      SELECT {id_col},
+             CASE WHEN len(t) >= {k}
+                  THEN list_transform(generate_series(1, len(t) - {k - 1}),
+                                      i -> {gram})
+                  ELSE [{whole}] END AS gh
+      FROM tok
+    ), fp AS (
+      SELECT {id_col},
+             CASE WHEN len(gh) > {w}
+                  THEN list_transform(generate_series(1, len(gh) - {w - 1}),
+                                      j -> list_min(gh[j:j+{w - 1}]))
+                  ELSE [list_min(gh)] END AS fps
+      FROM gr
+    )
+    SELECT {id_col}, unnest(list_distinct(fps)) AS fp FROM fp
+    """

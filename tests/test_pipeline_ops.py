@@ -951,3 +951,67 @@ def test_hourly_anomalies_flags_burst_hour(spark):
     got = hourly_anomalies(df, z_thresh=2.0).collect()
     assert [(r.event_type, r.n) for r in got] == [("click", 20)]
     assert got[0].z > 2.0
+
+
+def test_preimage_audit_detects_corruption(spark):
+    import datetime as dt
+
+    from mysql_binlog_spark.operators.apply import preimage_audit
+
+    t = dt.datetime(2024, 1, 1)
+    cols = ("conv_id", "turn_idx", "role", "text", "tool", "ts",
+            "tool_version")
+    schema = (
+        "log_file string, log_pos long, batch_seq int, schema_name string, "
+        "table_name string, action string, "
+        + ", ".join(f"before_{c} {ty}" for c, ty in zip(
+            cols, ["string", "int", "string", "string", "string",
+                   "timestamp", "string"]))
+        + ", "
+        + ", ".join(f"after_{c} {ty}" for c, ty in zip(
+            cols, ["string", "int", "string", "string", "string",
+                   "timestamp", "string"]))
+    )
+    nb = (None,) * 7  # no before image (insert)
+    rows = [
+        # key A: insert -> good update -> delete
+        ("f1", 10, 0, "app", "transcripts", "insert",
+         *nb, "A", 1, "user", "v1", None, t, None),
+        ("f1", 20, 0, "app", "transcripts", "update",
+         "A", 1, "user", "v1", None, t, None,
+         "A", 1, "user", "v2", None, t, None),
+        ("f1", 30, 0, "app", "transcripts", "delete",
+         "A", 1, "user", "v2", None, t, None, *nb),
+        # key B: insert -> CORRUPTED update (before.text != prior after)
+        ("f1", 40, 0, "app", "transcripts", "insert",
+         *nb, "B", 1, "user", "w1", None, t, None),
+        ("f1", 50, 0, "app", "transcripts", "update",
+         "B", 1, "user", "WRONG", None, t, None,
+         "B", 1, "user", "w2", None, t, None),
+    ]
+    df = spark.createDataFrame(rows, schema)
+    got = preimage_audit(df).collect()
+    assert len(got) == 1
+    r = got[0]
+    assert (r.n_inserts, r.n_updates, r.n_deletes) == (2, 2, 1)
+    assert (r.n_preimage_ok, r.n_preimage_bad) == (1, 1)
+
+
+def test_winnow_shared_run_guarantee(spark):
+    """Docs sharing a run of >= k+w-1 words share >= 1 fingerprint
+    (the winnowing paper's detection guarantee, k=4 w=4 -> run of 7)."""
+    from mysql_binlog_spark.operators.dedup import winnow_fingerprints
+
+    run = "alpha beta gamma delta epsilon zeta eta"  # 7 words
+    rows = [(1, f"{run} unique tail one"),
+            (2, f"different head words {run}"),
+            (3, "totally unrelated text with other words entirely now"),
+            (4, "tiny doc")]  # < k tokens -> whole-doc fallback gram
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    fps = winnow_fingerprints(df, k=4, w=4).collect()
+    by_doc = {}
+    for r in fps:
+        by_doc.setdefault(r.doc_id, set()).add(r.fp)
+    assert by_doc[1] & by_doc[2], "shared 7-word run must share a fingerprint"
+    assert not (by_doc[1] & by_doc[3])
+    assert len(by_doc[4]) == 1  # short doc -> single whole-doc fingerprint

@@ -335,3 +335,19 @@ def test_funnel_single_user_exchange(spark, sf_dir):
     keys = re.findall(r"hashpartitioning\(([^)]*)\)", p)
     assert len(keys) == 1 and "user_id" in keys[0], keys
     assert "Join" not in p
+
+
+def test_winnow_is_shuffle_free_and_single_hash_pass(spark, sf_dir):
+    """Winnowing is a pure narrow stage (zero exchanges), and the staged
+    selects keep exactly ONE md5 transform in the plan — collapsing the
+    projection would duplicate the gram-hash pass per shifted window
+    copy (w×)."""
+    import os
+
+    from mysql_binlog_spark.operators.dedup import winnow_fingerprints
+
+    docs = spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
+    p = (winnow_fingerprints(docs)
+         ._jdf.queryExecution().executedPlan().toString())
+    assert "Exchange" not in p
+    assert p.count("md5") == 1, p.count("md5")
