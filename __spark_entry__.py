@@ -115,6 +115,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_anomalies": dq.q_events_anomalies,
         "cdc_preimage_audit": dq.q_cdc_preimage_audit,
         "doc_winnow": dq.q_doc_winnow,
+        "doc_winnow_neardup": dq.q_doc_winnow_neardup,
+        "corpus_cross_source": dq.q_corpus_cross_source,
+        "corpus_vocab_growth": dq.q_corpus_vocab_growth,
     }
 
 
@@ -198,4 +201,7 @@ def oracle_sql() -> dict[str, str]:
         "events_anomalies": dq.oracle_events_anomalies(),
         "cdc_preimage_audit": dq.oracle_cdc_preimage_audit(),
         "doc_winnow": dq.oracle_doc_winnow(),
+        "doc_winnow_neardup": dq.oracle_doc_winnow_neardup(),
+        "corpus_cross_source": dq.oracle_corpus_cross_source(),
+        "corpus_vocab_growth": dq.oracle_corpus_vocab_growth(),
     }

@@ -2246,3 +2246,51 @@ def oracle_doc_winnow():
     from .operators.dedup import winnow_fingerprints_sql
 
     return winnow_fingerprints_sql(k=4, w=4)
+
+
+def q_doc_winnow_neardup(spark, sf_dir):
+    """MOSS detection stage: candidate pairs sharing >= 3 winnowing
+    fingerprints after the stop-gram prune (df <= 20), scored by
+    containment — catches LOCAL shared runs whole-document Jaccard
+    dilutes away (operators/dedup.winnow_neardup)."""
+    from .operators.dedup import winnow_neardup
+
+    return winnow_neardup(_docs(spark, sf_dir), k=4, w=4, t=3, max_df=20)
+
+
+def oracle_doc_winnow_neardup():
+    from .operators.dedup import winnow_neardup_sql
+
+    return winnow_neardup_sql(k=4, w=4, t=3, max_df=20)
+
+
+def q_corpus_cross_source(spark, sf_dir):
+    """Cross-source contamination matrix: shared winnowing-fingerprint
+    mass per source pair — the governance report reviewed before mixing
+    sources; per-fp fan-out bounded by |sources|²
+    (operators/dedup.cross_source_matrix)."""
+    from .operators.dedup import cross_source_matrix
+
+    return cross_source_matrix(_docs(spark, sf_dir), k=4, w=4)
+
+
+def oracle_corpus_cross_source():
+    from .operators.dedup import cross_source_matrix_sql
+
+    return cross_source_matrix_sql(k=4, w=4)
+
+
+def q_corpus_vocab_growth(spark, sf_dir):
+    """Heaps-law vocabulary growth over 20 doc_id buckets: each token
+    counted once at its first document (one uniform-key min agg), the
+    running sum windows over 20 rows — never a global corpus sort
+    (operators/corpus.vocab_growth)."""
+    from .operators.corpus import vocab_growth
+
+    return vocab_growth(_docs(spark, sf_dir), n_buckets=20)
+
+
+def oracle_corpus_vocab_growth():
+    from .operators.corpus import vocab_growth_sql
+
+    return vocab_growth_sql(n_buckets=20)

@@ -623,3 +623,77 @@ def unigram_perplexity_sql(
            round(exp((lnq_total * n_toks - slq) / n_toks / 1e9), 2) AS ppl
     FROM per_doc CROSS JOIN total
     """
+
+
+# ---------------------------------------------------------- vocab growth
+
+# Heaps-law vocabulary growth: distinct-token count as the corpus grows
+# in doc_id order — the curve that decides whether more data still buys
+# vocabulary (and whether a tokenizer's vocab budget saturates).
+#
+# 100 TB shape: "distinct over every prefix" is NOT computed per prefix
+# — each token contributes exactly once at its FIRST document (one
+# uniform-key min aggregation), and the doc axis is bucketed into
+# n_buckets fixed-width ranges so the running sum is a window over
+# n_buckets rows, never a global sort of the corpus.  The only 1-row
+# broadcast is the max-doc scalar (canonical scalar-attach shape).
+
+
+def vocab_growth(
+    df: DataFrame,
+    n_buckets: int = 20,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """(bucket, n_new_tokens, vocab_size): new-token count per doc_id
+    bucket and the cumulative vocabulary after each bucket."""
+    w = F.split(F.lower(F.trim(F.col(text_col))), WS)
+    toks = df.select(F.col(id_col).alias("did"), F.explode(w).alias("tok"))
+    first = toks.groupBy("tok").agg(F.min("did").alias("first_doc"))
+    mx = df.agg((F.max(id_col) + 1).alias("mxd"))
+    per_bucket = (
+        first.crossJoin(F.broadcast(mx))
+        .select(
+            F.expr(f"first_doc * {n_buckets} div mxd")
+            .cast("int")
+            .alias("bucket")
+        )
+        .groupBy("bucket")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_new_tokens"))
+    )
+    cum = Window.orderBy("bucket").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    return per_bucket.select(
+        "bucket",
+        "n_new_tokens",
+        F.sum("n_new_tokens").over(cum).cast("bigint").alias("vocab_size"),
+    )
+
+
+def vocab_growth_sql(
+    n_buckets: int = 20,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    rel: str = "documents",
+) -> str:
+    """DuckDB twin: identical first-doc attribution and bucketing."""
+    w = f"regexp_split_to_array(lower(trim({text_col})), '{WS}')"
+    return f"""
+    WITH toks AS (
+      SELECT {id_col} AS did, unnest({w}) AS tok FROM {rel}
+    ), first AS (
+      SELECT tok, MIN(did) AS first_doc FROM toks GROUP BY tok
+    ), mx AS (
+      SELECT MAX({id_col}) + 1 AS mxd FROM {rel}
+    ), per_bucket AS (
+      SELECT CAST(first_doc * {n_buckets} // mxd AS INT) AS bucket,
+             CAST(COUNT(*) AS BIGINT) AS n_new_tokens
+      FROM first CROSS JOIN mx GROUP BY 1
+    )
+    SELECT bucket, n_new_tokens,
+           CAST(SUM(n_new_tokens) OVER (ORDER BY bucket
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+             AS vocab_size
+    FROM per_bucket
+    """

@@ -19,7 +19,7 @@ driver queries run them over the ``documents`` table.
 from __future__ import annotations
 
 import pandas as pd
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 from pyspark.sql.functions import pandas_udf
 
@@ -760,6 +760,43 @@ def winnow_fingerprints(
     )
 
 
+def winnow_ctes(
+    k: int = 4,
+    w: int = 4,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    rel: str = "documents",
+) -> str:
+    """The winnowing pipeline as a chainable CTE list ending in
+    ``wfp(id, fp)`` — composed by the doc_winnow oracle and the
+    neardup / cross-source twins (DuckDB forbids nested WITH)."""
+    from ..functions.hashing import md5_bigint_sql
+
+    toks = f"regexp_split_to_array(lower(trim({text_col})), '\\s+')"
+    gram = md5_bigint_sql(f"array_to_string(t[i:i+{k - 1}], ' ')")
+    whole = md5_bigint_sql("array_to_string(t, ' ')")
+    return f"""
+    tok AS (
+      SELECT {id_col}, {toks} AS t FROM {rel}
+    ), gr AS (
+      SELECT {id_col},
+             CASE WHEN len(t) >= {k}
+                  THEN list_transform(generate_series(1, len(t) - {k - 1}),
+                                      i -> {gram})
+                  ELSE [{whole}] END AS gh
+      FROM tok
+    ), fpl AS (
+      SELECT {id_col},
+             CASE WHEN len(gh) > {w}
+                  THEN list_transform(generate_series(1, len(gh) - {w - 1}),
+                                      j -> list_min(gh[j:j+{w - 1}]))
+                  ELSE [list_min(gh)] END AS fps
+      FROM gr
+    ), wfp AS (
+      SELECT {id_col}, unnest(list_distinct(fps)) AS fp FROM fpl
+    )"""
+
+
 def winnow_fingerprints_sql(
     k: int = 4,
     w: int = 4,
@@ -769,28 +806,147 @@ def winnow_fingerprints_sql(
 ) -> str:
     """DuckDB twin: direct O(n·w) definition over list ops (oracle
     scale), same by-value window minima and short-doc fallbacks."""
-    from ..functions.hashing import md5_bigint_sql
+    ctes = winnow_ctes(k, w, text_col, id_col, rel)
+    return f"WITH {ctes}\n    SELECT {id_col}, fp FROM wfp"
 
-    toks = f"regexp_split_to_array(lower(trim({text_col})), '\\s+')"
-    gram = md5_bigint_sql(f"array_to_string(t[i:i+{k - 1}], ' ')")
-    whole = md5_bigint_sql("array_to_string(t, ' ')")
-    return f"""
-    WITH tok AS (
-      SELECT {id_col}, {toks} AS t FROM {rel}
-    ), gr AS (
-      SELECT {id_col},
-             CASE WHEN len(t) >= {k}
-                  THEN list_transform(generate_series(1, len(t) - {k - 1}),
-                                      i -> {gram})
-                  ELSE [{whole}] END AS gh
-      FROM tok
-    ), fp AS (
-      SELECT {id_col},
-             CASE WHEN len(gh) > {w}
-                  THEN list_transform(generate_series(1, len(gh) - {w - 1}),
-                                      j -> list_min(gh[j:j+{w - 1}]))
-                  ELSE [list_min(gh)] END AS fps
-      FROM gr
+
+# ---------------------------------------------- winnow-based near-dup
+
+# The detection half of MOSS: documents sharing >= t winnowing
+# fingerprints are near-duplicate candidates, scored by containment
+# (shared / min fingerprint count).  Complements MinHash-LSH: winnowing
+# catches LOCAL shared runs (>= k+w-1 words) that whole-document
+# Jaccard dilutes away — the plagiarism / boilerplate-block case.
+#
+# 100 TB shape: the fingerprint table self-joins on the uniform fp key,
+# never all-pairs; fingerprints hotter than max_df docs are dropped
+# FIRST (the PPJoin-style stop-gram prune — a fp shared by thousands of
+# docs is boilerplate evidence but a quadratic pair generator), so
+# per-fp fan-out is bounded by max_df².  Doc sizes ride a key-partition
+# window on the SAME fp exchange (no second shuffle of the big table);
+# the per-doc size table is |docs|-row and joins on the doc key.
+
+
+def winnow_neardup(
+    df: DataFrame,
+    k: int = 4,
+    w: int = 4,
+    t: int = 3,
+    max_df: int = 20,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """(doc_a, doc_b, n_shared, containment): candidate pairs sharing
+    >= t winnowing fingerprints, containment = shared / min(|fps|)."""
+    fps = winnow_fingerprints(df, k, w, text_col, id_col)
+    sizes = fps.groupBy(F.col(id_col)).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_fps")
     )
-    SELECT {id_col}, unnest(list_distinct(fps)) AS fp FROM fp
+    wdf = Window.partitionBy("fp")
+    kept = (
+        fps.withColumn("df", F.count(F.lit(1)).over(wdf))
+        .filter(F.col("df") <= max_df)
+        .drop("df")
+    )
+    a = kept.select(F.col(id_col).alias("doc_a"), "fp")
+    b = kept.select(F.col(id_col).alias("doc_b"), "fp")
+    pairs = (
+        a.join(b, "fp")
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_shared"))
+        .filter(F.col("n_shared") >= t)
+    )
+    sa = sizes.select(F.col(id_col).alias("doc_a"), F.col("n_fps").alias("na"))
+    sb = sizes.select(F.col(id_col).alias("doc_b"), F.col("n_fps").alias("nb"))
+    return (
+        pairs.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .select(
+            "doc_a", "doc_b", "n_shared",
+            F.round(
+                F.col("n_shared") / F.least("na", "nb"), 6
+            ).alias("containment"),
+        )
+    )
+
+
+def winnow_neardup_sql(
+    k: int = 4,
+    w: int = 4,
+    t: int = 3,
+    max_df: int = 20,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    rel: str = "documents",
+) -> str:
+    """DuckDB twin: identical stop-gram prune, pair count, containment."""
+    ctes = winnow_ctes(k, w, text_col, id_col, rel)
+    return f"""
+    WITH {ctes}, sizes AS (
+      SELECT {id_col}, COUNT(*) AS n_fps FROM wfp GROUP BY 1
+    ), kept AS (
+      SELECT {id_col}, fp FROM (
+        SELECT {id_col}, fp, COUNT(*) OVER (PARTITION BY fp) AS df FROM wfp
+      ) WHERE df <= {max_df}
+    ), pairs AS (
+      SELECT a.{id_col} AS doc_a, b.{id_col} AS doc_b,
+             COUNT(*) AS n_shared
+      FROM kept a JOIN kept b USING (fp)
+      WHERE a.{id_col} < b.{id_col}
+      GROUP BY 1, 2 HAVING COUNT(*) >= {t}
+    )
+    SELECT doc_a, doc_b, CAST(n_shared AS BIGINT) AS n_shared,
+           round(n_shared / least(sa.n_fps, sb.n_fps), 6) AS containment
+    FROM pairs
+    JOIN sizes sa ON sa.{id_col} = doc_a
+    JOIN sizes sb ON sb.{id_col} = doc_b
+    """
+
+
+def cross_source_matrix(
+    df: DataFrame,
+    k: int = 4,
+    w: int = 4,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    source_col: str = "source",
+) -> DataFrame:
+    """(source_a, source_b, n_shared_fps): how much fingerprint mass
+    each source pair shares — the cross-source contamination report a
+    curation pipeline reviews before mixing sources.  Per-fp fan-out is
+    bounded by |sources|², not document count."""
+    fps = winnow_fingerprints(df, k, w, text_col, id_col)
+    src = fps.join(
+        df.select(F.col(id_col), F.col(source_col).alias("src")), id_col
+    ).select("fp", "src").distinct()
+    a = src.select("fp", F.col("src").alias("source_a"))
+    b = src.select("fp", F.col("src").alias("source_b"))
+    return (
+        a.join(b, "fp")
+        .filter(F.col("source_a") < F.col("source_b"))
+        .groupBy("source_a", "source_b")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_shared_fps"))
+    )
+
+
+def cross_source_matrix_sql(
+    k: int = 4,
+    w: int = 4,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    source_col: str = "source",
+    rel: str = "documents",
+) -> str:
+    ctes = winnow_ctes(k, w, text_col, id_col, rel)
+    return f"""
+    WITH {ctes}, src AS (
+      SELECT DISTINCT w.fp, d.{source_col} AS src
+      FROM wfp w JOIN {rel} d USING ({id_col})
+    )
+    SELECT a.src AS source_a, b.src AS source_b,
+           CAST(COUNT(*) AS BIGINT) AS n_shared_fps
+    FROM src a JOIN src b USING (fp)
+    WHERE a.src < b.src
+    GROUP BY 1, 2
     """

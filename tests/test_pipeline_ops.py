@@ -1015,3 +1015,45 @@ def test_winnow_shared_run_guarantee(spark):
     assert by_doc[1] & by_doc[2], "shared 7-word run must share a fingerprint"
     assert not (by_doc[1] & by_doc[3])
     assert len(by_doc[4]) == 1  # short doc -> single whole-doc fingerprint
+
+
+def test_winnow_neardup_pair_and_containment(spark):
+    from mysql_binlog_spark.operators.dedup import winnow_neardup
+
+    shared = " ".join(f"w{i}" for i in range(20))
+    rows = [(1, shared + " tail a b c"),
+            (2, "x y z head " + shared),
+            (3, "completely different words q r s t u v unrelated here")]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {(r.doc_a, r.doc_b): (r.n_shared, r.containment)
+           for r in winnow_neardup(df, t=3, max_df=20).collect()}
+    assert (1, 2) in got
+    n, c = got[(1, 2)]
+    assert n >= 3 and 0 < c <= 1.0
+    assert all(p == (1, 2) for p in got)  # doc 3 pairs with nobody
+
+
+def test_cross_source_matrix_detects_shared_runs(spark):
+    from mysql_binlog_spark.operators.dedup import cross_source_matrix
+
+    shared = " ".join(f"s{i}" for i in range(12))
+    rows = [(1, shared, "srcA"), (2, shared + " more words here", "srcB"),
+            (3, "entirely different unrelated content words here now ok",
+             "srcC")]
+    df = spark.createDataFrame(rows, "doc_id long, text string, source string")
+    got = {(r.source_a, r.source_b): r.n_shared_fps
+           for r in cross_source_matrix(df).collect()}
+    assert got.get(("srcA", "srcB"), 0) >= 1
+    assert ("srcA", "srcC") not in got and ("srcB", "srcC") not in got
+
+
+def test_vocab_growth_monotone_and_total(spark):
+    from mysql_binlog_spark.operators.corpus import vocab_growth
+
+    rows = [(0, "a b c"), (5, "a b d"), (9, "e a")]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = sorted((r.bucket, r.n_new_tokens, r.vocab_size)
+                 for r in vocab_growth(df, n_buckets=2).collect())
+    # mxd=10: doc 0 -> bucket 0 introduces a,b,c; docs 5,9 -> bucket 1
+    # introduce d,e
+    assert got == [(0, 3, 3), (1, 2, 5)]

@@ -85,6 +85,7 @@ def test_no_cartesian_in_any_driver_query(spark, sf_dir):
         # 1-row broadcast scalar-attach (total-count / total-log join):
         "cdc_hot_keys",
         "doc_perplexity",
+        "corpus_vocab_growth",
     }
     for name, fn in entry.queries().items():
         if name in ("cdc_apply_e2e",):  # executes merges on construction
