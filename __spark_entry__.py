@@ -118,6 +118,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_winnow_neardup": dq.q_doc_winnow_neardup,
         "corpus_cross_source": dq.q_corpus_cross_source,
         "corpus_vocab_growth": dq.q_corpus_vocab_growth,
+        "cdc_txn_stats": dq.q_cdc_txn_stats,
     }
 
 
@@ -204,4 +205,5 @@ def oracle_sql() -> dict[str, str]:
         "doc_winnow_neardup": dq.oracle_doc_winnow_neardup(),
         "corpus_cross_source": dq.oracle_corpus_cross_source(),
         "corpus_vocab_growth": dq.oracle_corpus_vocab_growth(),
+        "cdc_txn_stats": dq.oracle_cdc_txn_stats(),
     }

@@ -2294,3 +2294,21 @@ def oracle_corpus_vocab_growth():
     from .operators.corpus import vocab_growth_sql
 
     return vocab_growth_sql(n_buckets=20)
+
+
+def q_cdc_txn_stats(spark, sf_dir):
+    """Transaction-shape summary over the deduped changelog: per-xid
+    event counts and table spread via one uniform-key aggregation, then
+    a one-row exact-integer collapse — the oversized-transaction /
+    multi-table-scope alert source (operators/apply.txn_stats)."""
+    from .operators.apply import txn_stats
+
+    return txn_stats(dedup_lsn(changelog_df(spark, sf_dir)))
+
+
+def oracle_cdc_txn_stats():
+    from .operators.apply import txn_stats_sql
+
+    return f"WITH dedup AS ({spec.dedup_sql('duckdb')})" + txn_stats_sql(
+        rel="dedup"
+    )

@@ -473,3 +473,65 @@ def preimage_audit_sql(rel: str = "dedup") -> str:
            CAST(0 AS BIGINT) AS n_preimage_bad
     FROM {rel} GROUP BY 1, 2
     """
+
+
+# ------------------------------------------------------ transaction stats
+
+# Transaction-level observability: per-xid event counts, table spread,
+# and LSN span over the deduped changelog — the report that surfaces
+# oversized transactions (replication-lag bombs), multi-table
+# transactions (atomic-apply scope), and per-transaction churn.  The
+# reference frames transactions with BEGIN/XID (EventsIterator.php's
+# QUERY/XID handling) but aggregates nothing; this is the operator a
+# production CDC pipeline hangs alerts on.
+#
+# 100 TB shape: ONE xid-key aggregation with map-side partials (xid is
+# monotonically assigned ⇒ uniform under hash partitioning); the
+# distribution summary collapses |txn| rows to one via exact-integer
+# sums.  n_tables via count(distinct) INSIDE the xid group is bounded
+# by the per-txn table count, not corpus-wide distinct state.
+
+
+def txn_stats(df: DataFrame) -> DataFrame:
+    """(n_txns, max_events, p_events_ge_16, n_multi_table, max_tables,
+    total_events): one-row transaction-shape summary of the changelog."""
+    per = df.groupBy("xid").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_events"),
+        F.countDistinct("schema_name", "table_name")
+        .cast("bigint")
+        .alias("n_tables"),
+    )
+    return per.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_txns"),
+        F.max("n_events").alias("max_events"),
+        F.round(
+            F.sum((F.col("n_events") >= 16).cast("bigint"))
+            * 100.0
+            / F.count(F.lit(1)),
+            6,
+        ).alias("p_events_ge_16"),
+        F.sum((F.col("n_tables") > 1).cast("bigint")).alias("n_multi_table"),
+        F.max("n_tables").alias("max_tables"),
+        F.sum("n_events").alias("total_events"),
+    )
+
+
+def txn_stats_sql(rel: str = "dedup") -> str:
+    """DuckDB twin; chains onto the caller's WITH clause."""
+    return f"""
+    , per AS (
+      SELECT xid, CAST(COUNT(*) AS BIGINT) AS n_events,
+             CAST(COUNT(DISTINCT (schema_name, table_name)) AS BIGINT)
+               AS n_tables
+      FROM {rel} GROUP BY xid
+    )
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_txns,
+           MAX(n_events) AS max_events,
+           round(CAST(SUM(CASE WHEN n_events >= 16 THEN 1 ELSE 0 END)
+                   AS BIGINT) * 100.0 / COUNT(*), 6) AS p_events_ge_16,
+           CAST(SUM(CASE WHEN n_tables > 1 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_multi_table,
+           MAX(n_tables) AS max_tables,
+           CAST(SUM(n_events) AS BIGINT) AS total_events
+    FROM per
+    """

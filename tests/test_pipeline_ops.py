@@ -1057,3 +1057,21 @@ def test_vocab_growth_monotone_and_total(spark):
     # mxd=10: doc 0 -> bucket 0 introduces a,b,c; docs 5,9 -> bucket 1
     # introduce d,e
     assert got == [(0, 3, 3), (1, 2, 5)]
+
+
+def test_txn_stats_shape_summary(spark):
+    from mysql_binlog_spark.operators.apply import txn_stats
+
+    rows = (
+        # xid 1: 3 events over 2 tables; xid 2: 1 event; xid 3: 16 events
+        [(1, "app", "a")] * 2 + [(1, "app", "b")]
+        + [(2, "app", "a")]
+        + [(3, "app", "a")] * 16
+    )
+    df = spark.createDataFrame(
+        rows, "xid long, schema_name string, table_name string"
+    )
+    r = txn_stats(df).collect()[0]
+    assert (r.n_txns, r.max_events, r.n_multi_table, r.max_tables,
+            r.total_events) == (3, 16, 1, 2, 20)
+    assert abs(r.p_events_ge_16 - 100.0 / 3) < 1e-4
