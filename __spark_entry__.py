@@ -119,6 +119,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "corpus_cross_source": dq.q_corpus_cross_source,
         "corpus_vocab_growth": dq.q_corpus_vocab_growth,
         "cdc_txn_stats": dq.q_cdc_txn_stats,
+        "emb_cluster_stats": dq.q_emb_cluster_stats,
     }
 
 
@@ -206,4 +207,5 @@ def oracle_sql() -> dict[str, str]:
         "corpus_cross_source": dq.oracle_corpus_cross_source(),
         "corpus_vocab_growth": dq.oracle_corpus_vocab_growth(),
         "cdc_txn_stats": dq.oracle_cdc_txn_stats(),
+        "emb_cluster_stats": dq.oracle_emb_cluster_stats(),
     }

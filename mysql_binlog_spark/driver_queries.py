@@ -2312,3 +2312,76 @@ def oracle_cdc_txn_stats():
     return f"WITH dedup AS ({spec.dedup_sql('duckdb')})" + txn_stats_sql(
         rel="dedup"
     )
+
+
+def q_emb_cluster_stats(spark, sf_dir):
+    """IVF index health: per-cell population + mean cosine to the
+    Lloyd-refined centroid (quantized-int sums, merge-order-invariant) —
+    the nlist-sizing / re-train report
+    (operators/similarity.ivf_cluster_stats)."""
+    from .operators.similarity import (
+        ivf_centroid_ids,
+        ivf_cluster_stats,
+        ivf_lloyd_refine,
+    )
+
+    embs = _embs(spark, sf_dir)
+    ids = ivf_centroid_ids(IVF_CELLS)
+    seeds = sorted(
+        (r["vec_id"], list(r["embedding"]))
+        for r in embs.filter(F.col("vec_id").isin(ids)).collect()
+    )
+    cents = ivf_lloyd_refine(embs, seeds, iters=IVF_LLOYD_ITERS, dim=EMB_DIM)
+    return ivf_cluster_stats(embs, cents)
+
+
+def oracle_emb_cluster_stats():
+    from .operators.similarity import IVF_SCALE
+
+    cos_ac = _duck_cos("e.embedding", "c.cvec")
+    # exact-integer quantized cosine for the REPORTED mean (see
+    # similarity.ivf_cluster_stats): centroid trunc-divided to |cq|<=1e6,
+    # vector at the Lloyd quantum -- every product/partial sum an exact
+    # integer < 2^53, so the double dot is order-invariant and
+    # bit-identical to Spark's.
+    cos_q = _duck_cos("s.iv", "cq.cq")
+    cents_cte, cent_rel = _ivf_lloyd_cents_cte(IVF_LLOYD_ITERS)
+    return f"""
+    WITH {cents_cte}, cent AS (
+      SELECT cell, cvec FROM {cent_rel}
+    ), centq AS (
+      SELECT cell,
+             list_transform(cvec, x -> CAST(
+               CASE WHEN x >= 0
+                    THEN CAST(round(x) AS BIGINT) // d
+                    ELSE -(CAST(round(-x) AS BIGINT) // d) END AS DOUBLE))
+               AS cq
+      FROM (
+        SELECT cell, cvec,
+               GREATEST(CAST(round(list_max(
+                 list_transform(cvec, x -> abs(x)))) AS BIGINT), 1)
+                 // 1000000 + 1 AS d
+        FROM cent)
+    ), assign AS (
+      SELECT vec_id, cell FROM (
+        SELECT e.vec_id, c.cell,
+               ROW_NUMBER() OVER (
+                 PARTITION BY e.vec_id
+                 ORDER BY round({cos_ac}, 4) DESC, c.cell) AS rn
+        FROM embeddings e CROSS JOIN cent c
+      ) WHERE rn = 1
+    ), scored AS (
+      SELECT a.cell,
+             CAST(round(round({cos_q}, 4) * 1e4) AS BIGINT) AS q
+      FROM assign a
+      JOIN (SELECT vec_id,
+                   list_transform(embedding,
+                     x -> CAST(round(CAST(x AS DOUBLE) * {IVF_SCALE})
+                               AS DOUBLE)) AS iv
+            FROM embeddings) s USING (vec_id)
+      JOIN centq cq USING (cell)
+    )
+    SELECT cell, CAST(COUNT(*) AS BIGINT) AS n_vectors,
+           round(SUM(q) / (COUNT(*) * 1e4), 6) AS avg_cos
+    FROM scored GROUP BY cell
+    """

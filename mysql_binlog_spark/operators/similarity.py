@@ -258,8 +258,9 @@ def ivf_centroid_ids(n_cells: int) -> list[int]:
     return [7 * j for j in range(n_cells)]
 
 
-def ivf_cell_expr(vec_col, centroids: list[tuple[int, list[float]]]):
-    """argmax-cosine cell index (ties to the lower cell) as a column."""
+def ivf_best_cell(vec_col, centroids: list[tuple[int, list[float]]]):
+    """(s, negcell) struct of the argmax-cosine cell (score rounded to 4
+    decimals, ties to the lower cell via the negated index)."""
     scored = F.array(
         *[
             F.struct(
@@ -271,7 +272,12 @@ def ivf_cell_expr(vec_col, centroids: list[tuple[int, list[float]]]):
             for j, (_, c) in enumerate(centroids)
         ]
     )
-    return -F.array_max(scored)["negcell"]
+    return F.array_max(scored)
+
+
+def ivf_cell_expr(vec_col, centroids: list[tuple[int, list[float]]]):
+    """argmax-cosine cell index (ties to the lower cell) as a column."""
+    return -ivf_best_cell(vec_col, centroids)["negcell"]
 
 
 def ivf_assign(
@@ -459,4 +465,64 @@ def semantic_dedup(
     )
     return assigned.join(dominated, id_col, "left_anti").select(
         F.col(id_col), F.col("cell").cast("int").alias("cell")
+    )
+
+
+def ivf_cluster_stats(
+    embs: DataFrame,
+    centroids: list[tuple[int, list[float]]],
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """(cell, n_vectors, avg_cos): IVF index health — per-cell population
+    and mean cosine-to-own-centroid (the balance/coherence report that
+    decides nlist sizing and re-training cadence; FAISS's imbalance
+    factor is computed from exactly these counts).
+
+    100 TB shape: the argmax scoring is the SAME narrow projection as
+    ``ivf_assign`` (no shuffle), the collapse is one aggregation to
+    |cells| rows.
+
+    Determinism: a raw float cosine differs between engines in the last
+    ulp (different dot-product summation), which can flip a round(·,4)
+    half-boundary and drift the mean.  The REPORTED cosine is therefore
+    computed over integer-quantized copies — vector at ×IVF_SCALE (the
+    Lloyd quantum), centroid integer-divided so |cq| ≤ 1e6 — keeping
+    every product and partial sum an exact integer below 2^53: the
+    double arithmetic is then EXACT in any order, sqrt is IEEE
+    correctly-rounded, and round(·,4) sees bit-identical inputs.
+    Quantization error ~1e-6, far below the reported precision.  Cell
+    ASSIGNMENT stays on the float cosine (parity proven by the IVF
+    queries; ties already broken by round-4 + cell order).
+    """
+    cmap_entries = []
+    for j, (_, c) in enumerate(centroids):
+        mx = max(int(abs(round(v))) for v in c) or 1
+        d = mx // 1_000_000 + 1
+        cq = [
+            (1 if v >= 0 else -1) * (int(abs(round(v))) // d) for v in c
+        ]
+        cmap_entries += [F.lit(j), F.array(*[F.lit(x) for x in cq])]
+    cmap = F.create_map(*cmap_entries)
+    iv = F.transform(
+        F.col(vec_col),
+        lambda x: F.round(x.cast("double") * IVF_SCALE).cast("bigint"),
+    )
+    d = embs.select(
+        (-ivf_best_cell(F.col(vec_col), centroids)["negcell"])
+        .cast("int")
+        .alias("cell"),
+        iv.alias("_iv"),
+    )
+    d = d.select(
+        "cell",
+        F.round(
+            F.round(cosine(F.col("_iv"), F.element_at(cmap, F.col("cell"))), 4)
+            * 1e4
+        )
+        .cast("bigint")
+        .alias("q"),
+    )
+    return d.groupBy("cell").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_vectors"),
+        F.round(F.sum("q") / (F.count(F.lit(1)) * 1e4), 6).alias("avg_cos"),
     )

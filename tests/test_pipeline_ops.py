@@ -1075,3 +1075,18 @@ def test_txn_stats_shape_summary(spark):
     assert (r.n_txns, r.max_events, r.n_multi_table, r.max_tables,
             r.total_events) == (3, 16, 1, 2, 20)
     assert abs(r.p_events_ge_16 - 100.0 / 3) < 1e-4
+
+
+def test_ivf_cluster_stats_counts_and_mean(spark):
+    from mysql_binlog_spark.operators.similarity import ivf_cluster_stats
+
+    # two orthogonal centroids; vectors aligned with one or the other
+    cents = [(0, [1.0, 0.0]), (1, [0.0, 1.0])]
+    rows = [(1, [2.0, 0.0]), (2, [1.0, 1.0]), (3, [0.0, 3.0])]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    got = {r.cell: (r.n_vectors, r.avg_cos)
+           for r in ivf_cluster_stats(df, cents).collect()}
+    # vec 2 ties 0.7071 on both cells -> lower cell wins
+    assert got[0][0] == 2 and got[1][0] == 1
+    assert abs(got[0][1] - (1.0 + 0.7071) / 2) < 1e-3
+    assert abs(got[1][1] - 1.0) < 1e-6
