@@ -120,6 +120,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "corpus_vocab_growth": dq.q_corpus_vocab_growth,
         "cdc_txn_stats": dq.q_cdc_txn_stats,
         "emb_cluster_stats": dq.q_emb_cluster_stats,
+        "cdc_key_lifecycle": dq.q_cdc_key_lifecycle,
     }
 
 
@@ -208,4 +209,5 @@ def oracle_sql() -> dict[str, str]:
         "corpus_vocab_growth": dq.oracle_corpus_vocab_growth(),
         "cdc_txn_stats": dq.oracle_cdc_txn_stats(),
         "emb_cluster_stats": dq.oracle_emb_cluster_stats(),
+        "cdc_key_lifecycle": dq.oracle_cdc_key_lifecycle(),
     }

@@ -97,6 +97,7 @@ def main() -> None:
     load0 = os.getloadavg()[0]
     cells = {}
     cells["winnow_hi"] = run_cell("winnow", HI, N)
+    cells["winnow_lo"] = run_cell("winnow", LO, N)
     cells["neardup_q"] = run_cell("neardup", HI, N // 4)
     cells["neardup_hi"] = run_cell("neardup", HI, N)
     cells["neardup_lo"] = run_cell("neardup", LO, N)
@@ -104,6 +105,9 @@ def main() -> None:
 
     growth = cells["neardup_hi"]["rows"] / max(cells["neardup_q"]["rows"], 1)
     eff = (cells["neardup_lo"]["wall"] / cells["neardup_hi"]["wall"]) / (
+        HI / LO
+    )
+    eff_w = (cells["winnow_lo"]["wall"] / cells["winnow_hi"]["wall"]) / (
         HI / LO
     )
     md = f"""
@@ -116,6 +120,7 @@ Same planted-near-dup corpus as the MinHash section (30 tokens/doc,
 | cell | n | cores | rows out | wall |
 |---|---|---|---|---|
 | winnow fingerprints | {N / 1e6:g}M | {HI} | {cells['winnow_hi']['rows']:,} | {cells['winnow_hi']['wall']:.1f}s |
+| winnow fingerprints | {N / 1e6:g}M | {LO} | {cells['winnow_lo']['rows']:,} | {cells['winnow_lo']['wall']:.1f}s |
 | neardup pairs | {N / 4e6:g}M | {HI} | {cells['neardup_q']['rows']:,} | {cells['neardup_q']['wall']:.1f}s |
 | neardup pairs | {N / 1e6:g}M | {HI} | {cells['neardup_hi']['rows']:,} | {cells['neardup_hi']['wall']:.1f}s |
 | neardup pairs | {N / 1e6:g}M | {LO} | {cells['neardup_lo']['rows']:,} | {cells['neardup_lo']['wall']:.1f}s |
@@ -123,9 +128,13 @@ Same planted-near-dup corpus as the MinHash section (30 tokens/doc,
 * **Pair growth on 4x data: {growth:.2f}x** (quadratic would be 16x;
   the stop-gram prune keeps the pair join tracking the planted-dup
   count, not the corpus square).
-* **Scaling efficiency local[{LO}] -> local[{HI}]: {eff:.3f}**
-  (single shared JVM; executor-shaped deployments score higher, see
-  SCALEOUT.md).
+* **Scaling efficiency local[{LO}] -> local[{HI}]**: fingerprint
+  extraction (the narrow stage that dominates per-byte cost at corpus
+  scale) **{eff_w:.3f}**; end-to-end neardup **{eff:.3f}** — the pair
+  stage is exchange-bound in a single shared JVM (two 41M-row local
+  shuffles share one disk); executor-shaped deployments score higher
+  (SCALEOUT.md measures the same JVM effect on the CDC replay:
+  0.62 -> 0.90 utilization moving width 32 to 4x8).
 """
     with open(os.path.join(REPO, "BENCH", "DEDUP.md"), "a") as f:
         f.write(md)

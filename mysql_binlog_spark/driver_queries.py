@@ -2385,3 +2385,20 @@ def oracle_emb_cluster_stats():
            round(SUM(q) / (COUNT(*) * 1e4), 6) AS avg_cos
     FROM scored GROUP BY cell
     """
+
+
+def q_cdc_key_lifecycle(spark, sf_dir):
+    """Per-table live/dead key reconciliation from the log alone — the
+    invariant MERGE must reproduce (n_live == final row count), via one
+    key-partitioned max_by collapse (operators/apply.key_lifecycle)."""
+    from .operators.apply import key_lifecycle
+
+    return key_lifecycle(dedup_lsn(changelog_df(spark, sf_dir)))
+
+
+def oracle_cdc_key_lifecycle():
+    from .operators.apply import key_lifecycle_sql
+
+    return f"WITH dedup AS ({spec.dedup_sql('duckdb')})" + key_lifecycle_sql(
+        rel="dedup"
+    )

@@ -535,3 +535,60 @@ def txn_stats_sql(rel: str = "dedup") -> str:
            CAST(SUM(n_events) AS BIGINT) AS total_events
     FROM per
     """
+
+
+# -------------------------------------------------------- key lifecycle
+
+# Key-lifecycle reconciliation: collapse the deduped changelog to each
+# key's LAST action and report per-table live/dead key counts — the
+# invariant the MERGE must reproduce (n_live == final table row count;
+# a drift means a lost tombstone or a mis-ordered apply).  This is the
+# CDC operator's nightly sanity query: derived purely from the log, it
+# cross-checks the lake without reading it.
+#
+# 100 TB shape: ONE key-partitioned aggregation (max_by over the LSN
+# struct, map-side partials — shuffle bounded by |keys|, not |events|)
+# then a |tables|-row collapse.
+
+
+def key_lifecycle(df: DataFrame) -> DataFrame:
+    """(schema_name, table_name, n_keys, n_live, n_dead, n_changes):
+    per-table key counts by final action over the deduped changelog."""
+    lsn = _lsn_struct(df)
+    per_key = df.groupBy(
+        "schema_name", "table_name", "conv_id", "turn_idx"
+    ).agg(
+        F.max_by("action", lsn).alias("last_action"),
+        F.count(F.lit(1)).cast("bigint").alias("n_changes"),
+    )
+    dead = (F.col("last_action") == "delete").cast("bigint")
+    return per_key.groupBy("schema_name", "table_name").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_keys"),
+        F.sum(1 - dead).alias("n_live"),
+        F.sum(dead).alias("n_dead"),
+        F.sum("n_changes").alias("n_changes"),
+    )
+
+
+def key_lifecycle_sql(rel: str = "dedup") -> str:
+    """DuckDB twin; chains onto the caller's WITH clause."""
+    return f"""
+    , ranked AS (
+      SELECT schema_name, table_name, conv_id, turn_idx, action,
+             ROW_NUMBER() OVER (
+               PARTITION BY schema_name, table_name, conv_id, turn_idx
+               ORDER BY log_file DESC, log_pos DESC, server_id DESC) AS rn,
+             COUNT(*) OVER (
+               PARTITION BY schema_name, table_name, conv_id, turn_idx)
+               AS n_changes
+      FROM {rel}
+    ), pk AS (SELECT * FROM ranked WHERE rn = 1)
+    SELECT schema_name, table_name,
+           CAST(COUNT(*) AS BIGINT) AS n_keys,
+           CAST(SUM(CASE WHEN action <> 'delete' THEN 1 ELSE 0 END)
+             AS BIGINT) AS n_live,
+           CAST(SUM(CASE WHEN action = 'delete' THEN 1 ELSE 0 END)
+             AS BIGINT) AS n_dead,
+           CAST(SUM(n_changes) AS BIGINT) AS n_changes
+    FROM pk GROUP BY 1, 2
+    """

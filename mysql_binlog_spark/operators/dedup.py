@@ -687,18 +687,41 @@ def simhash_buckets(
 # edits only perturb nearby fingerprints.
 #
 # 100 TB shape: entirely JVM array expressions in the narrow stage —
-# ZERO exchanges before the (doc_id, fp) explode.  Two codegen traps
-# avoided deliberately:
-#  * gram strings are built with zip_with over SHIFTED slices (the
-#    word_shingles lesson above: an array referenced INSIDE a transform
-#    lambda re-evaluates per element after projection collapse);
-#  * the sliding min folds w shifted copies of the HASH array with
-#    zip_with(least) — the gram-hash array appears only at the TOP level
-#    of the projection, where whole-stage codegen's subexpression
-#    elimination evaluates it once (inside a lambda it could not).
-# Window minima are selected BY VALUE (48-bit md5 ties are negligible),
-# so the fingerprint set needs no positional tie-break and is identical
-# in both engines.
+# ZERO exchanges before the (doc_id, fp) explode.  Cost discipline
+# (measured at 4M docs — the naive forms are real regressions):
+#  * ONE md5 per TOKEN, not per gram: a gram hash is a masked affine
+#    combination Σ(a_j·h_{i+j}) & 2^48−1 of the k token hashes with
+#    position-specific odd multipliers (the round-5 MinHash lesson —
+#    hashing materialized gram STRINGS paid k× the md5 work plus a
+#    string allocation per gram, and was memory-bandwidth-bound).
+#    Every product is < 2^62 and every masked partial sum < 2^63, so
+#    the integer chain is exact and identical in both engines (DuckDB
+#    errors on int64 overflow rather than wrapping — the masking
+#    between steps is load-bearing).
+#  * arrays referenced multiple times live as NAMED columns in staged
+#    selects (the word_shingles lesson: inside a transform lambda the
+#    array re-evaluates per element after projection collapse;
+#    CollapseProject declines to inline a non-cheap alias used twice).
+#  * the sliding min folds w shifted copies of the gram-hash column
+#    with zip_with(least).
+# Window minima are selected BY VALUE (48-bit ties are negligible), so
+# the fingerprint set needs no positional tie-break.
+
+_WN_MASK = (1 << 48) - 1
+
+
+def _wn_params(k: int) -> list[tuple[int, int]]:
+    """Deterministic per-position odd multipliers (a < 2^14) + offsets,
+    shared by the Spark plan and the DuckDB twin."""
+    import hashlib
+
+    out = []
+    for j in range(k):
+        dig = hashlib.md5(f"wn:{j}".encode()).digest()
+        a = (int.from_bytes(dig[:2], "big") & 0x3FFE) | 1
+        b = int.from_bytes(dig[2:8], "big") & _WN_MASK
+        out.append((a, b))
+    return out
 
 
 def winnow_fingerprints(
@@ -708,40 +731,71 @@ def winnow_fingerprints(
     text_col: str = "text",
     id_col: str = "doc_id",
 ) -> DataFrame:
-    """(doc_id, fp): the document's distinct winnowing fingerprints.
-
-    Staged ``select``s on purpose: the token / gram / gram-hash arrays
-    are materialized as NAMED columns, each referenced multiple times by
-    the next stage.  CollapseProject declines to inline a non-cheap
-    alias used more than once, so each array is computed exactly once
-    per row — folding this into one expression would re-run the md5
-    pass per shifted copy (w×) and the split per slice (k×)."""
+    """(doc_id, fp): the document's distinct winnowing fingerprints."""
     from ..functions.hashing import md5_bigint
     from ..functions.text import WS
 
+    params = _wn_params(k)
     d = df.select(
         F.col(id_col),
         F.split(F.lower(F.trim(F.col(text_col))), WS).alias("_t"),
     )
-    # ordered k-gram strings: zip_with over k-1 shifted copies of the
-    # token column, zip-tail NULLs trimmed by slicing to n-k+1 grams
-    toks = F.col("_t")
-    z = toks
-    for j in range(1, k):
-        z = F.zip_with(
-            z,
-            F.slice(toks, j + 1, F.greatest(F.size(toks) - j, F.lit(1))),
-            lambda a, b: F.concat_ws(" ", a, b),
-        )
-    grams = F.when(
-        F.size(toks) >= k,
-        F.slice(z, 1, F.size(toks) - F.lit(k - 1)),
-    ).otherwise(F.array(F.concat_ws(" ", toks)))
-    d = d.select(F.col(id_col), grams.alias("_g"))
     d = d.select(
         F.col(id_col),
-        F.transform("_g", md5_bigint).alias("_gh"),
-        F.size("_g").alias("_m"),
+        F.transform("_t", md5_bigint).alias("_th"),
+    )
+    # gram hash i = masked Σ_j (a_j·th[i+j] + b_j): zip_with over k-1
+    # shifted copies of the token-hash column, trimmed to n-k+1 grams
+    th = F.col("_th")
+    a0, b0 = params[0]
+    z = F.transform(
+        th, lambda x: (x * F.lit(a0) + F.lit(b0)).bitwiseAND(F.lit(_WN_MASK))
+    )
+    # NB: TWO-parameter callables built by a factory — pyspark binds one
+    # lambda variable per Python parameter (defaults included), so the
+    # (a, b) coefficients must be closed over, not default-argumented
+    # (same constraint as hashing._seeded_hasher).
+    def _mixer(_a: int, _b: int):
+        def f(acc, hb):
+            return (
+                acc + (hb * F.lit(_a) + F.lit(_b)).bitwiseAND(F.lit(_WN_MASK))
+            ).bitwiseAND(F.lit(_WN_MASK))
+
+        return f
+
+    for j in range(1, k):
+        aj, bj = params[j]
+        z = F.zip_with(
+            z,
+            F.slice(th, j + 1, F.greatest(F.size(th) - j, F.lit(1))),
+            _mixer(aj, bj),
+        )
+    # short docs (n < k): truncated positional mix over the n token
+    # hashes — explicit per-length formula (zip-tail NULLs poison the
+    # integer chain, unlike concat_ws, so the z array can't be reused)
+    def _short(m: int):
+        acc = None
+        for j in range(m):
+            aj, bj = params[j]
+            term = (
+                F.element_at(th, j + 1) * F.lit(aj) + F.lit(bj)
+            ).bitwiseAND(F.lit(_WN_MASK))
+            acc = term if acc is None else (acc + term).bitwiseAND(
+                F.lit(_WN_MASK)
+            )
+        return acc
+
+    short = F.lit(None).cast("bigint")
+    for m in range(k - 1, 0, -1):
+        short = F.when(F.size(th) == m, _short(m)).otherwise(short)
+    grams = F.when(
+        F.size(th) >= k,
+        F.slice(z, 1, F.size(th) - F.lit(k - 1)),
+    ).otherwise(F.array(short))
+    d = d.select(
+        F.col(id_col),
+        grams.alias("_gh"),
+        F.greatest(F.size(th) - F.lit(k - 1), F.lit(1)).alias("_m"),
     )
     gh = F.col("_gh")
     acc = gh
@@ -769,22 +823,45 @@ def winnow_ctes(
 ) -> str:
     """The winnowing pipeline as a chainable CTE list ending in
     ``wfp(id, fp)`` — composed by the doc_winnow oracle and the
-    neardup / cross-source twins (DuckDB forbids nested WITH)."""
+    neardup / cross-source twins (DuckDB forbids nested WITH).
+    Identical masked-affine gram hashing to the Spark plan (one md5 per
+    token; stepwise & between additions — DuckDB errors on int64
+    overflow, so the masking is load-bearing here too)."""
     from ..functions.hashing import md5_bigint_sql
 
+    params = _wn_params(k)
     toks = f"regexp_split_to_array(lower(trim({text_col})), '\\s+')"
-    gram = md5_bigint_sql(f"array_to_string(t[i:i+{k - 1}], ' ')")
-    whole = md5_bigint_sql("array_to_string(t, ' ')")
+
+    def mix(base: str, j: int) -> str:
+        a, b = params[j]
+        return f"((({base}) * {a} + {b}) & {_WN_MASK})"
+
+    def chain(terms: list[str]) -> str:
+        acc = terms[0]
+        for t in terms[1:]:
+            acc = f"(({acc} + {t}) & {_WN_MASK})"
+        return acc
+
+    gram = chain([mix(f"th[i+{j}]", j) for j in range(k)])
+    shorts = " ".join(
+        f"WHEN {m} THEN "
+        + chain([mix(f"th[{j + 1}]", j) for j in range(m)])
+        for m in range(1, k)
+    )
     return f"""
     tok AS (
       SELECT {id_col}, {toks} AS t FROM {rel}
+    ), thl AS (
+      SELECT {id_col},
+             list_transform(t, x -> {md5_bigint_sql('x')}) AS th
+      FROM tok
     ), gr AS (
       SELECT {id_col},
-             CASE WHEN len(t) >= {k}
-                  THEN list_transform(generate_series(1, len(t) - {k - 1}),
+             CASE WHEN len(th) >= {k}
+                  THEN list_transform(generate_series(1, len(th) - {k - 1}),
                                       i -> {gram})
-                  ELSE [{whole}] END AS gh
-      FROM tok
+                  ELSE [CASE len(th) {shorts} END] END AS gh
+      FROM thl
     ), fpl AS (
       SELECT {id_col},
              CASE WHEN len(gh) > {w}
@@ -822,9 +899,16 @@ def winnow_fingerprints_sql(
 # never all-pairs; fingerprints hotter than max_df docs are dropped
 # FIRST (the PPJoin-style stop-gram prune — a fp shared by thousands of
 # docs is boilerplate evidence but a quadratic pair generator), so
-# per-fp fan-out is bounded by max_df².  Doc sizes ride a key-partition
-# window on the SAME fp exchange (no second shuffle of the big table);
-# the per-doc size table is |docs|-row and joins on the doc key.
+# per-fp fan-out is bounded by max_df².
+#
+# SINGLE-LINEAGE plan (round 6, measured at 4M docs): the naive shape
+# computed winnow_fingerprints in THREE branches (doc-size aggregation +
+# both self-join sides) — and since pipeline operators may not persist
+# (cache-leak rule, test_pipeline_ops), each branch re-ran the narrow
+# fingerprint stage.  Instead the per-doc size rides a doc-key window
+# BEFORE the per-fp prune window: one fingerprint computation, two big
+# exchanges, n_fps carried through the pair join so the containment
+# denominators need no post-aggregation joins at all.
 
 
 def winnow_neardup(
@@ -839,33 +923,35 @@ def winnow_neardup(
     """(doc_a, doc_b, n_shared, containment): candidate pairs sharing
     >= t winnowing fingerprints, containment = shared / min(|fps|)."""
     fps = winnow_fingerprints(df, k, w, text_col, id_col)
-    sizes = fps.groupBy(F.col(id_col)).agg(
-        F.count(F.lit(1)).cast("bigint").alias("n_fps")
+    sized = fps.withColumn(
+        "n_fps",
+        F.count(F.lit(1)).over(Window.partitionBy(id_col)).cast("bigint"),
     )
-    wdf = Window.partitionBy("fp")
     kept = (
-        fps.withColumn("df", F.count(F.lit(1)).over(wdf))
+        sized.withColumn(
+            "df", F.count(F.lit(1)).over(Window.partitionBy("fp"))
+        )
         .filter(F.col("df") <= max_df)
         .drop("df")
     )
-    a = kept.select(F.col(id_col).alias("doc_a"), "fp")
-    b = kept.select(F.col(id_col).alias("doc_b"), "fp")
-    pairs = (
+    a = kept.select(F.col(id_col).alias("doc_a"), "fp",
+                    F.col("n_fps").alias("na"))
+    b = kept.select(F.col(id_col).alias("doc_b"), "fp",
+                    F.col("n_fps").alias("nb"))
+    return (
         a.join(b, "fp")
         .filter(F.col("doc_a") < F.col("doc_b"))
         .groupBy("doc_a", "doc_b")
-        .agg(F.count(F.lit(1)).cast("bigint").alias("n_shared"))
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_shared"),
+            F.min("na").alias("_na"),
+            F.min("nb").alias("_nb"),
+        )
         .filter(F.col("n_shared") >= t)
-    )
-    sa = sizes.select(F.col(id_col).alias("doc_a"), F.col("n_fps").alias("na"))
-    sb = sizes.select(F.col(id_col).alias("doc_b"), F.col("n_fps").alias("nb"))
-    return (
-        pairs.join(sa, "doc_a")
-        .join(sb, "doc_b")
         .select(
             "doc_a", "doc_b", "n_shared",
             F.round(
-                F.col("n_shared") / F.least("na", "nb"), 6
+                F.col("n_shared") / F.least("_na", "_nb"), 6
             ).alias("containment"),
         )
     )

@@ -1090,3 +1090,23 @@ def test_ivf_cluster_stats_counts_and_mean(spark):
     assert got[0][0] == 2 and got[1][0] == 1
     assert abs(got[0][1] - (1.0 + 0.7071) / 2) < 1e-3
     assert abs(got[1][1] - 1.0) < 1e-6
+
+
+def test_key_lifecycle_live_dead_counts(spark):
+    from mysql_binlog_spark.operators.apply import key_lifecycle
+
+    rows = [
+        # key A: insert at pos 10, delete at pos 20 -> dead
+        ("f1", 10, 1, "app", "t", "insert", "A", 1),
+        ("f1", 20, 1, "app", "t", "delete", "A", 1),
+        # key B: delete at pos 5, REINSERT at pos 30 -> live (last wins)
+        ("f1", 5, 1, "app", "t", "delete", "B", 1),
+        ("f1", 30, 1, "app", "t", "insert", "B", 1),
+    ]
+    df = spark.createDataFrame(
+        rows, "log_file string, log_pos long, server_id long, "
+              "schema_name string, table_name string, action string, "
+              "conv_id string, turn_idx int"
+    )
+    r = key_lifecycle(df).collect()[0]
+    assert (r.n_keys, r.n_live, r.n_dead, r.n_changes) == (2, 1, 1, 4)
