@@ -121,6 +121,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cdc_txn_stats": dq.q_cdc_txn_stats,
         "emb_cluster_stats": dq.q_emb_cluster_stats,
         "cdc_key_lifecycle": dq.q_cdc_key_lifecycle,
+        "cdc_corpus_bridge": dq.q_cdc_corpus_bridge,
+        "doc_dedup_keep": dq.q_doc_dedup_keep,
     }
 
 
@@ -210,4 +212,6 @@ def oracle_sql() -> dict[str, str]:
         "cdc_txn_stats": dq.oracle_cdc_txn_stats(),
         "emb_cluster_stats": dq.oracle_emb_cluster_stats(),
         "cdc_key_lifecycle": dq.oracle_cdc_key_lifecycle(),
+        "cdc_corpus_bridge": dq.oracle_cdc_corpus_bridge(),
+        "doc_dedup_keep": dq.oracle_doc_dedup_keep(),
     }

@@ -2402,3 +2402,45 @@ def oracle_cdc_key_lifecycle():
     return f"WITH dedup AS ({spec.dedup_sql('duckdb')})" + key_lifecycle_sql(
         rel="dedup"
     )
+
+
+def q_cdc_corpus_bridge(spark, sf_dir):
+    """The end-to-end composition the engine exists for: applied CDC
+    state → one candidate training document per conversation (rendered
+    text → token count, quality score, dedup fingerprint) — render's
+    single conv-key exchange plus a narrow JVM text projection
+    (operators/conversation.corpus_bridge)."""
+    from .operators.conversation import corpus_bridge
+
+    return corpus_bridge(q_cdc_final_state(spark, sf_dir))
+
+
+def oracle_cdc_corpus_bridge():
+    from .operators.conversation import corpus_bridge_sql
+
+    return f"WITH fs AS ({spec.final_state_sql('duckdb')})" + corpus_bridge_sql()
+
+
+def q_doc_dedup_keep(spark, sf_dir):
+    """Dedup as a transformation: the kept corpus after near-dup
+    clustering (canonical member per cluster + all un-clustered docs) —
+    tiny drop-list LEFT ANTI prune, the corpus never reshuffles
+    (operators/dedup.dedup_keep)."""
+    from .operators.dedup import dedup_keep
+
+    return dedup_keep(
+        _docs(spark, sf_dir), k=MINHASH_K, rows_per_band=2,
+        shingle_n=SHINGLE_N, threshold=JACCARD_T,
+    )
+
+
+def oracle_doc_dedup_keep():
+    clusters = oracle_doc_dedup_clusters()
+    return f"""
+    SELECT d.doc_id, d.lang, d.source
+    FROM documents d
+    LEFT JOIN (
+      SELECT doc_id FROM ({clusters}) c WHERE doc_id <> canonical_id
+    ) drop_list USING (doc_id)
+    WHERE drop_list.doc_id IS NULL
+    """

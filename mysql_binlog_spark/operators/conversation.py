@@ -153,3 +153,44 @@ def turn_latency_sql(rel: str = "fs") -> str:
       FROM {rel}
     ) WHERE gap_us IS NOT NULL GROUP BY role
     """
+
+
+def corpus_bridge(fs: DataFrame) -> DataFrame:
+    """CDC → training-corpus bridge: one candidate training document per
+    conversation from the APPLIED table state — rendered text collapsed
+    to the columns the curation pipeline keys on (token count, quality
+    score, dedup fingerprint).  The composition the whole engine exists
+    for: change stream in, curated corpus rows out.
+
+    100 TB shape: render_conversations' single conv-key exchange, then a
+    narrow projection (all JVM text builtins over the rendered column —
+    no second shuffle)."""
+    from ..functions.text import fingerprint, quality_features, ws_token_count
+
+    r = render_conversations(fs)
+    feats = quality_features(F.col("rendered"))
+    return r.select(
+        "conv_id",
+        "n_turns",
+        "n_chars",
+        ws_token_count(F.col("rendered")).alias("n_tokens"),
+        feats["quality_score"].alias("quality_score"),
+        fingerprint(F.col("rendered")).alias("fp"),
+    )
+
+
+def corpus_bridge_sql(rel: str = "fs") -> str:
+    """DuckDB twin: render twin wrapped as a derived table, identical
+    token/quality/fingerprint expressions over the rendered column."""
+    from ..functions.text import fingerprint_sql, quality_features_sql, WS
+
+    render = render_conversations_sql(rel=rel)
+    toks = f"len(regexp_split_to_array(trim(rendered), '{WS}'))"
+    score = quality_features_sql("rendered")["quality_score"]
+    return f"""
+    SELECT conv_id, n_turns, n_chars,
+           {toks} AS n_tokens,
+           {score} AS quality_score,
+           {fingerprint_sql('rendered')} AS fp
+    FROM ({render}) r
+    """

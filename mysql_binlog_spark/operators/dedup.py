@@ -1036,3 +1036,29 @@ def cross_source_matrix_sql(
     WHERE a.src < b.src
     GROUP BY 1, 2
     """
+
+
+def dedup_keep(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 12,
+    rows_per_band: int = 2,
+    shingle_n: int = 3,
+    threshold: float = 0.8,
+) -> DataFrame:
+    """Dedup as a TRANSFORMATION: the kept corpus after near-dup
+    clustering — every cluster keeps its canonical (min-id) member,
+    un-clustered documents pass through.  The last mile after the
+    detection operators: what actually feeds training.
+
+    100 TB shape: the drop list is |cluster members − clusters| rows
+    (tiny against the corpus); the final LEFT ANTI join is the standard
+    broadcast-able prune — the corpus itself never reshuffles."""
+    cl = dedup_clusters(
+        df, id_col, text_col, k, rows_per_band, shingle_n, threshold
+    )
+    drop = cl.filter(F.col(id_col) != F.col("canonical_id")).select(id_col)
+    return df.join(drop, id_col, "left_anti").select(
+        F.col(id_col), F.col("lang"), F.col("source")
+    )

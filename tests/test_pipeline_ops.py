@@ -1110,3 +1110,38 @@ def test_key_lifecycle_live_dead_counts(spark):
     )
     r = key_lifecycle(df).collect()[0]
     assert (r.n_keys, r.n_live, r.n_dead, r.n_changes) == (2, 1, 1, 4)
+
+
+def test_corpus_bridge_columns_and_tokens(spark):
+    import hashlib
+
+    from mysql_binlog_spark.operators.conversation import corpus_bridge
+
+    rows = [("c1", 0, "user", "hello world"),
+            ("c1", 1, "assistant", "hi there friend"),
+            ("c2", 0, "user", "solo")]
+    fs = spark.createDataFrame(
+        rows, "conv_id string, turn_idx int, role string, text string"
+    )
+    got = {r.conv_id: r for r in corpus_bridge(fs).collect()}
+    # c1 renders as "user: hello world\nassistant: hi there friend"
+    rendered = "user: hello world\nassistant: hi there friend"
+    norm = " ".join(rendered.lower().split())
+    assert got["c1"].n_turns == 2
+    assert got["c1"].n_tokens == 7  # user: hello world assistant: hi there friend
+    assert got["c1"].fp == hashlib.md5(norm.encode()).hexdigest()
+    assert got["c2"].n_tokens == 2 and 0 < got["c2"].quality_score <= 1
+
+
+def test_dedup_keep_drops_non_canonical(spark):
+    from mysql_binlog_spark.operators.dedup import dedup_keep
+
+    base = " ".join(f"w{i}" for i in range(30))
+    rows = [(1, base, "en", "s"), (2, base + " extra", "en", "s"),
+            (3, "a completely different document with its own words here",
+             "en", "s")]
+    df = spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string"
+    )
+    kept = sorted(r.doc_id for r in dedup_keep(df).collect())
+    assert kept == [1, 3]  # 2 is the non-canonical near-dup of 1
