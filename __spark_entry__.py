@@ -123,6 +123,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cdc_key_lifecycle": dq.q_cdc_key_lifecycle,
         "cdc_corpus_bridge": dq.q_cdc_corpus_bridge,
         "doc_dedup_keep": dq.q_doc_dedup_keep,
+        "doc_split": dq.q_doc_split,
     }
 
 
@@ -214,4 +215,5 @@ def oracle_sql() -> dict[str, str]:
         "cdc_key_lifecycle": dq.oracle_cdc_key_lifecycle(),
         "cdc_corpus_bridge": dq.oracle_cdc_corpus_bridge(),
         "doc_dedup_keep": dq.oracle_doc_dedup_keep(),
+        "doc_split": dq.oracle_doc_split(),
     }

@@ -2444,3 +2444,20 @@ def oracle_doc_dedup_keep():
     ) drop_list USING (doc_id)
     WHERE drop_list.doc_id IS NULL
     """
+
+
+def q_doc_split(spark, sf_dir):
+    """Deterministic train/val/test assignment on the shared hash
+    fraction: stable under re-runs, repartitioning, and corpus growth
+    (a doc's split never changes as others arrive — the leakage-safety
+    property random splits lack); stateless per-row projection, zero
+    exchanges (operators/sampling.train_val_test_split)."""
+    from .operators.sampling import train_val_test_split
+
+    return train_val_test_split(_docs(spark, sf_dir), val=0.1, test=0.1)
+
+
+def oracle_doc_split():
+    from .operators.sampling import train_val_test_split_sql
+
+    return train_val_test_split_sql(val=0.1, test=0.1)

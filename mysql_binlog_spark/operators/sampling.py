@@ -415,3 +415,45 @@ def training_mix_sql(
                 - 1 AS BIGINT) AS pos
     FROM hashed
     """
+
+
+def train_val_test_split(
+    df: DataFrame,
+    val: float = 0.1,
+    test: float = 0.1,
+    key_col: str = "doc_id",
+    seed: int = 0,
+) -> DataFrame:
+    """(key, split): deterministic train/val/test assignment — split
+    boundaries on the SAME hash fraction the samplers use, so the
+    assignment is stable under re-runs, repartitioning, and corpus
+    growth (a document's split never changes when other documents
+    arrive — the leakage-safety property random splits lack).
+
+    100 TB shape: a stateless per-row projection, zero exchanges; the
+    split column is a pushdown-friendly partition key for the writer."""
+    f = hash_fraction(F.col(key_col), seed)
+    split = (
+        F.when(f < test, F.lit("test"))
+        .when(f < test + val, F.lit("val"))
+        .otherwise(F.lit("train"))
+    )
+    return df.select(F.col(key_col), split.alias("split"))
+
+
+def train_val_test_split_sql(
+    val: float = 0.1,
+    test: float = 0.1,
+    key_col: str = "doc_id",
+    seed: int = 0,
+    rel: str = "documents",
+) -> str:
+    """DuckDB twin: identical hash boundaries."""
+    f = hash_fraction_sql(key_col, seed)
+    return f"""
+    SELECT {key_col},
+           CASE WHEN {f} < {test} THEN 'test'
+                WHEN {f} < {test + val} THEN 'val'
+                ELSE 'train' END AS split
+    FROM {rel}
+    """

@@ -1145,3 +1145,46 @@ def test_dedup_keep_drops_non_canonical(spark):
     )
     kept = sorted(r.doc_id for r in dedup_keep(df).collect())
     assert kept == [1, 3]  # 2 is the non-canonical near-dup of 1
+
+
+def test_split_stable_under_corpus_growth(spark):
+    from mysql_binlog_spark.operators.sampling import train_val_test_split
+
+    small = spark.createDataFrame(
+        [(i,) for i in range(100)], "doc_id long"
+    )
+    big = spark.createDataFrame(
+        [(i,) for i in range(300)], "doc_id long"
+    )
+    s_small = {r.doc_id: r.split
+               for r in train_val_test_split(small).collect()}
+    s_big = {r.doc_id: r.split for r in train_val_test_split(big).collect()}
+    # leakage safety: every doc keeps its split when the corpus grows
+    assert all(s_big[k] == v for k, v in s_small.items())
+    assert set(s_big.values()) == {"train", "val", "test"}
+
+
+def test_winnow_guarantee_property(spark):
+    """Property form of the winnowing guarantee (Schleimer et al. Thm):
+    any two documents sharing a run of >= k+w-1 tokens share at least
+    one fingerprint, for random surrounding context."""
+    import random
+
+    from mysql_binlog_spark.operators.dedup import winnow_fingerprints
+
+    rng = random.Random(42)
+    rows = []
+    for i in range(12):
+        run = " ".join(f"r{i}_{j}" for j in range(7))  # k+w-1 = 7
+        pre = " ".join(f"a{rng.randrange(10**6)}" for _ in range(rng.randrange(0, 15)))
+        post = " ".join(f"b{rng.randrange(10**6)}" for _ in range(rng.randrange(0, 15)))
+        rows.append((2 * i, f"{pre} {run} {post}".strip()))
+        pre2 = " ".join(f"c{rng.randrange(10**6)}" for _ in range(rng.randrange(0, 15)))
+        post2 = " ".join(f"d{rng.randrange(10**6)}" for _ in range(rng.randrange(0, 15)))
+        rows.append((2 * i + 1, f"{pre2} {run} {post2}".strip()))
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    by_doc = {}
+    for r in winnow_fingerprints(df, k=4, w=4).collect():
+        by_doc.setdefault(r.doc_id, set()).add(r.fp)
+    for i in range(12):
+        assert by_doc[2 * i] & by_doc[2 * i + 1], f"pair {i} shares no fp"
