@@ -124,6 +124,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cdc_corpus_bridge": dq.q_cdc_corpus_bridge,
         "doc_dedup_keep": dq.q_doc_dedup_keep,
         "doc_split": dq.q_doc_split,
+        "doc_perplexity_bigram": dq.q_doc_perplexity_bigram,
     }
 
 
@@ -216,4 +217,5 @@ def oracle_sql() -> dict[str, str]:
         "cdc_corpus_bridge": dq.oracle_cdc_corpus_bridge(),
         "doc_dedup_keep": dq.oracle_doc_dedup_keep(),
         "doc_split": dq.oracle_doc_split(),
+        "doc_perplexity_bigram": dq.oracle_doc_perplexity_bigram(),
     }

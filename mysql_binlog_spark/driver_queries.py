@@ -2461,3 +2461,19 @@ def oracle_doc_split():
     from .operators.sampling import train_val_test_split_sql
 
     return train_val_test_split_sql(val=0.1, test=0.1)
+
+
+def q_doc_perplexity_bigram(spark, sf_dir):
+    """Bigram conditional cross-entropy per document (the conditional
+    upgrade over doc_perplexity): narrow zip_with pair extraction, two
+    broadcast count-vocabulary joins, one doc-key collapse with exact
+    nano-nat integer partials (operators/corpus.bigram_perplexity)."""
+    from .operators.corpus import bigram_perplexity
+
+    return bigram_perplexity(_docs(spark, sf_dir))
+
+
+def oracle_doc_perplexity_bigram():
+    from .operators.corpus import bigram_perplexity_sql
+
+    return bigram_perplexity_sql()

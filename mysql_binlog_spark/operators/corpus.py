@@ -697,3 +697,100 @@ def vocab_growth_sql(
              AS vocab_size
     FROM per_bucket
     """
+
+
+# ----------------------------------------------------- bigram perplexity
+
+# Bigram language-model cross-entropy per document — the conditional
+# upgrade over unigram_perplexity (closer to CCNet's KenLM filter while
+# staying corpus-self-trained and engine-portable):
+# xent = −(1/m)·Σ ln p(w_i | w_{i−1}) with p = c(w1w2) / c(w1·),
+# where c(w1·) counts w1 as a bigram PREFIX.  Per-pair log-probs are
+# quantized to integer nano-nats (ln c(w1·) − ln c(w1w2), each
+# round(·1e9)) so per-doc sums are exact bigints — merge-order-invariant
+# like every stats operator here.
+#
+# 100 TB shape: bigram extraction is a narrow zip_with (no O(n²), no
+# distinct); BOTH count vocabularies join back onto the pair stream as
+# broadcasts (map-side; shuffle-join fallback on the uniform pair key
+# when the vocabulary exceeds broadcast), then one doc-key collapse.
+# Documents with fewer than 2 tokens have no bigrams and are absent.
+
+
+def bigram_perplexity(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """(doc_id, n_bigrams, xent_nats, ppl): per-document conditional
+    cross-entropy (nats, round 6) and perplexity (round 2) under the
+    corpus's own bigram distribution."""
+    q = 1e9
+    w = F.split(F.lower(F.trim(F.col(text_col))), WS)
+    pairs_arr = F.when(
+        F.size(w) >= 2,
+        F.zip_with(
+            F.slice(w, 1, F.size(w) - 1),
+            F.slice(w, 2, F.greatest(F.size(w) - 1, F.lit(1))),
+            lambda a, b: F.concat_ws(" ", a, b),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    pairs = df.select(F.col(id_col), F.explode(pairs_arr).alias("big"))
+    pairs = pairs.select(
+        id_col, "big", F.substring_index("big", " ", 1).alias("w1")
+    )
+    cbig = pairs.groupBy("big").agg(F.count(F.lit(1)).alias("c"))
+    lnb = cbig.select(
+        "big", F.round(F.log("c") * q).cast("bigint").alias("lqb")
+    )
+    cpre = pairs.groupBy("w1").agg(F.count(F.lit(1)).alias("c"))
+    lnp = cpre.select(
+        "w1", F.round(F.log("c") * q).cast("bigint").alias("lqp")
+    )
+    per_doc = (
+        pairs.join(F.broadcast(lnb), "big")
+        .join(F.broadcast(lnp), "w1")
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_bigrams"),
+            F.sum(F.col("lqp") - F.col("lqb")).alias("s"),
+        )
+    )
+    xent = F.col("s") / F.col("n_bigrams") / F.lit(q)
+    return per_doc.select(
+        F.col(id_col),
+        "n_bigrams",
+        F.round(xent, 6).alias("xent_nats"),
+        F.round(F.exp(xent), 2).alias("ppl"),
+    )
+
+
+def bigram_perplexity_sql(
+    text_col: str = "text", id_col: str = "doc_id", rel: str = "documents"
+) -> str:
+    """DuckDB twin: identical nano-nat quantization and exact-int sums."""
+    w = f"regexp_split_to_array(lower(trim({text_col})), '{WS}')"
+    return f"""
+    WITH tok AS (
+      SELECT {id_col}, {w} AS t FROM {rel}
+    ), pairs AS (
+      SELECT {id_col},
+             unnest(list_transform(generate_series(1, len(t) - 1),
+                                   i -> t[i] || ' ' || t[i+1])) AS big
+      FROM tok WHERE len(t) >= 2
+    ), p2 AS (
+      SELECT {id_col}, big, split_part(big, ' ', 1) AS w1 FROM pairs
+    ), lnb AS (
+      SELECT big, CAST(round(ln(COUNT(*)) * 1e9) AS BIGINT) AS lqb
+      FROM p2 GROUP BY big
+    ), lnp AS (
+      SELECT w1, CAST(round(ln(COUNT(*)) * 1e9) AS BIGINT) AS lqp
+      FROM p2 GROUP BY w1
+    ), per_doc AS (
+      SELECT {id_col}, COUNT(*) AS n_bigrams, SUM(lqp - lqb) AS s
+      FROM p2 JOIN lnb USING (big) JOIN lnp USING (w1)
+      GROUP BY {id_col}
+    )
+    SELECT {id_col}, CAST(n_bigrams AS BIGINT) AS n_bigrams,
+           round(s / n_bigrams / 1e9, 6) AS xent_nats,
+           round(exp(s / n_bigrams / 1e9), 2) AS ppl
+    FROM per_doc
+    """

@@ -1188,3 +1188,22 @@ def test_winnow_guarantee_property(spark):
         by_doc.setdefault(r.doc_id, set()).add(r.fp)
     for i in range(12):
         assert by_doc[2 * i] & by_doc[2 * i + 1], f"pair {i} shares no fp"
+
+
+def test_bigram_perplexity_exact_small_corpus(spark):
+    import math
+
+    from mysql_binlog_spark.operators.corpus import bigram_perplexity
+
+    # docs: "a b a b" and "a b"
+    # bigrams: d1: (a b), (b a), (a b); d2: (a b)
+    # c(a b)=3, c(b a)=1; prefix c(a.)=3, c(b.)=1
+    df = spark.createDataFrame(
+        [(1, "a b a b"), (2, "a b"), (3, "solo")],
+        "doc_id long, text string",
+    )
+    got = {r.doc_id: r for r in bigram_perplexity(df).collect()}
+    # d1: -(ln(3/3) + ln(1/1) + ln(3/3))/3 = 0
+    assert got[1].n_bigrams == 3 and abs(got[1].xent_nats) < 1e-9
+    assert got[2].n_bigrams == 1 and abs(got[2].xent_nats) < 1e-9
+    assert 3 not in got  # single-token doc has no bigrams
