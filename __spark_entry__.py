@@ -125,6 +125,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_dedup_keep": dq.q_doc_dedup_keep,
         "doc_split": dq.q_doc_split,
         "doc_perplexity_bigram": dq.q_doc_perplexity_bigram,
+        "doc_curation_funnel": dq.q_doc_curation_funnel,
     }
 
 
@@ -218,4 +219,5 @@ def oracle_sql() -> dict[str, str]:
         "doc_dedup_keep": dq.oracle_doc_dedup_keep(),
         "doc_split": dq.oracle_doc_split(),
         "doc_perplexity_bigram": dq.oracle_doc_perplexity_bigram(),
+        "doc_curation_funnel": dq.oracle_doc_curation_funnel(),
     }

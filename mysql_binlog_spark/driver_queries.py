@@ -2477,3 +2477,81 @@ def oracle_doc_perplexity_bigram():
     from .operators.corpus import bigram_perplexity_sql
 
     return bigram_perplexity_sql()
+
+
+def q_doc_curation_funnel(spark, sf_dir):
+    """The whole-pipeline summary a curation run reports: per-gate drop
+    counts over the full corpus (exact-dup extras, near-dup non-canonical
+    members, quality failures, contaminated docs) and the final kept
+    count after removing the UNION of all drop sets.  Every gate is the
+    already-oracle-verified operator; the corpus-sized side of each is
+    a broadcast-able drop list, so the final prune is four anti-joins
+    that never reshuffle the corpus."""
+    from .operators.dedup import dedup_clusters, decontaminate
+
+    docs = _docs(spark, sf_dir)
+    fp = docs.select("doc_id", T.fingerprint(F.col("text")).alias("fp"))
+    can = fp.groupBy("fp").agg(F.min("doc_id").alias("cid"))
+    drop_exact = (
+        fp.join(can, "fp").filter(F.col("doc_id") != F.col("cid"))
+        .select("doc_id")
+    )
+    cl = dedup_clusters(
+        docs, k=MINHASH_K, rows_per_band=2,
+        shingle_n=SHINGLE_N, threshold=JACCARD_T,
+    )
+    drop_near = (
+        cl.filter(F.col("doc_id") != F.col("canonical_id")).select("doc_id")
+    )
+    v = T.quality_verdict(F.col("text"))
+    drop_quality = docs.filter(~v["passes"]).select("doc_id")
+    bench = docs.filter(F.col("doc_id") % DECON_MOD == 0)
+    drop_contam = decontaminate(docs, bench, ngram_n=DECON_N).select("doc_id")
+    kept = docs.select("doc_id")
+    for d in (drop_exact, drop_near, drop_quality, drop_contam):
+        kept = kept.join(d, "doc_id", "left_anti")
+
+    def cnt(d):
+        return d.agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+
+    return (
+        cnt(docs).select(F.col("n").alias("n_raw"))
+        .crossJoin(F.broadcast(cnt(drop_exact).select(F.col("n").alias("n_exact_dropped"))))
+        .crossJoin(F.broadcast(cnt(drop_near).select(F.col("n").alias("n_neardup_dropped"))))
+        .crossJoin(F.broadcast(cnt(drop_quality).select(F.col("n").alias("n_quality_fail"))))
+        .crossJoin(F.broadcast(cnt(drop_contam).select(F.col("n").alias("n_contaminated"))))
+        .crossJoin(F.broadcast(cnt(kept).select(F.col("n").alias("n_kept"))))
+    )
+
+
+def oracle_doc_curation_funnel():
+    clusters = oracle_doc_dedup_clusters()
+    contam = oracle_doc_decontaminate()
+    passes = T.quality_verdict_sql("text")["passes"]
+    fp = T.fingerprint_sql("text")
+    return f"""
+    WITH fpt AS (
+      SELECT doc_id, {fp} AS fp FROM documents
+    ), can AS (
+      SELECT fp, MIN(doc_id) AS cid FROM fpt GROUP BY fp
+    ), dx AS (
+      SELECT doc_id FROM fpt JOIN can USING (fp) WHERE doc_id <> cid
+    ), dn AS (
+      SELECT doc_id FROM ({clusters}) c WHERE doc_id <> canonical_id
+    ), dq AS (
+      SELECT doc_id FROM documents WHERE NOT COALESCE({passes}, FALSE)
+    ), dc AS (
+      SELECT doc_id FROM ({contam}) x
+    ), dropped AS (
+      SELECT doc_id FROM dx UNION SELECT doc_id FROM dn
+      UNION SELECT doc_id FROM dq UNION SELECT doc_id FROM dc
+    )
+    SELECT (SELECT CAST(COUNT(*) AS BIGINT) FROM documents) AS n_raw,
+           (SELECT CAST(COUNT(*) AS BIGINT) FROM dx) AS n_exact_dropped,
+           (SELECT CAST(COUNT(*) AS BIGINT) FROM dn) AS n_neardup_dropped,
+           (SELECT CAST(COUNT(*) AS BIGINT) FROM dq) AS n_quality_fail,
+           (SELECT CAST(COUNT(*) AS BIGINT) FROM dc) AS n_contaminated,
+           (SELECT CAST(COUNT(*) AS BIGINT) FROM documents d
+             WHERE NOT EXISTS (SELECT 1 FROM dropped WHERE doc_id = d.doc_id))
+             AS n_kept
+    """
