@@ -126,6 +126,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_split": dq.q_doc_split,
         "doc_perplexity_bigram": dq.q_doc_perplexity_bigram,
         "doc_curation_funnel": dq.q_doc_curation_funnel,
+        "events_entropy": dq.q_events_entropy,
+        "doc_lang_confusion": dq.q_doc_lang_confusion,
     }
 
 
@@ -220,4 +222,6 @@ def oracle_sql() -> dict[str, str]:
         "doc_split": dq.oracle_doc_split(),
         "doc_perplexity_bigram": dq.oracle_doc_perplexity_bigram(),
         "doc_curation_funnel": dq.oracle_doc_curation_funnel(),
+        "events_entropy": dq.oracle_events_entropy(),
+        "doc_lang_confusion": dq.oracle_doc_lang_confusion(),
     }

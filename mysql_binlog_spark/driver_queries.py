@@ -2555,3 +2555,44 @@ def oracle_doc_curation_funnel():
              WHERE NOT EXISTS (SELECT 1 FROM dropped WHERE doc_id = d.doc_id))
              AS n_kept
     """
+
+
+def q_events_entropy(spark, sf_dir):
+    """Per-user event-type Shannon entropy (the bot-vs-organic
+    behavioral signature): exact nano-nat integer partials, one
+    (user,type) agg + one user collapse
+    (operators/sessionize.user_entropy)."""
+    from .operators.sessionize import user_entropy
+
+    _events(spark, sf_dir)
+    return user_entropy(spark.table("events"))
+
+
+def oracle_events_entropy():
+    from .operators.sessionize import user_entropy_sql
+
+    return user_entropy_sql(rel="events")
+
+
+def q_doc_lang_confusion(spark, sf_dir):
+    """Declared-vs-detected language agreement matrix — the metadata
+    governance report (which sources mislabel language, how often):
+    the n-gram detector against the corpus's own lang column, one tiny
+    (declared, detected) aggregation."""
+    docs = _docs(spark, sf_dir)
+    return (
+        docs.select(
+            F.col("lang").alias("declared"),
+            T.predicted_lang(F.col("text")).alias("detected"),
+        )
+        .groupBy("declared", "detected")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_docs"))
+    )
+
+
+def oracle_doc_lang_confusion():
+    return f"""
+    SELECT lang AS declared, {T.predicted_lang_sql('text')} AS detected,
+           CAST(COUNT(*) AS BIGINT) AS n_docs
+    FROM documents GROUP BY 1, 2
+    """

@@ -434,3 +434,70 @@ def hourly_anomalies_sql(
     FROM hourly JOIN m USING (event_type)
     WHERE z IS NOT NULL AND abs(z) >= {z_thresh}
     """
+
+
+# --------------------------------------------------------------- entropy
+
+# Per-user event-type entropy: the behavioral-diversity signature a
+# monitoring pipeline uses to separate bots (near-zero entropy — one
+# action repeated) from organic users.  H = ln n − (1/n)·Σ c_i·ln c_i
+# over the user's per-type counts.
+#
+# Determinism contract: ln values are quantized to integer nano-nats
+# (the repo-wide discipline), so Σ c_i·lnq(c_i) is an exact bigint and
+# the per-user result is invariant to partial-agg merge order.  c_i and
+# n are exact counts; the only float steps are one division and the
+# final rounding.
+#
+# 100 TB shape: one (user, type) aggregation (map-side partials) → one
+# user-key collapse; both keys are uniform, no skew risk beyond what
+# the CDC salt already handles.
+
+
+def user_entropy(
+    events: DataFrame,
+    user_col: str = "user_id",
+    type_col: str = "event_type",
+) -> DataFrame:
+    """(user_id, n_events, n_types, entropy_nats): per-user event-type
+    Shannon entropy in nats (round 6)."""
+    q = 1e9
+    per = events.groupBy(
+        F.col(user_col).alias("user_id"),
+        F.col(type_col).alias("t"),
+    ).agg(F.count(F.lit(1)).cast("bigint").alias("c"))
+    lnq = F.round(F.log("c") * q).cast("bigint")
+    per_user = per.groupBy("user_id").agg(
+        F.sum("c").alias("n_events"),
+        F.count(F.lit(1)).cast("bigint").alias("n_types"),
+        F.sum(F.col("c") * lnq).alias("s"),
+    )
+    lnq_n = F.round(F.log("n_events") * q).cast("bigint")
+    h = (lnq_n - F.col("s") / F.col("n_events")) / F.lit(q)
+    return per_user.select(
+        "user_id", "n_events", "n_types",
+        F.round(h, 6).alias("entropy_nats"),
+    )
+
+
+def user_entropy_sql(
+    user_col: str = "user_id",
+    type_col: str = "event_type",
+    rel: str = "events",
+) -> str:
+    """DuckDB twin: identical nano-nat quantization."""
+    return f"""
+    WITH per AS (
+      SELECT {user_col} AS user_id, {type_col} AS t, COUNT(*) AS c
+      FROM {rel} GROUP BY 1, 2
+    ), pu AS (
+      SELECT user_id, CAST(SUM(c) AS BIGINT) AS n_events,
+             CAST(COUNT(*) AS BIGINT) AS n_types,
+             SUM(c * CAST(round(ln(c) * 1e9) AS BIGINT)) AS s
+      FROM per GROUP BY user_id
+    )
+    SELECT user_id, n_events, n_types,
+           round((CAST(round(ln(n_events) * 1e9) AS BIGINT) - s / n_events)
+                 / 1e9, 6) AS entropy_nats
+    FROM pu
+    """

@@ -1207,3 +1207,22 @@ def test_bigram_perplexity_exact_small_corpus(spark):
     assert got[1].n_bigrams == 3 and abs(got[1].xent_nats) < 1e-9
     assert got[2].n_bigrams == 1 and abs(got[2].xent_nats) < 1e-9
     assert 3 not in got  # single-token doc has no bigrams
+
+
+def test_user_entropy_uniform_and_constant(spark):
+    import datetime as dt
+    import math
+
+    from mysql_binlog_spark.operators.sessionize import user_entropy
+
+    t = dt.datetime(2024, 1, 1)
+    rows = (
+        # user 1: 4 types x 2 each -> H = ln 4
+        [(t, 1, x) for x in ["a", "b", "c", "d"] * 2]
+        # user 2: one type repeated -> H = 0 (the bot signature)
+        + [(t, 2, "a")] * 5
+    )
+    df = spark.createDataFrame(rows, "ts timestamp, user_id long, event_type string")
+    got = {r.user_id: r for r in user_entropy(df).collect()}
+    assert got[1].n_types == 4 and abs(got[1].entropy_nats - math.log(4)) < 1e-6
+    assert got[2].n_types == 1 and abs(got[2].entropy_nats) < 1e-9
