@@ -2596,3 +2596,105 @@ def oracle_doc_lang_confusion():
            CAST(COUNT(*) AS BIGINT) AS n_docs
     FROM documents GROUP BY 1, 2
     """
+
+
+def _half_log_ord(spark: SparkSession) -> int:
+    """LSN ord of the mid-log cut, derived from max(event_id) exactly the
+    way spec.changelog_sql derives (log_file, log_pos) — shared with the
+    DuckDB twin so both engines cut at the identical position."""
+    m = spark.sql("SELECT max(event_id) AS m FROM events").first()["m"]
+    e = int(m) // 2
+    return ((1 + e // spec.EVENTS_PER_FILE) << 20) + (
+        4 + (e % spec.EVENTS_PER_FILE) * spec.ROW_EVENT_STRIDE
+    )
+
+
+def q_cdc_bridge_incremental(spark, sf_dir):
+    """Incremental training-data refresh: re-render ONLY conversations
+    touched after the mid-log cut, from the final state — the
+    materialized-view-maintenance pattern that keeps the CDC→corpus
+    bridge fresh at 100 TB (touched convs are a sliver of the table;
+    the semi-join prunes the render input before its one conv-key
+    exchange).  The cut is log-relative (half of max event_id) so the
+    query is meaningful at every scale."""
+    from .operators.conversation import corpus_bridge
+
+    df = filter_tables(
+        dedup_lsn(changelog_df(spark, sf_dir)),
+        include=[("app", "transcripts")],
+    ).withColumn("ord", _lsn_ord())
+    a = _half_log_ord(spark)
+    touched = (
+        df.filter(F.col("ord") > a).select("conv_id").distinct()
+    )
+    w = last_writer(df, key_cols=KEY_COLS, payload_cols=PAYLOAD_COLS)
+    state = final_state(w, PAYLOAD_COLS, KEY_COLS)
+    return corpus_bridge(state.join(touched, "conv_id", "left_semi"))
+
+
+def oracle_cdc_bridge_incremental():
+    from .operators.conversation import corpus_bridge_sql
+
+    epf, stride = spec.EVENTS_PER_FILE, spec.ROW_EVENT_STRIDE
+    bridge = corpus_bridge_sql(rel="fs")
+    return f"""
+    WITH dedup AS ({spec.dedup_sql('duckdb')}),
+    cut AS (
+      SELECT ((1 + ((MAX(event_id) // 2) // {epf})) << 20)
+             + (4 + ((MAX(event_id) // 2) % {epf}) * {stride}) AS a
+      FROM events
+    ), base AS (
+      SELECT *,
+             (CAST(substr(log_file, 8) AS BIGINT) << 20) + log_pos AS ord
+      FROM dedup
+      WHERE schema_name = 'app' AND table_name = 'transcripts'
+    ), touched AS (
+      SELECT DISTINCT conv_id FROM base WHERE ord > (SELECT a FROM cut)
+    ), ranked AS (
+      SELECT t.*, ROW_NUMBER() OVER (
+               PARTITION BY conv_id, turn_idx ORDER BY ord DESC) AS rn
+      FROM base t
+    ), fs AS (
+      SELECT conv_id, turn_idx, role, text, tool, tool_version, ts
+      FROM ranked
+      WHERE rn = 1 AND action <> 'delete'
+        AND conv_id IN (SELECT conv_id FROM touched)
+    ){bridge}
+    """
+
+
+def q_emb_ivf_recall(spark, sf_dir):
+    """ANN quality measured, not asserted: per-query recall@k of the IVF
+    index against the exact brute-force top-k — the standard ANN
+    acceptance metric; both sides are the already-verified operators,
+    the compare is one tiny join over 5·k rows."""
+    exact = q_emb_cosine_knn(spark, sf_dir).select("query_id", "neighbor_id")
+    approx = q_emb_ivf_knn(spark, sf_dir).select(
+        F.col("query_id").alias("aq"), F.col("neighbor_id").alias("an")
+    )
+    hit = exact.join(
+        approx,
+        (F.col("query_id") == F.col("aq"))
+        & (F.col("neighbor_id") == F.col("an")),
+        "left",
+    )
+    return hit.groupBy("query_id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("k"),
+        F.count("an").cast("bigint").alias("n_hit"),
+        F.round(F.count("an") / F.count(F.lit(1)), 4).alias("recall"),
+    )
+
+
+def oracle_emb_ivf_recall():
+    exact = oracle_emb_cosine_knn()
+    approx = oracle_emb_ivf_knn()
+    return f"""
+    SELECT e.query_id,
+           CAST(COUNT(*) AS BIGINT) AS k,
+           CAST(COUNT(a.neighbor_id) AS BIGINT) AS n_hit,
+           round(COUNT(a.neighbor_id) / COUNT(*), 4) AS recall
+    FROM ({exact}) e
+    LEFT JOIN ({approx}) a
+      ON a.query_id = e.query_id AND a.neighbor_id = e.neighbor_id
+    GROUP BY e.query_id
+    """
