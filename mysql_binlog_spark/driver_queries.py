@@ -2698,3 +2698,39 @@ def oracle_emb_ivf_recall():
       ON a.query_id = e.query_id AND a.neighbor_id = e.neighbor_id
     GROUP BY e.query_id
     """
+
+
+def q_corpus_token_budget(spark, sf_dir):
+    """The curation budget table: per-source document counts, whitespace
+    and REAL-BPE token totals (exact integer sums), and each source's
+    share of the corpus BPE budget — the numbers a data-mix decision is
+    made from.  One source-key aggregation + a 1-row broadcast total."""
+    docs = _docs(spark, sf_dir)
+    per = docs.groupBy("source").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+        F.sum(T.ws_token_count(F.col("text")).cast("bigint"))
+        .cast("bigint").alias("ws_tokens"),
+        F.sum(T.bpe_token_count(F.col("text")).cast("bigint"))
+        .cast("bigint").alias("bpe_tokens"),
+    )
+    total = per.agg(F.sum("bpe_tokens").alias("t"))
+    return per.crossJoin(F.broadcast(total)).select(
+        "source", "n_docs", "ws_tokens", "bpe_tokens",
+        F.round(F.col("bpe_tokens") / F.col("t"), 6).alias("bpe_share"),
+    )
+
+
+def oracle_corpus_token_budget():
+    ws = f"len(regexp_split_to_array(trim(text), '{T.WS}'))"
+    bpe = T.bpe_token_count_sql("text")
+    return f"""
+    WITH per AS (
+      SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+             CAST(SUM({ws}) AS BIGINT) AS ws_tokens,
+             CAST(SUM({bpe}) AS BIGINT) AS bpe_tokens
+      FROM documents GROUP BY source
+    ), t AS (SELECT SUM(bpe_tokens) AS t FROM per)
+    SELECT source, n_docs, ws_tokens, bpe_tokens,
+           round(bpe_tokens / t, 6) AS bpe_share
+    FROM per CROSS JOIN t
+    """

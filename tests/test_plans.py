@@ -87,6 +87,7 @@ def test_no_cartesian_in_any_driver_query(spark, sf_dir):
         "cdc_hot_keys",
         "doc_perplexity",
         "corpus_vocab_growth",
+        "corpus_token_budget",
         "doc_curation_funnel",  # five 1-row stage-count attaches
     }
     for name, fn in entry.queries().items():
