@@ -2734,3 +2734,19 @@ def oracle_corpus_token_budget():
            round(bpe_tokens / t, 6) AS bpe_share
     FROM per CROSS JOIN t
     """
+
+
+def q_events_session_stats(spark, sf_dir):
+    """One-row session-shape summary (count, bounce rate, exact-integer
+    duration/event averages) over the 30-minute-gap sessionizer — the
+    engagement report (operators/sessionize.session_stats)."""
+    from .operators.sessionize import session_stats
+
+    _events(spark, sf_dir)
+    return session_stats(spark.table("events"))
+
+
+def oracle_events_session_stats():
+    from .operators.sessionize import session_stats_sql
+
+    return session_stats_sql(rel="events")

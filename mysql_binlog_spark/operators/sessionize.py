@@ -501,3 +501,66 @@ def user_entropy_sql(
                  / 1e9, 6) AS entropy_nats
     FROM pu
     """
+
+
+def session_stats(
+    events: DataFrame,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    gap_minutes: int = 30,
+) -> DataFrame:
+    """One-row session-shape summary over the sessionizer's output: the
+    engagement report (how long, how many actions, how many bounces).
+
+    Exactness: durations are bigint epoch-second differences and event
+    counts are bigints, so every sum is exact and the averages are one
+    final division — merge-order-invariant like the rest of the stats
+    family.  100 TB shape: sessionize's single user-key exchange, then
+    one partial-aggregating collapse to a single row."""
+    s = sessionize(events, user_col, ts_col, gap_minutes)
+    dur = (
+        F.col("session_end").cast("timestamp").cast("long")
+        - F.col("session_start").cast("timestamp").cast("long")
+    )
+    n = F.count(F.lit(1))
+    return s.select(
+        F.col(user_col), F.col("n_events").cast("bigint").alias("ne"),
+        dur.alias("dur"),
+    ).agg(
+        n.cast("bigint").alias("n_sessions"),
+        F.countDistinct(user_col).cast("bigint").alias("n_users"),
+        F.sum("ne").alias("total_events"),
+        F.max("ne").alias("max_events"),
+        F.round(F.sum("ne") / n, 6).alias("avg_events"),
+        F.max("dur").alias("max_duration_s"),
+        F.round(F.sum("dur") / n, 6).alias("avg_duration_s"),
+        F.round(
+            F.sum((F.col("ne") == 1).cast("bigint")) * 100.0 / n, 6
+        ).alias("pct_bounce"),
+    )
+
+
+def session_stats_sql(
+    rel: str = "events",
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    gap_minutes: int = 30,
+) -> str:
+    """DuckDB twin over the sessionize twin as a derived table."""
+    inner = sessionize_sql(rel, user_col, ts_col, gap_minutes)
+    return f"""
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_sessions,
+           CAST(COUNT(DISTINCT {user_col}) AS BIGINT) AS n_users,
+           CAST(SUM(n_events) AS BIGINT) AS total_events,
+           CAST(MAX(n_events) AS BIGINT) AS max_events,
+           round(SUM(n_events) / COUNT(*), 6) AS avg_events,
+           CAST(MAX(FLOOR(epoch(session_end))::BIGINT
+                    - FLOOR(epoch(session_start))::BIGINT) AS BIGINT)
+             AS max_duration_s,
+           round(SUM(FLOOR(epoch(session_end))::BIGINT
+                    - FLOOR(epoch(session_start))::BIGINT) / COUNT(*), 6)
+             AS avg_duration_s,
+           round(SUM(CASE WHEN n_events = 1 THEN 1 ELSE 0 END) * 100.0
+                 / COUNT(*), 6) AS pct_bounce
+    FROM ({inner}) s
+    """
