@@ -2750,3 +2750,18 @@ def oracle_events_session_stats():
     from .operators.sessionize import session_stats_sql
 
     return session_stats_sql(rel="events")
+
+
+def q_doc_quality_by_source(spark, sf_dir):
+    """Per-source perplexity percentiles by nearest-rank (exact integer
+    selection, no interpolation) — which sources drag the corpus
+    (operators/corpus.quality_by_source)."""
+    from .operators.corpus import quality_by_source
+
+    return quality_by_source(_docs(spark, sf_dir))
+
+
+def oracle_doc_quality_by_source():
+    from .operators.corpus import quality_by_source_sql
+
+    return quality_by_source_sql()

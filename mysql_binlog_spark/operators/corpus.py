@@ -794,3 +794,63 @@ def bigram_perplexity_sql(
            round(exp(s / n_bigrams / 1e9), 2) AS ppl
     FROM per_doc
     """
+
+
+def quality_by_source(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    source_col: str = "source",
+) -> DataFrame:
+    """(source, n_docs, p50_ppl, p90_ppl): per-source unigram-perplexity
+    percentiles by the NEAREST-RANK definition — the per-source quality
+    screen (which sources drag the corpus).  Nearest-rank = integer
+    selection under a (value, doc_id) total order, so the pick is exact
+    and engine-identical (no float interpolation — the length_quantiles
+    discipline).
+
+    100 TB shape: perplexity's broadcast-join pipeline, then one
+    source-key window (per-source sort, bounded by source size) and a
+    |sources|-row collapse."""
+    pp = unigram_perplexity(df, text_col, id_col)
+    j = pp.join(
+        df.select(F.col(id_col), F.col(source_col).alias("source")), id_col
+    )
+    w = Window.partitionBy("source").orderBy("ppl", id_col)
+    n = Window.partitionBy("source")
+    ranked = j.select(
+        "source", "ppl",
+        F.row_number().over(w).alias("rn"),
+        F.count(F.lit(1)).over(n).alias("n"),
+    )
+    pick = lambda q: F.max(  # noqa: E731
+        F.when(F.col("rn") == F.ceil(F.lit(q) * F.col("n")), F.col("ppl"))
+    )
+    return ranked.groupBy("source").agg(
+        F.max("n").cast("bigint").alias("n_docs"),
+        pick(0.5).alias("p50_ppl"),
+        pick(0.9).alias("p90_ppl"),
+    )
+
+
+def quality_by_source_sql(
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    source_col: str = "source",
+    rel: str = "documents",
+) -> str:
+    """DuckDB twin: same nearest-rank selection over the perplexity
+    twin as a derived table."""
+    inner = unigram_perplexity_sql(text_col, id_col, rel)
+    return f"""
+    SELECT source, CAST(MAX(n) AS BIGINT) AS n_docs,
+           MAX(CASE WHEN rn = CEIL(0.5 * n) THEN ppl END) AS p50_ppl,
+           MAX(CASE WHEN rn = CEIL(0.9 * n) THEN ppl END) AS p90_ppl
+    FROM (
+      SELECT d.{source_col} AS source, p.ppl,
+             ROW_NUMBER() OVER (PARTITION BY d.{source_col}
+                                ORDER BY p.ppl, p.{id_col}) AS rn,
+             COUNT(*) OVER (PARTITION BY d.{source_col}) AS n
+      FROM ({inner}) p JOIN {rel} d USING ({id_col})
+    ) GROUP BY source
+    """
