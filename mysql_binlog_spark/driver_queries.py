@@ -2765,3 +2765,47 @@ def oracle_doc_quality_by_source():
     from .operators.corpus import quality_by_source_sql
 
     return quality_by_source_sql()
+
+
+def q_doc_dup_by_source(spark, sf_dir):
+    """Per-source duplication governance: how much of each source sits
+    in a near-dup cluster, and how much a dedup pass would drop —
+    cluster membership (tiny vs the corpus) left-joined onto docs, one
+    source-key collapse."""
+    from .operators.dedup import dedup_clusters
+
+    docs = _docs(spark, sf_dir)
+    cl = dedup_clusters(
+        docs, k=MINHASH_K, rows_per_band=2,
+        shingle_n=SHINGLE_N, threshold=JACCARD_T,
+    ).select("doc_id", "canonical_id")
+    j = docs.select("doc_id", "source").join(cl, "doc_id", "left")
+    in_cl = F.col("canonical_id").isNotNull()
+    dropped = in_cl & (F.col("doc_id") != F.col("canonical_id"))
+    n = F.count(F.lit(1))
+    return j.groupBy("source").agg(
+        n.cast("bigint").alias("n_docs"),
+        F.sum(in_cl.cast("bigint")).alias("n_clustered"),
+        F.sum(dropped.cast("bigint")).alias("n_dropped"),
+        F.round(F.sum(dropped.cast("bigint")) * 100.0 / n, 6)
+        .alias("drop_pct"),
+    )
+
+
+def oracle_doc_dup_by_source():
+    clusters = oracle_doc_dedup_clusters()
+    return f"""
+    SELECT d.source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(CASE WHEN c.doc_id IS NOT NULL THEN 1 ELSE 0 END)
+             AS BIGINT) AS n_clustered,
+           CAST(SUM(CASE WHEN c.doc_id IS NOT NULL
+                          AND c.doc_id <> c.canonical_id
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_dropped,
+           round(SUM(CASE WHEN c.doc_id IS NOT NULL
+                           AND c.doc_id <> c.canonical_id
+                          THEN 1 ELSE 0 END) * 100.0 / COUNT(*), 6)
+             AS drop_pct
+    FROM documents d
+    LEFT JOIN ({clusters}) c ON c.doc_id = d.doc_id
+    GROUP BY d.source
+    """
