@@ -86,6 +86,7 @@ def test_no_cartesian_in_any_driver_query(spark, sf_dir):
         # 1-row broadcast scalar-attach (total-count / total-log join):
         "cdc_hot_keys",
         "doc_perplexity",
+        "doc_quality_by_source",  # composes doc_perplexity's 1-row attach
         "corpus_vocab_growth",
         "corpus_token_budget",
         "doc_curation_funnel",  # five 1-row stage-count attaches
