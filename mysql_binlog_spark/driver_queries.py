@@ -2809,3 +2809,67 @@ def oracle_doc_dup_by_source():
     LEFT JOIN ({clusters}) c ON c.doc_id = d.doc_id
     GROUP BY d.source
     """
+
+
+def q_cdc_orphan_keys(spark, sf_dir):
+    """Mid-stream-capture audit: per-table key counts by FIRST logged
+    action over the deduped changelog — updates/deletes on keys the log
+    never saw inserted are the missing-snapshot signal MERGE's
+    upsert fallback silently absorbs (operators/apply.orphan_keys)."""
+    from .operators.apply import orphan_keys
+
+    return orphan_keys(dedup_lsn(changelog_df(spark, sf_dir)))
+
+
+def oracle_cdc_orphan_keys():
+    from .operators.apply import orphan_keys_sql
+
+    return f"WITH dedup AS ({spec.dedup_sql('duckdb')})" + orphan_keys_sql(
+        rel="dedup"
+    )
+
+
+def q_events_attribution(spark, sf_dir):
+    """First-touch attribution: purchases credited to the user's
+    earliest acquisition touch via ONE running window over the user
+    partition — no per-conversion as-of join, value folded as exact
+    integer cents (operators/sessionize.first_touch_attribution)."""
+    from .operators.sessionize import first_touch_attribution
+
+    _events(spark, sf_dir)
+    return first_touch_attribution(spark.table("events"))
+
+
+def oracle_events_attribution():
+    from .operators.sessionize import first_touch_attribution_sql
+
+    return first_touch_attribution_sql(rel="events")
+
+
+CONTAIN_T = 0.9
+
+
+def q_doc_ngram_containment(spark, sf_dir):
+    """Directed n-gram containment near-dup (quote/subset duplication
+    Jaccard dilutes away): one-sided prefix filtering — the contained
+    side explodes only PPJoin prefixes, the container side its full
+    shingle set — then exact verify on candidates only
+    (operators/dedup.containment_pairs_exact)."""
+    from .operators.dedup import containment_pairs_exact
+
+    return containment_pairs_exact(
+        _docs(spark, sf_dir), shingle_n=SHINGLE_N, threshold=CONTAIN_T
+    )
+
+
+def oracle_doc_ngram_containment():
+    return f"""
+    WITH sh AS (
+      SELECT doc_id, {T.word_shingles_sql('text', SHINGLE_N)} AS s
+      FROM documents
+    )
+    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+           len(list_intersect(a.s, b.s))::DOUBLE / len(a.s) AS containment
+    FROM sh a JOIN sh b ON a.doc_id <> b.doc_id
+    WHERE len(list_intersect(a.s, b.s))::DOUBLE / len(a.s) >= {CONTAIN_T}
+    """

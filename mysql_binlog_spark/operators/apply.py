@@ -592,3 +592,44 @@ def key_lifecycle_sql(rel: str = "dedup") -> str:
            CAST(SUM(n_changes) AS BIGINT) AS n_changes
     FROM pk GROUP BY 1, 2
     """
+
+
+def orphan_keys(df: DataFrame) -> DataFrame:
+    """(schema_name, table_name, first_action, n_keys): per-table key
+    counts by FIRST logged action over the deduped changelog.
+
+    A key whose first action is an update or delete is an *orphan* —
+    evidence the capture started mid-stream (no initial snapshot) or an
+    upstream purge raced the binlog read.  The reference replays such
+    events blindly (`EventsIterator.php` emits whatever the log holds);
+    at ingest scale this audit is what tells you whether MERGE's
+    update-as-upsert fallback is papering over a gap.  Plan: the same
+    single key-partitioned exchange as ``key_lifecycle``, collapsing
+    with ``min_by`` instead of ``max_by``; the per-table rollup then
+    moves only |tables|·|actions| rows.
+    """
+    lsn = _lsn_struct(df)
+    per_key = df.groupBy(
+        "schema_name", "table_name", "conv_id", "turn_idx"
+    ).agg(F.min_by("action", lsn).alias("first_action"))
+    return per_key.groupBy("schema_name", "table_name", "first_action").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_keys")
+    )
+
+
+def orphan_keys_sql(rel: str = "dedup") -> str:
+    """DuckDB twin; chains onto the caller's WITH clause.  Post-dedup
+    the LSN is unique per key, so the ASC row-number pick is the exact
+    mirror of min_by with no tie channel."""
+    return f"""
+    , firsts AS (
+      SELECT schema_name, table_name, conv_id, turn_idx, action,
+             ROW_NUMBER() OVER (
+               PARTITION BY schema_name, table_name, conv_id, turn_idx
+               ORDER BY log_file ASC, log_pos ASC, server_id ASC) AS rn
+      FROM {rel}
+    )
+    SELECT schema_name, table_name, action AS first_action,
+           CAST(COUNT(*) AS BIGINT) AS n_keys
+    FROM firsts WHERE rn = 1 GROUP BY 1, 2, 3
+    """

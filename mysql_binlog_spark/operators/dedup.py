@@ -1062,3 +1062,61 @@ def dedup_keep(
     return df.join(drop, id_col, "left_anti").select(
         F.col(id_col), F.col("lang"), F.col("source")
     )
+
+
+# ----------------------------------------------------------- containment
+
+# Asymmetric n-gram containment C(A,B) = |A ∩ B| / |A|: the near-dup
+# relation Jaccard structurally misses — a short document quoted whole
+# inside a long one has C ≈ 1 but J ≈ |A|/|B| → 0.  Quote/subset
+# duplication is the dominant dup mode in web + transcript corpora
+# (reply chains embed the parent), so a dedup family without a
+# containment pass undercounts exactly the pairs that matter most for
+# training-data leakage.
+
+
+def containment_pairs_exact(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text",
+    shingle_n: int = 3, threshold: float = 0.9,
+) -> DataFrame:
+    """EXACT directed containment pairs without the cartesian product.
+
+    Prefix filtering still applies, one-sided: order A's shingles by the
+    global (df, tok) order and if C(A,B) ≥ t then A shares ≥ ceil(t·|A|)
+    shingles with B, so A's first ``|A| - ceil(t·|A|) + 1`` shingles
+    must hit B *somewhere* — the contained side explodes only prefixes
+    (reusing ``jaccard_prefix_tokens``), the container side explodes its
+    full set.  The candidate equi-join keys on rare-first prefix tokens
+    (the PPJoin skew bound), then the exact verify runs only on
+    candidates.  Same result set as the O(n²) directed scan the oracle
+    runs.
+    """
+    sh = df.select(
+        F.col(id_col), word_shingles(F.col(text_col), shingle_n).alias("s")
+    )
+    pref = jaccard_prefix_tokens(sh, id_col, threshold)
+    full = sh.select(
+        F.col(id_col), F.explode("s").alias("tok")
+    )
+    cands = (
+        pref.alias("pa")
+        .join(
+            full.alias("pb"),
+            (F.col("pa.tok") == F.col("pb.tok"))
+            & (F.col(f"pa.{id_col}") != F.col(f"pb.{id_col}")),
+        )
+        .select(
+            F.col(f"pa.{id_col}").alias("doc_a"),
+            F.col(f"pb.{id_col}").alias("doc_b"),
+        )
+        .distinct()
+    )
+    sa = sh.select(F.col(id_col).alias("_ia"), F.col("s").alias("sa"))
+    sb = sh.select(F.col(id_col).alias("_ib"), F.col("s").alias("sb"))
+    cont = F.size(F.array_intersect("sa", "sb")) / F.size("sa")
+    return (
+        cands.join(sa, cands.doc_a == F.col("_ia"))
+        .join(sb, cands.doc_b == F.col("_ib"))
+        .select("doc_a", "doc_b", cont.alias("containment"))
+        .filter(F.col("containment") >= threshold)
+    )

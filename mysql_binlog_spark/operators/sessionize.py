@@ -564,3 +564,103 @@ def session_stats_sql(
                  / COUNT(*), 6) AS pct_bounce
     FROM ({inner}) s
     """
+
+
+# ------------------------------------------------------------ attribution
+
+# First-touch attribution: each conversion event is credited to the FIRST
+# acquisition touch the same user ever produced (at or before the
+# conversion in the (ts, event_id) total order).  This is the marketing /
+# growth report every event warehouse runs; the naive formulation is a
+# per-conversion point-in-time lookup (an as-of join per row), but one
+# running window computes every lookup in a single user-key exchange.
+
+
+def first_touch_attribution(
+    events: DataFrame,
+    conversion: str = "purchase",
+    touches: tuple[str, ...] = ("view", "click", "signup"),
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    id_col: str = "event_id",
+    type_col: str = "event_type",
+    value_col: str = "value",
+) -> DataFrame:
+    """(first_touch, n_conversions, n_users, value_cents): conversions
+    credited to the user's earliest acquisition touch.
+
+    Plan: ONE window over the user partition ordered by the same
+    ``(ts, event_id)`` bigint ord the funnel uses — a running
+    ``first(ignorenulls)`` over touch rows tags every event with the
+    user's first touch so far, so each conversion reads its attribution
+    from its own row; no as-of join, no second exchange (the rollup's
+    groupBy keys |touches|+1 values, collapsed map-side).  Conversions
+    preceding any touch credit ``'(none)'`` — kept, not dropped: the
+    organic-rate denominator is part of the report.  ``value`` folds as
+    integer cents (the rate_window convention) so sums are exact and
+    merge-order-invariant."""
+    ordc = _funnel_ord(ts_col, id_col).alias("ord")
+    w = (
+        Window.partitionBy(user_col)
+        .orderBy("ord")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    touch = F.when(F.col(type_col).isin(*touches), F.col(type_col))
+    tagged = events.select(
+        F.col(user_col), F.col(type_col),
+        F.floor(F.col(value_col) * 100).cast("bigint").alias("cents"),
+        ordc,
+    ).withColumn("first_touch", F.first(touch, ignorenulls=True).over(w))
+    return (
+        tagged.filter(F.col(type_col) == conversion)
+        .groupBy(
+            F.coalesce(F.col("first_touch"), F.lit("(none)")).alias(
+                "first_touch"
+            )
+        )
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_conversions"),
+            F.countDistinct(user_col).cast("bigint").alias("n_users"),
+            F.sum("cents").alias("value_cents"),
+        )
+    )
+
+
+def first_touch_attribution_sql(
+    conversion: str = "purchase",
+    touches: tuple[str, ...] = ("view", "click", "signup"),
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    id_col: str = "event_id",
+    type_col: str = "event_type",
+    value_col: str = "value",
+    rel: str = "events",
+) -> str:
+    """DuckDB twin: identical running first-touch window and ord."""
+    ordx = (
+        f"(CAST(FLOOR(epoch({ts_col})) AS BIGINT) * 4294967296"
+        f" + {id_col} % 4294967296)"
+    )
+    tset = ", ".join(f"'{t}'" for t in touches)
+    return f"""
+    WITH seq AS (
+      SELECT {user_col}, {type_col},
+             CAST(FLOOR({value_col} * 100) AS BIGINT) AS cents,
+             {ordx} AS ord
+      FROM {rel}
+    ), tagged AS (
+      SELECT *, FIRST_VALUE(
+               CASE WHEN {type_col} IN ({tset}) THEN {type_col} END
+               IGNORE NULLS) OVER (
+               PARTITION BY {user_col} ORDER BY ord
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               AS first_touch
+      FROM seq
+    )
+    SELECT COALESCE(first_touch, '(none)') AS first_touch,
+           CAST(COUNT(*) AS BIGINT) AS n_conversions,
+           CAST(COUNT(DISTINCT {user_col}) AS BIGINT) AS n_users,
+           CAST(SUM(cents) AS BIGINT) AS value_cents
+    FROM tagged WHERE {type_col} = '{conversion}'
+    GROUP BY 1
+    """

@@ -1226,3 +1226,85 @@ def test_user_entropy_uniform_and_constant(spark):
     got = {r.user_id: r for r in user_entropy(df).collect()}
     assert got[1].n_types == 4 and abs(got[1].entropy_nats - math.log(4)) < 1e-6
     assert got[2].n_types == 1 and abs(got[2].entropy_nats) < 1e-9
+
+
+def test_orphan_keys_first_action_counts(spark):
+    from mysql_binlog_spark.operators.apply import orphan_keys
+
+    rows = [
+        # key A: clean lifecycle (insert first) -> first_action=insert
+        ("f1", 10, 1, "app", "t", "insert", "A", 1),
+        ("f1", 20, 1, "app", "t", "update", "A", 1),
+        # key B: update BEFORE its insert in the log -> orphan (update)
+        ("f1", 5, 1, "app", "t", "update", "B", 1),
+        ("f1", 30, 1, "app", "t", "insert", "B", 1),
+        # key C: delete-only -> orphan (delete)
+        ("f1", 40, 1, "app", "t", "delete", "C", 1),
+    ]
+    df = spark.createDataFrame(
+        rows, "log_file string, log_pos long, server_id long, "
+              "schema_name string, table_name string, action string, "
+              "conv_id string, turn_idx int"
+    )
+    got = {r.first_action: r.n_keys for r in orphan_keys(df).collect()}
+    assert got == {"insert": 1, "update": 1, "delete": 1}
+
+
+def test_first_touch_attribution_window_and_none(spark):
+    import datetime as dt
+
+    from mysql_binlog_spark.operators.sessionize import (
+        first_touch_attribution,
+    )
+
+    t0 = dt.datetime(2024, 1, 1)
+
+    def ev(i, user, typ, val):
+        return (i, t0 + dt.timedelta(minutes=i), user, typ, float(val))
+
+    rows = [
+        # u1: view -> click -> purchase  => credited to view
+        ev(1, 1, "view", 0), ev(2, 1, "click", 0), ev(3, 1, "purchase", 10),
+        # u1 second purchase still credits the FIRST touch (view)
+        ev(4, 1, "signup", 0), ev(5, 1, "purchase", 5),
+        # u2: purchase before any touch => '(none)'
+        ev(6, 2, "purchase", 7), ev(7, 2, "click", 0), ev(8, 2, "purchase", 1),
+        # u3: error is not a touch type; signup is => credited to signup
+        ev(9, 3, "error", 0), ev(10, 3, "signup", 0), ev(11, 3, "purchase", 2),
+    ]
+    df = spark.createDataFrame(
+        rows, "event_id long, ts timestamp, user_id long, "
+              "event_type string, value double"
+    )
+    got = {
+        r.first_touch: (r.n_conversions, r.n_users, r.value_cents)
+        for r in first_touch_attribution(df).collect()
+    }
+    assert got["view"] == (2, 1, 1500)
+    assert got["(none)"] == (1, 1, 700)
+    # u2's second purchase follows a click -> credited to click
+    assert got["click"] == (1, 1, 100)
+    assert got["signup"] == (1, 1, 200)
+
+
+def test_containment_catches_subset_jaccard_misses(spark):
+    from mysql_binlog_spark.operators.dedup import (
+        containment_pairs_exact,
+        jaccard_pairs_exact,
+    )
+
+    short = "alpha beta gamma delta epsilon"
+    long = short + " " + " ".join(f"w{i}" for i in range(40))
+    df = spark.createDataFrame(
+        [(1, short), (2, long), (3, "totally unrelated words only here")],
+        "doc_id long, text string",
+    )
+    got = {
+        (r.doc_a, r.doc_b): r.containment
+        for r in containment_pairs_exact(df, threshold=0.9).collect()
+    }
+    # every 3-shingle of doc 1 appears in doc 2: directed (1,2) at 1.0 —
+    # and ONLY that direction (doc 2 is not contained in doc 1)
+    assert got == {(1, 2): 1.0}
+    # whole-document Jaccard dilutes the same pair away entirely
+    assert jaccard_pairs_exact(df, threshold=0.8).count() == 0
