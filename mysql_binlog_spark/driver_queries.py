@@ -2873,3 +2873,110 @@ def oracle_doc_ngram_containment():
     FROM sh a JOIN sh b ON a.doc_id <> b.doc_id
     WHERE len(list_intersect(a.s, b.s))::DOUBLE / len(a.s) >= {CONTAIN_T}
     """
+
+
+PQ_M = 4        # subspaces (codes per vector)
+PQ_CODES = 8    # codebook entries per subspace
+PQ_SUBDIM = EMB_DIM // PQ_M
+
+
+def q_emb_pq_knn(spark, sf_dir):
+    """Product-quantization ANN (Jégou et al. 2011): corpus stored as
+    PQ_M small codes (64× less memory than raw vectors), queries exact,
+    ranking by asymmetric-distance inner product against codebook
+    reconstructions — the memory-bound complement to IVF's compute
+    bound.  Codebooks from the deterministic IVF-style seeds so the
+    oracle replays them (operators/similarity.pq_knn)."""
+    from .operators.similarity import pq_codebooks, pq_knn, pq_seed_ids
+
+    embs = _embs(spark, sf_dir)
+    ids = pq_seed_ids(PQ_CODES)
+    seeds = sorted(
+        (r["vec_id"], list(r["embedding"]))
+        for r in embs.filter(F.col("vec_id").isin(ids)).collect()
+    )
+    queries = embs.filter(F.col("vec_id") < KNN_QUERIES)
+    return pq_knn(
+        embs, queries, pq_codebooks(seeds, PQ_M, EMB_DIM), k=KNN_K
+    )
+
+
+def oracle_emb_pq_knn():
+    sd = PQ_SUBDIM
+    sub = (
+        f"list_transform((embedding)[t.m*{sd}+1 : t.m*{sd}+{sd}], "
+        f"x -> CAST(x AS DOUBLE))"
+    )
+    l2 = (
+        "round(list_dot_product(s.sv, s.sv)"
+        " - 2*list_dot_product(s.sv, cb.cv)"
+        " + list_dot_product(cb.cv, cb.cv), 4)"
+    )
+    # ordered m = 0..M-1 pivot adds — the same left-to-right binary64
+    # sequence the Spark side emits
+    adds = " + ".join(
+        f"MAX(CASE WHEN m = {mm} THEN v END)" for mm in range(PQ_M)
+    )
+    return f"""
+    WITH cb AS (
+      SELECT t.m, CAST(vec_id // 7 AS INT) AS j, {sub} AS cv
+      FROM embeddings, range(0, {PQ_M}) t(m)
+      WHERE vec_id % 7 = 0 AND vec_id < {7 * PQ_CODES}
+    ), subs AS (
+      SELECT vec_id, t.m, {sub} AS sv
+      FROM embeddings, range(0, {PQ_M}) t(m)
+    ), enc AS (
+      SELECT vec_id, m, j FROM (
+        SELECT s.vec_id, s.m, cb.j,
+               ROW_NUMBER() OVER (PARTITION BY s.vec_id, s.m
+                 ORDER BY {l2} ASC, cb.j ASC) AS rn
+        FROM subs s JOIN cb ON cb.m = s.m
+      ) WHERE rn = 1
+    ), terms AS (
+      SELECT q.vec_id AS query_id, e.vec_id AS neighbor_id, e.m,
+             list_dot_product(q.sv, cb.cv) AS v
+      FROM subs q
+      JOIN enc e ON e.vec_id <> q.vec_id AND q.m = e.m
+      JOIN cb ON cb.m = e.m AND cb.j = e.j
+      WHERE q.vec_id < {KNN_QUERIES}
+    ), scored AS (
+      SELECT query_id, neighbor_id, round({adds}, 4) AS adc_ip
+      FROM terms GROUP BY 1, 2
+    )
+    SELECT query_id, neighbor_id, adc_ip, rank FROM (
+      SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+               ORDER BY adc_ip DESC, neighbor_id) AS rank
+      FROM scored
+    ) WHERE rank <= {KNN_K}
+    """
+
+
+def q_cdc_gtid_gaps(spark, sf_dir):
+    """GTID continuity audit per replication source: distinct GNO count
+    vs the [min, max] span — every missing GNO is a transaction the
+    stream LOST (filtered upstream, purged log, or a failed fetch), the
+    replication-integrity alarm a multi-source consumer runs before
+    trusting a resume point.  Spark earns the numbers from the decoded
+    wire bytes (the kernel's gtid lineage column); the oracle restates
+    them from the fixture spec's xid↔GNO mapping.  One |SIDs|-row
+    aggregate with map-side partials — nothing scales with the log
+    (operators/apply.gtid_gaps)."""
+    from .operators.apply import gtid_gaps
+
+    return gtid_gaps(decoded_binary_df(spark, sf_dir))
+
+
+def oracle_cdc_gtid_gaps():
+    return f"""
+    WITH dedup AS ({spec.dedup_sql('duckdb')}), p AS (
+      SELECT split_part({spec.gtid_expr('duckdb', 'xid')}, ':', 1) AS sid,
+             CAST(split_part({spec.gtid_expr('duckdb', 'xid')}, ':', 2)
+               AS BIGINT) AS gno
+      FROM dedup
+    )
+    SELECT sid, CAST(COUNT(DISTINCT gno) AS BIGINT) AS n_txns,
+           MIN(gno) AS gno_min, MAX(gno) AS gno_max,
+           CAST(MAX(gno) - MIN(gno) + 1 - COUNT(DISTINCT gno) AS BIGINT)
+             AS n_gaps
+    FROM p GROUP BY 1
+    """

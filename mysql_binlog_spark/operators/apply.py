@@ -633,3 +633,28 @@ def orphan_keys_sql(rel: str = "dedup") -> str:
            CAST(COUNT(*) AS BIGINT) AS n_keys
     FROM firsts WHERE rn = 1 GROUP BY 1, 2, 3
     """
+
+
+def gtid_gaps(df: DataFrame, gtid_col: str = "gtid") -> DataFrame:
+    """(sid, n_txns, gno_min, gno_max, n_gaps): per-SID GTID continuity
+    over any frame carrying a ``sid:gno`` lineage column — n_gaps > 0
+    means transactions the stream never saw (purged log / filtered
+    fetch), the integrity alarm to run before trusting a resume point.
+    One |SIDs|-row aggregate, partial map-side."""
+    sid = F.substring_index(gtid_col, ":", 1)
+    gno = F.substring_index(gtid_col, ":", -1).cast("bigint")
+    return (
+        df.select(sid.alias("sid"), gno.alias("gno"))
+        .groupBy("sid")
+        .agg(
+            F.countDistinct("gno").cast("bigint").alias("n_txns"),
+            F.min("gno").alias("gno_min"),
+            F.max("gno").alias("gno_max"),
+        )
+        .withColumn(
+            "n_gaps",
+            (
+                F.col("gno_max") - F.col("gno_min") + 1 - F.col("n_txns")
+            ).cast("bigint"),
+        )
+    )

@@ -526,3 +526,118 @@ def ivf_cluster_stats(
         F.count(F.lit(1)).cast("bigint").alias("n_vectors"),
         F.round(F.sum("q") / (F.count(F.lit(1)) * 1e4), 6).alias("avg_cos"),
     )
+
+
+# --------------------------------------------------------------------- PQ
+
+# Product quantization (Jégou et al. 2011): split the d-dim space into M
+# subspaces, quantize each subvector to one of K codebook entries, store
+# M small codes per vector (here M=4 bytes vs 64 floats — 64× memory).
+# Queries stay EXACT and score against reconstructions via asymmetric
+# distance computation (ADC): score(q, c) = Σ_m <q_m, cb[m][code_m(c)]>
+# — the memory-bound ANN shape for an embedding lake too big to hold
+# uncompressed (IVF bounds compute, PQ bounds memory; production systems
+# compose both).  Codebooks here are deterministic corpus seeds (the IVF
+# seeding convention, vec_id 0,7,…) so the DuckDB oracle replays them
+# exactly; k-means-refined codebooks drop in via the same literals.
+
+
+def pq_seed_ids(k_codes: int) -> list[int]:
+    """Seed vec_ids for the codebooks — the IVF convention (·7 stride)."""
+    return [7 * j for j in range(k_codes)]
+
+
+def pq_codebooks(
+    seeds: list[tuple[int, list[float]]], m: int, dim: int
+) -> list[list[list[float]]]:
+    """codebooks[m][j] = subvector m of seed j (sorted by seed id)."""
+    subdim = dim // m
+    vecs = [v for _, v in sorted(seeds)]
+    return [
+        [[float(x) for x in v[mm * subdim : (mm + 1) * subdim]] for v in vecs]
+        for mm in range(m)
+    ]
+
+
+def _l2_to_code(sub, code_lits):
+    """round(<s,s> - 2<s,c> + <c,c>, 4) — the dot-expansion form, every
+    term an in-engine left-to-right fold so the DuckDB twin
+    (list_dot_product) reproduces it bit-for-bit."""
+    return F.round(
+        _dot(sub, sub) - 2 * _dot(sub, code_lits) + _dot(code_lits, code_lits),
+        4,
+    )
+
+
+def pq_encode_cols(vec_col, codebooks: list[list[list[float]]]):
+    """One int code column per subspace: argmin_j L2²(subvec, cb[m][j]),
+    ties by code id (array_min over (dist, j) structs — lexicographic).
+    Pure projection: ZERO exchanges, whole-stage codegen."""
+    subdim = len(codebooks[0][0])
+    cols = []
+    for mm, cb in enumerate(codebooks):
+        sub = F.slice(vec_col, mm * subdim + 1, subdim)
+        cands = F.array(*[
+            F.struct(
+                _l2_to_code(sub, F.array(*[F.lit(v) for v in cj])).alias("d"),
+                F.lit(j).alias("j"),
+            )
+            for j, cj in enumerate(cb)
+        ])
+        cols.append(F.array_min(cands)["j"].alias(f"code_{mm}"))
+    return cols
+
+
+def pq_knn(
+    corpus: DataFrame,
+    queries: DataFrame,
+    codebooks: list[list[list[float]]],
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    round_digits: int = 4,
+) -> DataFrame:
+    """Top-k by PQ-ADC inner product (query exact, corpus reconstructed).
+
+    Plan: the corpus encodes in a narrow projection (codes replace the
+    vector — at scale this is the only thing kept in memory), the tiny
+    query set broadcasts, ADC is M dynamic codebook lookups
+    (element_at on array-of-array literals) + M ordered dot adds, then
+    the standard per-query top-k window.  Same single-exchange shape as
+    cosine_knn with 64× less corpus state."""
+    from pyspark.sql import Window
+
+    subdim = len(codebooks[0][0])
+    enc = corpus.select(
+        F.col(id_col).alias("neighbor_id"),
+        *pq_encode_cols(F.col(vec_col), codebooks),
+    )
+    q = queries.select(
+        F.col(id_col).alias("query_id"), F.col(vec_col).alias("qvec")
+    )
+    cb_lits = [
+        F.array(*[F.array(*[F.lit(v) for v in cj]) for cj in cb])
+        for cb in codebooks
+    ]
+    # ordered (m = 0, 1, …) left-to-right adds: both engines sum the
+    # per-subspace dots in the same sequence, so binary64 matches
+    score = None
+    for mm, cb_lit in enumerate(cb_lits):
+        qsub = F.slice(F.col("qvec"), mm * subdim + 1, subdim)
+        term = _dot(qsub, F.element_at(cb_lit, F.col(f"code_{mm}") + 1))
+        score = term if score is None else score + term
+    scored = (
+        enc.crossJoin(F.broadcast(q))
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.round(score, round_digits).alias("adc_ip"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("adc_ip"), F.asc("neighbor_id")
+    )
+    return scored.withColumn("rank", F.row_number().over(w)).filter(
+        F.col("rank") <= k
+    )

@@ -1308,3 +1308,60 @@ def test_containment_catches_subset_jaccard_misses(spark):
     assert got == {(1, 2): 1.0}
     # whole-document Jaccard dilutes the same pair away entirely
     assert jaccard_pairs_exact(df, threshold=0.8).count() == 0
+
+
+def test_pq_seed_self_encoding_and_exact_adc(spark):
+    from mysql_binlog_spark.operators.similarity import (
+        pq_codebooks,
+        pq_encode_cols,
+        pq_knn,
+    )
+
+    # 8 deterministic dim-8 vectors; first element distinct per seed so
+    # every subvector is unique -> each seed's nearest code is itself
+    def vec(i):
+        return [float(((i * 7 + j * 3) % 11) - 5) for j in range(8)]
+
+    seeds = [(7 * j, vec(j)) for j in range(8)]
+    df = spark.createDataFrame(
+        [(sid, v) for sid, v in seeds], "vec_id long, embedding array<double>"
+    )
+    cbs = pq_codebooks(seeds, m=2, dim=8)
+    enc = {
+        r.vec_id: (r.code_0, r.code_1)
+        for r in df.select(
+            "vec_id", *pq_encode_cols(F.col("embedding"), cbs)
+        ).collect()
+    }
+    assert enc == {7 * j: (j, j) for j in range(8)}
+
+    # seeds reconstruct exactly, so ADC == exact inner product: top-3 of
+    # query seed 0 must match the numpy ranking over the other seeds
+    got = [
+        (r.neighbor_id, r.adc_ip)
+        for r in pq_knn(df, df.filter(F.col("vec_id") == 0), cbs, k=3)
+        .orderBy("rank")
+        .collect()
+    ]
+    q = np.array(vec(0))
+    exp = sorted(
+        ((-round(float(q @ np.array(vec(j))), 4), 7 * j) for j in range(1, 8))
+    )[:3]
+    assert got == [(nid, -ip) for ip, nid in exp]
+
+
+def test_gtid_gaps_detects_missing_txn(spark):
+    from mysql_binlog_spark.operators.apply import gtid_gaps
+
+    rows = [
+        # sid A: gnos 1, 2, 4, 5 (3 missing -> 1 gap), dup delivery of 2
+        ("aaaa:1",), ("aaaa:2",), ("aaaa:2",), ("aaaa:4",), ("aaaa:5",),
+        # sid B: contiguous 7..9 -> clean
+        ("bbbb:7",), ("bbbb:8",), ("bbbb:9",),
+    ]
+    df = spark.createDataFrame(rows, "gtid string")
+    got = {
+        r.sid: (r.n_txns, r.gno_min, r.gno_max, r.n_gaps)
+        for r in gtid_gaps(df).collect()
+    }
+    assert got == {"aaaa": (4, 1, 5, 1), "bbbb": (3, 7, 9, 0)}
