@@ -2875,14 +2875,19 @@ def oracle_doc_ngram_containment():
     """
 
 
-PQ_M = 4        # subspaces (codes per vector)
-PQ_CODES = 8    # codebook entries per subspace
+# M=16 subdim-4 subspaces × 16 codes: 16 B/vector vs 256 B raw (16×).
+# Swept at sf0.01 against exact top-10: (M=4,K=8) 0.14, (8,16) 0.12,
+# (16,16) 0.46 — near-uniform unit vectors are PQ's hardest case
+# (no cluster structure; distances concentrate), so finer subspaces
+# beat more codes; 0.46 is in the measured IVF band (emb_ivf_recall).
+PQ_M = 16       # subspaces (codes per vector)
+PQ_CODES = 16   # codebook entries per subspace
 PQ_SUBDIM = EMB_DIM // PQ_M
 
 
 def q_emb_pq_knn(spark, sf_dir):
     """Product-quantization ANN (Jégou et al. 2011): corpus stored as
-    PQ_M small codes (64× less memory than raw vectors), queries exact,
+    PQ_M small codes (16× less memory than raw vectors), queries exact,
     ranking by asymmetric-distance inner product against codebook
     reconstructions — the memory-bound complement to IVF's compute
     bound.  Codebooks from the deterministic IVF-style seeds so the
@@ -2979,4 +2984,42 @@ def oracle_cdc_gtid_gaps():
            CAST(MAX(gno) - MIN(gno) + 1 - COUNT(DISTINCT gno) AS BIGINT)
              AS n_gaps
     FROM p GROUP BY 1
+    """
+
+
+def q_emb_pq_recall(spark, sf_dir):
+    """PQ quality measured, not asserted: per-query recall@k of the
+    PQ-ADC ranking against the exact brute-force top-k — quantifies
+    what 16× memory compression costs in ranking fidelity (the number a
+    PQ deployment is accepted or rejected on).  Both sides are the
+    already-verified operators; the compare is one tiny join."""
+    exact = q_emb_cosine_knn(spark, sf_dir).select("query_id", "neighbor_id")
+    approx = q_emb_pq_knn(spark, sf_dir).select(
+        F.col("query_id").alias("aq"), F.col("neighbor_id").alias("an")
+    )
+    hit = exact.join(
+        approx,
+        (F.col("query_id") == F.col("aq"))
+        & (F.col("neighbor_id") == F.col("an")),
+        "left",
+    )
+    return hit.groupBy("query_id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("k"),
+        F.count("an").cast("bigint").alias("n_hit"),
+        F.round(F.count("an") / F.count(F.lit(1)), 4).alias("recall"),
+    )
+
+
+def oracle_emb_pq_recall():
+    exact = oracle_emb_cosine_knn()
+    approx = oracle_emb_pq_knn()
+    return f"""
+    SELECT e.query_id,
+           CAST(COUNT(*) AS BIGINT) AS k,
+           CAST(COUNT(a.neighbor_id) AS BIGINT) AS n_hit,
+           round(COUNT(a.neighbor_id) / COUNT(*), 4) AS recall
+    FROM ({exact}) e
+    LEFT JOIN ({approx}) a
+      ON a.query_id = e.query_id AND a.neighbor_id = e.neighbor_id
+    GROUP BY e.query_id
     """

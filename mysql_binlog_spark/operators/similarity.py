@@ -532,7 +532,7 @@ def ivf_cluster_stats(
 
 # Product quantization (Jégou et al. 2011): split the d-dim space into M
 # subspaces, quantize each subvector to one of K codebook entries, store
-# M small codes per vector (here M=4 bytes vs 64 floats — 64× memory).
+# M small codes per vector (e.g. 16 bytes vs 64 floats — 16× memory).
 # Queries stay EXACT and score against reconstructions via asymmetric
 # distance computation (ADC): score(q, c) = Σ_m <q_m, cb[m][code_m(c)]>
 # — the memory-bound ANN shape for an embedding lake too big to hold
@@ -604,7 +604,7 @@ def pq_knn(
     query set broadcasts, ADC is M dynamic codebook lookups
     (element_at on array-of-array literals) + M ordered dot adds, then
     the standard per-query top-k window.  Same single-exchange shape as
-    cosine_knn with 64× less corpus state."""
+    cosine_knn with 16× less corpus state."""
     from pyspark.sql import Window
 
     subdim = len(codebooks[0][0])

@@ -82,6 +82,7 @@ def test_no_cartesian_in_any_driver_query(spark, sf_dir):
         "emb_cosine_knn",
         "emb_sq8_knn",
         "emb_pq_knn",  # tiny query set broadcast against PQ codes
+        "emb_pq_recall",  # composes emb_cosine_knn + emb_pq_knn
         "emb_ivf_recall",  # composes emb_cosine_knn's broadcast cross join
         "corpus_pmi_bigrams",
         # 1-row broadcast scalar-attach (total-count / total-log join):
