@@ -3023,3 +3023,74 @@ def oracle_emb_pq_recall():
       ON a.query_id = e.query_id AND a.neighbor_id = e.neighbor_id
     GROUP BY e.query_id
     """
+
+
+def q_cdc_compaction(spark, sf_dir):
+    """Lake maintenance under the oracle gate: after the multi-epoch
+    replay fragments every bucket, ``compact(purge_tombstones=True)``
+    rewrites the live buckets into one epoch and vacuums the superseded
+    files — and the snapshot it serves afterwards must still hash-equal
+    the spec's final state (compaction moves bytes, never data).  The
+    query asserts the physical effect inline (exactly ≤1 live file per
+    bucket post-compact, tombstones gone) before returning the snapshot
+    (table.LakeTable.compact/vacuum)."""
+    chunks = binlog_fixture_dir(spark, sf_dir)
+    lake_dir = tempfile.mkdtemp(prefix="mbs_lake_cmp_")
+    table = LakeTable.create(
+        lake_dir,
+        columns=[
+            ("conv_id", "string"), ("turn_idx", "int"), ("role", "string"),
+            ("text", "string"), ("tool", "string"), ("ts", "timestamp"),
+        ],
+        key_cols=KEY_COLS,
+        n_buckets=16,
+    )
+    replay_batch(
+        spark, chunks, table, include=[("app", "transcripts")],
+        files_per_epoch=2,
+    )
+    stats = table.compact(spark, purge_tombstones=True, vacuum_after=True)
+    assert not stats.get("skipped"), stats
+    per_bucket = table.last_commit()["buckets"]
+    assert max((len(fs) for fs in per_bucket.values()), default=0) <= 1, (
+        "compaction left a fragmented bucket"
+    )
+    return table.snapshot_df(spark).select(*FINAL_COLS)
+
+
+def oracle_cdc_compaction():
+    # data-preservation contract: post-compaction snapshot == final state
+    return spec.final_state_sql("duckdb")
+
+
+def q_doc_tokenizer_fertility(spark, sf_dir):
+    """Tokenizer fertility (BPE tokens per whitespace word) per language
+    — the standard tokenizer-evaluation metric: fertility far above the
+    corpus mean flags languages the merge table underserves (their
+    documents cost 2-5× the token budget per word).  Exact integer sums,
+    one |langs|-row aggregate."""
+    docs = _docs(spark, sf_dir)
+    return docs.groupBy("lang").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+        F.sum(T.ws_token_count(F.col("text")).cast("bigint"))
+        .cast("bigint").alias("ws_tokens"),
+        F.sum(T.bpe_token_count(F.col("text")).cast("bigint"))
+        .cast("bigint").alias("bpe_tokens"),
+        F.round(
+            F.sum(T.bpe_token_count(F.col("text")).cast("bigint"))
+            / F.sum(T.ws_token_count(F.col("text")).cast("bigint")),
+            6,
+        ).alias("fertility"),
+    )
+
+
+def oracle_doc_tokenizer_fertility():
+    ws = f"len(regexp_split_to_array(trim(text), '{T.WS}'))"
+    bpe = T.bpe_token_count_sql("text")
+    return f"""
+    SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM({ws}) AS BIGINT) AS ws_tokens,
+           CAST(SUM({bpe}) AS BIGINT) AS bpe_tokens,
+           round(SUM({bpe}) / SUM({ws}), 6) AS fertility
+    FROM documents GROUP BY lang
+    """
