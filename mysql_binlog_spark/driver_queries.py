@@ -3094,3 +3094,22 @@ def oracle_doc_tokenizer_fertility():
            round(SUM({bpe}) / SUM({ws}), 6) AS fertility
     FROM documents GROUP BY lang
     """
+
+
+def q_corpus_heavy_hitters_cms(spark, sf_dir):
+    """Count-min-sketch heavy hitters, audited: top-20 tokens by true
+    count with the 4×1024 sketch's estimate alongside — est ≥ true row
+    by row (the CMS guarantee) and overest measures collision inflation.
+    The sketch builds in ONE bounded exchange (≤ d·w keys after map-side
+    partials) and broadcasts — the frequency-estimate path that never
+    shuffles the corpus on the token key
+    (operators/corpus.cms_heavy_hitters)."""
+    from .operators.corpus import cms_heavy_hitters
+
+    return cms_heavy_hitters(_docs(spark, sf_dir), d=4, w=1024, k=20)
+
+
+def oracle_corpus_heavy_hitters_cms():
+    from .operators.corpus import cms_heavy_hitters_sql
+
+    return cms_heavy_hitters_sql(d=4, w=1024, k=20)

@@ -854,3 +854,140 @@ def quality_by_source_sql(
       FROM ({inner}) p JOIN {rel} d USING ({id_col})
     ) GROUP BY source
     """
+
+
+# ------------------------------------------------------- count-min sketch
+
+# Count-min sketch (Cormode & Muthukrishnan 2005): d hash rows × w
+# buckets of counters; est(x) = min_r cell[r][h_r(x)] ≥ true(x), with
+# overestimate ≤ εN at probability 1−δ for w = ⌈e/ε⌉, d = ⌈ln 1/δ⌉.
+# The 100 TB story: the sketch's cardinality is d·w REGARDLESS of
+# corpus size — one bounded-key exchange builds it (map-side partials
+# collapse each task to ≤ d·w rows before the shuffle), and it
+# broadcasts everywhere a frequency estimate is needed without ever
+# shuffling the corpus on the token key.  Hashes are the repo's
+# md5_bigint + seeded twins so the DuckDB oracle replays the identical
+# sketch cell-for-cell.
+
+
+def cms_sketch(
+    df: DataFrame,
+    text_col: str = "text",
+    d: int = 4,
+    w: int = 1024,
+) -> DataFrame:
+    """(r, bucket, c): the d×w counter grid over whitespace tokens."""
+    from ..functions.hashing import md5_bigint
+
+    toks = df.select(
+        F.explode(F.split(F.lower(F.trim(F.col(text_col))), WS)).alias("tok")
+    )
+    rows = toks.select(
+        "tok",
+        F.explode(F.array(*[F.lit(r) for r in range(d)])).alias("r"),
+    ).select(
+        "r",
+        F.pmod(
+            md5_bigint(
+                F.concat(F.lit("cms"), F.col("r").cast("string"),
+                         F.lit(":"), F.col("tok"))
+            ),
+            F.lit(w),
+        ).alias("bucket"),
+    )
+    return rows.groupBy("r", "bucket").agg(
+        F.count(F.lit(1)).cast("bigint").alias("c")
+    )
+
+
+def cms_heavy_hitters(
+    df: DataFrame,
+    text_col: str = "text",
+    d: int = 4,
+    w: int = 1024,
+    k: int = 20,
+) -> DataFrame:
+    """Top-k tokens by TRUE count with their CMS estimate — the audit
+    view of the sketch: ``est ≥ true`` always (the CMS guarantee,
+    checkable row by row) and ``overest = est − true`` measures the
+    collision inflation at this (d, w).
+
+    Plan: the sketch is ONE bounded exchange (≤ d·w keys after map-side
+    partials) then broadcasts; candidate tokens compute their d bucket
+    ids narrowly and min-reduce over the broadcast join.  The exact
+    counts exist here as the audit column — a production point-query
+    path uses the broadcast sketch alone."""
+    from ..functions.hashing import md5_bigint
+
+    sk = cms_sketch(df, text_col, d, w)
+    truth = (
+        df.select(
+            F.explode(
+                F.split(F.lower(F.trim(F.col(text_col))), WS)
+            ).alias("tok")
+        )
+        .groupBy("tok")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("true_cnt"))
+    )
+    probes = truth.select(
+        "tok", "true_cnt",
+        F.explode(F.array(*[F.lit(r) for r in range(d)])).alias("r"),
+    ).select(
+        "tok", "true_cnt", "r",
+        F.pmod(
+            md5_bigint(
+                F.concat(F.lit("cms"), F.col("r").cast("string"),
+                         F.lit(":"), F.col("tok"))
+            ),
+            F.lit(w),
+        ).alias("bucket"),
+    )
+    est = (
+        probes.join(F.broadcast(sk), ["r", "bucket"])
+        .groupBy("tok", "true_cnt")
+        .agg(F.min("c").alias("est"))
+    )
+    return (
+        est.select(
+            "tok", "true_cnt", "est",
+            (F.col("est") - F.col("true_cnt")).cast("bigint").alias("overest"),
+        )
+        .orderBy(F.desc("true_cnt"), F.asc("tok"))
+        .limit(k)
+    )
+
+
+def cms_heavy_hitters_sql(
+    d: int = 4, w: int = 1024, k: int = 20, rel: str = "documents",
+    text_col: str = "text",
+) -> str:
+    """DuckDB twin: identical cells, identical min-reduce."""
+    from ..functions.hashing import md5_bigint_sql
+
+    toks = (
+        f"SELECT unnest(regexp_split_to_array(lower(trim({text_col})),"
+        f" '{WS}')) AS tok FROM {rel}"
+    )
+    bucket = md5_bigint_sql("'cms' || r || ':' || tok")
+    return f"""
+    WITH toks AS ({toks}),
+    probes AS (
+      SELECT tok, t.r, ({bucket}) % {w} AS bucket
+      FROM toks, range(0, {d}) t(r)
+    ), cells AS (
+      SELECT r, bucket, CAST(COUNT(*) AS BIGINT) AS c
+      FROM probes GROUP BY 1, 2
+    ), truth AS (
+      SELECT tok, CAST(COUNT(*) AS BIGINT) AS true_cnt
+      FROM toks GROUP BY tok
+    ), est AS (
+      SELECT t.tok, t.true_cnt, MIN(c.c) AS est
+      FROM truth t CROSS JOIN range(0, {d}) r(r)
+      JOIN cells c
+        ON c.r = r.r AND c.bucket = ({md5_bigint_sql("'cms' || r.r || ':' || t.tok")}) % {w}
+      GROUP BY 1, 2
+    )
+    SELECT tok, true_cnt, est,
+           CAST(est - true_cnt AS BIGINT) AS overest
+    FROM est ORDER BY true_cnt DESC, tok LIMIT {k}
+    """

@@ -1365,3 +1365,19 @@ def test_gtid_gaps_detects_missing_txn(spark):
         for r in gtid_gaps(df).collect()
     }
     assert got == {"aaaa": (4, 1, 5, 1), "bbbb": (3, 7, 9, 0)}
+
+
+def test_cms_overestimates_never_under(spark):
+    from mysql_binlog_spark.operators.corpus import cms_heavy_hitters
+
+    docs = spark.createDataFrame(
+        [(i, " ".join(f"t{j}" for j in range(i % 7 + 1))) for i in range(40)],
+        "doc_id long, text string",
+    )
+    # w=4 forces collisions: est >= true everywhere, some overestimate
+    tight = cms_heavy_hitters(docs, d=2, w=4, k=50).collect()
+    assert all(r.est >= r.true_cnt for r in tight)
+    assert any(r.overest > 0 for r in tight)
+    # a wide sketch (w >> distinct tokens) is exact for every token
+    wide = cms_heavy_hitters(docs, d=4, w=4096, k=50).collect()
+    assert wide and all(r.overest == 0 for r in wide)
