@@ -2885,14 +2885,9 @@ PQ_CODES = 16   # codebook entries per subspace
 PQ_SUBDIM = EMB_DIM // PQ_M
 
 
-def q_emb_pq_knn(spark, sf_dir):
-    """Product-quantization ANN (Jégou et al. 2011): corpus stored as
-    PQ_M small codes (16× less memory than raw vectors), queries exact,
-    ranking by asymmetric-distance inner product against codebook
-    reconstructions — the memory-bound complement to IVF's compute
-    bound.  Codebooks from the deterministic IVF-style seeds so the
-    oracle replays them (operators/similarity.pq_knn)."""
-    from .operators.similarity import pq_codebooks, pq_knn, pq_seed_ids
+def _pq_setup(spark, sf_dir):
+    """(corpus, query set, deterministic codebooks) shared by the PQ rows."""
+    from .operators.similarity import pq_codebooks, pq_seed_ids
 
     embs = _embs(spark, sf_dir)
     ids = pq_seed_ids(PQ_CODES)
@@ -2901,12 +2896,23 @@ def q_emb_pq_knn(spark, sf_dir):
         for r in embs.filter(F.col("vec_id").isin(ids)).collect()
     )
     queries = embs.filter(F.col("vec_id") < KNN_QUERIES)
-    return pq_knn(
-        embs, queries, pq_codebooks(seeds, PQ_M, EMB_DIM), k=KNN_K
-    )
+    return embs, queries, pq_codebooks(seeds, PQ_M, EMB_DIM)
 
 
-def oracle_emb_pq_knn():
+def q_emb_pq_knn(spark, sf_dir):
+    """Product-quantization ANN (Jégou et al. 2011): corpus stored as
+    PQ_M small codes (16× less memory than raw vectors), queries exact,
+    ranking by asymmetric-distance inner product against codebook
+    reconstructions — the memory-bound complement to IVF's compute
+    bound.  Codebooks from the deterministic IVF-style seeds so the
+    oracle replays them (operators/similarity.pq_knn)."""
+    from .operators.similarity import pq_knn
+
+    embs, queries, codebooks = _pq_setup(spark, sf_dir)
+    return pq_knn(embs, queries, codebooks, k=KNN_K)
+
+
+def oracle_emb_pq_knn(k: int = KNN_K):
     sd = PQ_SUBDIM
     sub = (
         f"list_transform((embedding)[t.m*{sd}+1 : t.m*{sd}+{sd}], "
@@ -2952,7 +2958,7 @@ def oracle_emb_pq_knn():
       SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
                ORDER BY adc_ip DESC, neighbor_id) AS rank
       FROM scored
-    ) WHERE rank <= {KNN_K}
+    ) WHERE rank <= {k}
     """
 
 
@@ -3013,6 +3019,87 @@ def q_emb_pq_recall(spark, sf_dir):
 def oracle_emb_pq_recall():
     exact = oracle_emb_cosine_knn()
     approx = oracle_emb_pq_knn()
+    return f"""
+    SELECT e.query_id,
+           CAST(COUNT(*) AS BIGINT) AS k,
+           CAST(COUNT(a.neighbor_id) AS BIGINT) AS n_hit,
+           round(COUNT(a.neighbor_id) / COUNT(*), 4) AS recall
+    FROM ({exact}) e
+    LEFT JOIN ({approx}) a
+      ON a.query_id = e.query_id AND a.neighbor_id = e.neighbor_id
+    GROUP BY e.query_id
+    """
+
+
+# Shortlist swept at sf0.01 (n=500, k=10) against exact top-10:
+# S=25 → 0.64, S=50 → 0.74, S=100 → 0.92, S=200 → 0.96, S=400 → 1.00
+# (vs 0.46 for PQ alone at the same M/K) — recall is governed by
+# whether the true top-k survives into the ADC top-S, so at corpus
+# scale S stays a per-query constant while n grows and the rerank cost
+# (Q×S exact cosines) is unchanged.  Default S=50 = 10% of this tiny
+# test corpus; production tunes S to the recall target, not to n.
+PQ_SHORTLIST = 50  # ADC candidates per query fed to the exact re-rank
+
+
+def q_emb_pq_rerank(spark, sf_dir):
+    """Two-stage production ANN: PQ-ADC shortlist (top-PQ_SHORTLIST per
+    query from 16×-compressed codes) → exact cosine re-rank of only
+    those candidates.  Recovers most of the recall PQ alone loses
+    (measured: emb_pq_rerank_recall vs emb_pq_recall) while the
+    full-precision vectors are touched for ≤ Q×PQ_SHORTLIST rows — the
+    corpus scan itself stays shuffle-free in both stages
+    (operators/similarity.pq_rerank_knn)."""
+    from .operators.similarity import pq_rerank_knn
+
+    embs, queries, codebooks = _pq_setup(spark, sf_dir)
+    return pq_rerank_knn(
+        embs, queries, codebooks, k=KNN_K, shortlist=PQ_SHORTLIST
+    )
+
+
+def oracle_emb_pq_rerank():
+    cand = oracle_emb_pq_knn(k=PQ_SHORTLIST)
+    cos = _duck_cos("q.embedding", "n.embedding")
+    return f"""
+    WITH cand AS ({cand}), rescored AS (
+      SELECT c.query_id, c.neighbor_id, round({cos}, 4) AS cos_sim
+      FROM cand c
+      JOIN embeddings q ON q.vec_id = c.query_id
+      JOIN embeddings n ON n.vec_id = c.neighbor_id
+    )
+    SELECT query_id, neighbor_id, cos_sim, rank FROM (
+      SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+               ORDER BY cos_sim DESC, neighbor_id) AS rank
+      FROM rescored
+    ) WHERE rank <= {KNN_K}
+    """
+
+
+def q_emb_pq_rerank_recall(spark, sf_dir):
+    """Recall@k of the reranked two-stage pipeline against exact
+    brute-force — the acceptance number for shipping PQ+rerank in place
+    of brute force.  Composes two already-verified rows; the compare is
+    one tiny join."""
+    exact = q_emb_cosine_knn(spark, sf_dir).select("query_id", "neighbor_id")
+    approx = q_emb_pq_rerank(spark, sf_dir).select(
+        F.col("query_id").alias("aq"), F.col("neighbor_id").alias("an")
+    )
+    hit = exact.join(
+        approx,
+        (F.col("query_id") == F.col("aq"))
+        & (F.col("neighbor_id") == F.col("an")),
+        "left",
+    )
+    return hit.groupBy("query_id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("k"),
+        F.count("an").cast("bigint").alias("n_hit"),
+        F.round(F.count("an") / F.count(F.lit(1)), 4).alias("recall"),
+    )
+
+
+def oracle_emb_pq_rerank_recall():
+    exact = oracle_emb_cosine_knn()
+    approx = oracle_emb_pq_rerank()
     return f"""
     SELECT e.query_id,
            CAST(COUNT(*) AS BIGINT) AS k,

@@ -641,3 +641,54 @@ def pq_knn(
     return scored.withColumn("rank", F.row_number().over(w)).filter(
         F.col("rank") <= k
     )
+
+
+def pq_rerank_knn(
+    corpus: DataFrame,
+    queries: DataFrame,
+    codebooks: list[list[list[float]]],
+    k: int = 10,
+    shortlist: int = 50,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    round_digits: int = 4,
+) -> DataFrame:
+    """PQ-ADC shortlist → exact cosine re-rank (the standard two-stage
+    production ANN: compressed codes pick ``shortlist`` candidates per
+    query, then full-precision vectors re-score only those).
+
+    Plan at scale: stage 1 is ``pq_knn`` (corpus never shuffles, codes
+    only in memory); stage 2 joins the tiny Q×S candidate set back to
+    the corpus BY BROADCAST — the full-vector scan stays shuffle-free
+    and touches every row once, but computes the exact cosine only for
+    the ≤ Q×S matches.  Recall ≈ exact whenever the true top-k survives
+    into the ADC top-S, at 1/16th the memory of brute force."""
+    from pyspark.sql import Window
+
+    cand = pq_knn(
+        corpus, queries, codebooks, k=shortlist,
+        id_col=id_col, vec_col=vec_col, round_digits=round_digits,
+    ).select("query_id", "neighbor_id")
+    c = corpus.select(
+        F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("nvec")
+    )
+    q = queries.select(
+        F.col(id_col).alias("query_id"), F.col(vec_col).alias("qvec")
+    )
+    rescored = (
+        c.join(F.broadcast(cand), "neighbor_id")
+        .join(F.broadcast(q), "query_id")
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.round(cosine(F.col("qvec"), F.col("nvec")), round_digits).alias(
+                "cos_sim"
+            ),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("cos_sim"), F.asc("neighbor_id")
+    )
+    return rescored.withColumn("rank", F.row_number().over(w)).filter(
+        F.col("rank") <= k
+    )

@@ -1350,6 +1350,38 @@ def test_pq_seed_self_encoding_and_exact_adc(spark):
     assert got == [(nid, -ip) for ip, nid in exp]
 
 
+def test_pq_rerank_with_full_shortlist_equals_exact(spark):
+    """shortlist >= corpus-1 makes stage 2 see every candidate, so the
+    reranked top-k must equal brute-force cosine_knn exactly — proves
+    the re-rank stage computes the same cosine the exact baseline does
+    (any shortlist miss would surface as a recall gap, measured
+    separately by emb_pq_rerank_recall)."""
+    from mysql_binlog_spark.operators.similarity import (
+        cosine_knn,
+        pq_codebooks,
+        pq_rerank_knn,
+    )
+
+    def vec(i):
+        return [float(((i * 7 + j * 3) % 11) - 5) for j in range(8)]
+
+    seeds = [(7 * j, vec(j)) for j in range(8)]
+    df = spark.createDataFrame(
+        [(sid, v) for sid, v in seeds], "vec_id long, embedding array<double>"
+    )
+    cbs = pq_codebooks(seeds, m=2, dim=8)
+    queries = df.filter(F.col("vec_id") < 14)  # two query vectors
+    cols = ["query_id", "neighbor_id", "cos_sim", "rank"]
+    got = sorted(
+        map(tuple, pq_rerank_knn(df, queries, cbs, k=3, shortlist=7)
+            .select(*cols).collect())
+    )
+    exp = sorted(
+        map(tuple, cosine_knn(df, queries, k=3).select(*cols).collect())
+    )
+    assert got == exp and len(got) == 6
+
+
 def test_gtid_gaps_detects_missing_txn(spark):
     from mysql_binlog_spark.operators.apply import gtid_gaps
 

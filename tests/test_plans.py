@@ -83,6 +83,8 @@ def test_no_cartesian_in_any_driver_query(spark, sf_dir):
         "emb_sq8_knn",
         "emb_pq_knn",  # tiny query set broadcast against PQ codes
         "emb_pq_recall",  # composes emb_cosine_knn + emb_pq_knn
+        "emb_pq_rerank",  # stage 1 is emb_pq_knn's broadcast cross join
+        "emb_pq_rerank_recall",  # composes emb_cosine_knn + emb_pq_rerank
         "emb_ivf_recall",  # composes emb_cosine_knn's broadcast cross join
         "corpus_pmi_bigrams",
         # 1-row broadcast scalar-attach (total-count / total-log join):
