@@ -588,6 +588,23 @@ def pq_encode_cols(vec_col, codebooks: list[list[list[float]]]):
     return cols
 
 
+def _adc_score(qvec_col, codebooks: list[list[list[float]]]):
+    """ADC inner product: ordered (m = 0, 1, …) left-to-right adds of
+    <q_sub_m, codebook[m][code_m]> so both engines sum the per-subspace
+    dots in the same sequence and binary64 matches the SQL twin."""
+    subdim = len(codebooks[0][0])
+    cb_lits = [
+        F.array(*[F.array(*[F.lit(v) for v in cj]) for cj in cb])
+        for cb in codebooks
+    ]
+    score = None
+    for mm, cb_lit in enumerate(cb_lits):
+        qsub = F.slice(qvec_col, mm * subdim + 1, subdim)
+        term = _dot(qsub, F.element_at(cb_lit, F.col(f"code_{mm}") + 1))
+        score = term if score is None else score + term
+    return score
+
+
 def pq_knn(
     corpus: DataFrame,
     queries: DataFrame,
@@ -615,17 +632,7 @@ def pq_knn(
     q = queries.select(
         F.col(id_col).alias("query_id"), F.col(vec_col).alias("qvec")
     )
-    cb_lits = [
-        F.array(*[F.array(*[F.lit(v) for v in cj]) for cj in cb])
-        for cb in codebooks
-    ]
-    # ordered (m = 0, 1, …) left-to-right adds: both engines sum the
-    # per-subspace dots in the same sequence, so binary64 matches
-    score = None
-    for mm, cb_lit in enumerate(cb_lits):
-        qsub = F.slice(F.col("qvec"), mm * subdim + 1, subdim)
-        term = _dot(qsub, F.element_at(cb_lit, F.col(f"code_{mm}") + 1))
-        score = term if score is None else score + term
+    score = _adc_score(F.col("qvec"), codebooks)
     scored = (
         enc.crossJoin(F.broadcast(q))
         .filter(F.col("neighbor_id") != F.col("query_id"))
@@ -690,5 +697,80 @@ def pq_rerank_knn(
         F.desc("cos_sim"), F.asc("neighbor_id")
     )
     return rescored.withColumn("rank", F.row_number().over(w)).filter(
+        F.col("rank") <= k
+    )
+
+
+def ivfpq_knn(
+    corpus: DataFrame,
+    queries: DataFrame,
+    centroids: list[tuple[int, list[float]]],
+    codebooks: list[list[list[float]]],
+    k: int = 10,
+    nprobe: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    round_digits: int = 4,
+) -> DataFrame:
+    """IVF-PQ (the IVFADC architecture of Jégou et al. 2011 — what FAISS
+    ships for billion-vector search): corpus bucketed once by nearest
+    centroid AND stored as PQ codes; each query probes only its
+    ``nprobe`` closest cells and ranks candidates by the ADC inner
+    product against codebook reconstructions.
+
+    100 TB shape — this is THE production composition: IVF bounds the
+    candidates a query touches (nprobe/n_cells of the data), PQ bounds
+    the bytes per candidate (codes, 16× less than raw vectors), so the
+    working set per probe is nprobe/n_cells × 1/16 of brute force.  The
+    corpus shuffles once on the bounded ``cell`` key; raw vectors never
+    leave the initial encode projection.  Chain ``pq_rerank_knn``-style
+    exact re-scoring on top when the recall target demands it."""
+    from pyspark.sql import Window
+
+    assigned = ivf_assign(corpus, centroids, id_col, vec_col)
+    enc = assigned.select(
+        F.col(id_col).alias("neighbor_id"),
+        "cell",
+        *pq_encode_cols(F.col(vec_col), codebooks),
+    )
+    q = queries.select(
+        F.col(id_col).alias("query_id"), F.col(vec_col).alias("qvec")
+    )
+    cents = F.array(
+        *[
+            F.struct(
+                F.round(
+                    cosine(F.col("qvec"), F.array(*[F.lit(v) for v in c])),
+                    4,
+                ).alias("s"),
+                F.lit(-j).alias("negcell"),
+            )
+            for j, (_, c) in enumerate(centroids)
+        ]
+    )
+    probes = q.select(
+        "query_id", "qvec",
+        F.slice(F.reverse(F.array_sort(cents)), 1, nprobe).alias("_top"),
+    ).select(
+        "query_id", "qvec",
+        F.explode(F.transform(F.col("_top"), lambda s: -s["negcell"])).alias(
+            "cell"
+        ),
+    )
+    scored = (
+        enc.join(F.broadcast(probes), on="cell")
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.round(_adc_score(F.col("qvec"), codebooks), round_digits).alias(
+                "adc_ip"
+            ),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("adc_ip"), F.asc("neighbor_id")
+    )
+    return scored.withColumn("rank", F.row_number().over(w)).filter(
         F.col("rank") <= k
     )

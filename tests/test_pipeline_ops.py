@@ -1382,6 +1382,37 @@ def test_pq_rerank_with_full_shortlist_equals_exact(spark):
     assert got == exp and len(got) == 6
 
 
+def test_ivfpq_full_probe_equals_pq(spark):
+    """nprobe = n_cells disables cell pruning, so IVF-PQ must produce
+    exactly pq_knn's ADC ranking — isolates the composition plumbing
+    (cell assign + probe join) from the quantization it wraps."""
+    from mysql_binlog_spark.operators.similarity import (
+        ivfpq_knn,
+        pq_codebooks,
+        pq_knn,
+    )
+
+    def vec(i):
+        return [float(((i * 7 + j * 3) % 11) - 5) for j in range(8)]
+
+    seeds = [(7 * j, vec(j)) for j in range(8)]
+    df = spark.createDataFrame(
+        [(sid, v) for sid, v in seeds], "vec_id long, embedding array<double>"
+    )
+    cbs = pq_codebooks(seeds, m=2, dim=8)
+    cents = seeds[:4]  # 4 cells, probe all 4
+    queries = df.filter(F.col("vec_id") < 14)
+    cols = ["query_id", "neighbor_id", "adc_ip", "rank"]
+    got = sorted(
+        map(tuple, ivfpq_knn(df, queries, cents, cbs, k=3, nprobe=4)
+            .select(*cols).collect())
+    )
+    exp = sorted(
+        map(tuple, pq_knn(df, queries, cbs, k=3).select(*cols).collect())
+    )
+    assert got == exp and len(got) == 6
+
+
 def test_gtid_gaps_detects_missing_txn(spark):
     from mysql_binlog_spark.operators.apply import gtid_gaps
 
