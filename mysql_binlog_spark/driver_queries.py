@@ -3336,3 +3336,31 @@ def oracle_corpus_heavy_hitters_cms():
     from .operators.corpus import cms_heavy_hitters_sql
 
     return cms_heavy_hitters_sql(d=4, w=1024, k=20)
+
+
+def q_corpus_quantile_sketch(spark, sf_dir):
+    """Mergeable quantile summary (Munro-Paterson sorted-run sampling),
+    audited: p50/p90/p99 of document length estimated from an
+    O(n_shards/eps) summary — each hash shard sorts locally and keeps
+    every stride-th element with its exact local rank; merging is a
+    union + one cumulative sum over the tiny summary.  The audit columns
+    prove the deterministic guarantee row by row: rank_le(est) ≥ target
+    (never undershoots) and rank_lt(est) ≤ target + bound.  No global
+    sort ever touches the corpus — the sketch complement to exact
+    doc_length_quantiles and the second member of the audited-sketch
+    family with corpus_heavy_hitters_cms
+    (operators/corpus.quantile_summary)."""
+    from .operators.corpus import quantile_summary
+
+    return quantile_summary(
+        _docs(spark, sf_dir), value_col="n_chars", id_col="doc_id",
+        eps=0.05, n_shards=4,
+    )
+
+
+def oracle_corpus_quantile_sketch():
+    from .operators.corpus import quantile_summary_sql
+
+    return quantile_summary_sql(
+        value_col="n_chars", id_col="doc_id", eps=0.05, n_shards=4,
+    )

@@ -991,3 +991,222 @@ def cms_heavy_hitters_sql(
            CAST(est - true_cnt AS BIGINT) AS overest
     FROM est ORDER BY true_cnt DESC, tok LIMIT {k}
     """
+
+
+# ------------------------------------------- mergeable quantile summary
+
+# Distributed quantiles without a global sort: the sorted-run-sampling
+# summary (Munro-Paterson 1980 / Manku-Rajagopalan-Lindsay 1998 shape).
+# Each deterministic hash shard sorts locally and keeps every stride-th
+# element (stride = floor(eps * shard_size), so the summary is
+# O(n_shards / eps) rows REGARDLESS of n); a kept element carries its
+# exact local rank.  Merging shards is a union — cumulative-summing the
+# local-rank deltas in global value order gives, at any kept value v, a
+# LOWER BOUND on v's global rank that is tight to within
+# B = max(stride) + sum_s(stride_s - 1).  The p-quantile estimate is the
+# smallest kept value whose bound reaches ceil(p * n), and the audit
+# columns prove the deterministic guarantee row by row:
+#   rank_le(est) >= target          (never undershoots)
+#   rank_lt(est) <= target + B      (overshoot bounded by B)
+# 100 TB shape: the only full-data work is a per-shard sort (bounded,
+# parallel — same per-shard-window discipline as pack_sequences); the
+# merged summary and every window after it are O(n_shards/eps) rows.
+# The exact side exists here as the audit; production serves quantiles
+# from the summary alone and merges summaries across days/partitions.
+
+
+def quantile_summary(
+    df: DataFrame,
+    value_col: str = "n_chars",
+    id_col: str = "doc_id",
+    eps: float = 0.05,
+    n_shards: int = 4,
+    ps: tuple[float, ...] = (0.5, 0.9, 0.99),
+) -> DataFrame:
+    """(p, n, target, est, exact, rank_lt, rank_le, bound, within_bound)
+    per requested quantile."""
+    from ..functions.hashing import md5_bigint
+
+    sh = df.select(
+        F.col(value_col).cast("bigint").alias("v"),
+        F.col(id_col).alias("i"),
+        F.pmod(
+            md5_bigint(F.concat(F.lit("qs:"), F.col(id_col).cast("string"))),
+            F.lit(n_shards),
+        ).alias("shard"),
+    )
+    wsh = Window.partitionBy("shard").orderBy("v", "i")
+    wcnt = Window.partitionBy("shard")
+    ranked = sh.select(
+        "shard", "v", "i",
+        F.row_number().over(wsh).alias("r"),
+        F.count(F.lit(1)).over(wcnt).alias("ns"),
+    )
+    stride = F.greatest(
+        F.lit(1), F.floor(F.lit(eps) * F.col("ns")).cast("int")
+    )
+    summ = ranked.withColumn("stride", stride).filter(
+        (F.col("r") % F.col("stride") == 0) | (F.col("r") == F.col("ns"))
+    )
+    wlag = Window.partitionBy("shard").orderBy("r")
+    delt = summ.withColumn(
+        "delta", F.col("r") - F.coalesce(F.lag("r").over(wlag), F.lit(0))
+    )
+    # the windows below run over the O(n_shards/eps)-row summary only
+    wg = Window.orderBy("v", "shard", "r").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    wall = Window.partitionBy()
+    cum = delt.select(
+        "v", "shard", "r", "stride", "delta", "ns",
+        F.sum("delta").over(wg).alias("lb"),
+    ).select(
+        "v", "lb",
+        F.max("lb").over(wall).alias("n"),
+        (
+            F.max("stride").over(wall)
+            + F.sum(
+                F.when(F.col("r") == F.col("ns"), F.col("stride") - 1)
+                .otherwise(F.lit(0))
+            ).over(wall)
+        ).cast("bigint").alias("bound"),
+    )
+    ests = cum.groupBy().agg(
+        F.max("n").alias("n"),
+        F.max("bound").alias("bound"),
+        *[
+            F.min(
+                F.when(
+                    F.col("lb") >= F.ceil(F.lit(p) * F.col("n")), F.col("v")
+                )
+            ).alias(f"_e{j}")
+            for j, p in enumerate(ps)
+        ],
+    )
+    per_p = ests.select(
+        "n", "bound",
+        F.explode(
+            F.array(*[
+                F.struct(
+                    F.lit(p).alias("p"), F.col(f"_e{j}").alias("est")
+                )
+                for j, p in enumerate(ps)
+            ])
+        ).alias("_s"),
+    ).select(
+        F.col("_s.p").alias("p"), "n",
+        F.ceil(F.col("_s.p") * F.col("n")).cast("bigint").alias("target"),
+        F.col("_s.est").alias("est"), "bound",
+    )
+    # audit side: exact ranks of the estimates + the exact quantile
+    vals = df.groupBy(F.col(value_col).cast("bigint").alias("v")).agg(
+        F.count(F.lit(1)).alias("cnt")
+    )
+    wv = Window.orderBy("v").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    cdf = vals.select(
+        "v",
+        (F.sum("cnt").over(wv) - F.col("cnt")).cast("bigint").alias("rank_lt"),
+        F.sum("cnt").over(wv).cast("bigint").alias("rank_le"),
+    )
+    wall2 = Window.partitionBy()
+    exacts = cdf.withColumn(
+        "ntot", F.max("rank_le").over(wall2)
+    ).groupBy().agg(
+        *[
+            F.min(
+                F.when(
+                    F.col("rank_le") >= F.ceil(F.lit(p) * F.col("ntot")),
+                    F.col("v"),
+                )
+            ).alias(f"_x{j}")
+            for j, p in enumerate(ps)
+        ]
+    ).withColumn("_k", F.lit(1))
+    exact_col = F.coalesce(
+        *[
+            F.when(F.col("p") == F.lit(p), F.col(f"_x{j}"))
+            for j, p in enumerate(ps)
+        ]
+    )
+    out = (
+        per_p.withColumn("_k", F.lit(1))
+        .join(F.broadcast(exacts), "_k")
+        .withColumn("exact", exact_col)
+        .join(F.broadcast(cdf), F.col("v") == F.col("est"))
+        .select(
+            "p", "n", "target", "est", "exact", "rank_lt", "rank_le",
+            "bound",
+            (
+                (F.col("rank_le") >= F.col("target"))
+                & (F.col("rank_lt") <= F.col("target") + F.col("bound"))
+            ).alias("within_bound"),
+        )
+    )
+    return out.orderBy("p")
+
+
+def quantile_summary_sql(
+    value_col: str = "n_chars",
+    id_col: str = "doc_id",
+    eps: float = 0.05,
+    n_shards: int = 4,
+    ps: tuple[float, ...] = (0.5, 0.9, 0.99),
+    rel: str = "documents",
+) -> str:
+    """DuckDB twin: identical shards, strides, bounds, audits."""
+    from ..functions.hashing import md5_bigint_sql
+
+    key = f"'qs:' || {id_col}"
+    shard = f"({md5_bigint_sql(key)}) % {n_shards}"
+    p_rows = ", ".join(f"({p})" for p in ps)
+    return f"""
+    WITH sh AS (
+      SELECT CAST({value_col} AS BIGINT) AS v, {id_col} AS i,
+             {shard} AS shard
+      FROM {rel}
+    ), ranked AS (
+      SELECT shard, v, i,
+             ROW_NUMBER() OVER (PARTITION BY shard ORDER BY v, i) AS r,
+             COUNT(*) OVER (PARTITION BY shard) AS ns
+      FROM sh
+    ), summ AS (
+      SELECT *, GREATEST(1, CAST(FLOOR({eps} * ns) AS INT)) AS stride
+      FROM ranked
+      WHERE r % GREATEST(1, CAST(FLOOR({eps} * ns) AS INT)) = 0 OR r = ns
+    ), delt AS (
+      SELECT *, r - COALESCE(LAG(r) OVER (
+               PARTITION BY shard ORDER BY r), 0) AS delta
+      FROM summ
+    ), cum AS (
+      SELECT v, SUM(delta) OVER (ORDER BY v, shard, r) AS lb,
+             MAX(stride) OVER ()
+               + SUM(CASE WHEN r = ns THEN stride - 1 ELSE 0 END) OVER ()
+               AS bound
+      FROM delt
+    ), agg AS (
+      SELECT CAST(MAX(lb) AS BIGINT) AS n,
+             CAST(MAX(bound) AS BIGINT) AS bound FROM cum
+    ), per_p AS (
+      SELECT t.p, a.n,
+             CAST(CEIL(t.p * a.n) AS BIGINT) AS target,
+             (SELECT MIN(c.v) FROM cum c
+              WHERE c.lb >= CEIL(t.p * a.n)) AS est,
+             a.bound
+      FROM (VALUES {p_rows}) t(p) CROSS JOIN agg a
+    ), cdf AS (
+      SELECT v,
+             CAST(SUM(cnt) OVER (ORDER BY v) - cnt AS BIGINT) AS rank_lt,
+             CAST(SUM(cnt) OVER (ORDER BY v) AS BIGINT) AS rank_le
+      FROM (SELECT CAST({value_col} AS BIGINT) AS v, COUNT(*) AS cnt
+            FROM {rel} GROUP BY 1)
+    )
+    SELECT p.p, p.n, p.target, p.est,
+           (SELECT MIN(c.v) FROM cdf c WHERE c.rank_le >= p.target) AS exact,
+           d.rank_lt, d.rank_le, p.bound,
+           (d.rank_le >= p.target AND d.rank_lt <= p.target + p.bound)
+             AS within_bound
+    FROM per_p p JOIN cdf d ON d.v = p.est
+    ORDER BY p.p
+    """

@@ -1413,6 +1413,26 @@ def test_ivfpq_full_probe_equals_pq(spark):
     assert got == exp and len(got) == 6
 
 
+def test_quantile_summary_bound_holds_on_skew(spark):
+    """Heavy-duplicate distribution (the sketch's hard case: one value
+    owns 80% of the mass): every estimate must satisfy the deterministic
+    guarantee rank_le(est) >= target and rank_lt(est) <= target + bound,
+    and p50 must land exactly on the dominant value."""
+    from mysql_binlog_spark.operators.corpus import quantile_summary
+
+    rows = [(i, 100 if i < 800 else 100 + (i % 50) + 1) for i in range(1000)]
+    df = spark.createDataFrame(rows, "doc_id long, n_chars long")
+    out = quantile_summary(
+        df, value_col="n_chars", id_col="doc_id", eps=0.05, n_shards=4
+    ).collect()
+    assert [r.p for r in out] == [0.5, 0.9, 0.99]
+    for r in out:
+        assert r.within_bound, r
+        assert r.rank_le >= r.target
+        assert r.rank_lt <= r.target + r.bound
+    assert out[0].est == 100 and out[0].exact == 100  # dominant value
+
+
 def test_gtid_gaps_detects_missing_txn(spark):
     from mysql_binlog_spark.operators.apply import gtid_gaps
 

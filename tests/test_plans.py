@@ -95,6 +95,7 @@ def test_no_cartesian_in_any_driver_query(spark, sf_dir):
         "corpus_vocab_growth",
         "corpus_token_budget",
         "doc_curation_funnel",  # five 1-row stage-count attaches
+        "corpus_quantile_sketch",  # 1-row exact-quantile audit attach
     }
     for name, fn in entry.queries().items():
         if name in ("cdc_apply_e2e",):  # executes merges on construction
