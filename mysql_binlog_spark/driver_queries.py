@@ -14,6 +14,7 @@ the implementation, not a tautology.
 
 from __future__ import annotations
 
+import glob as globmod
 import hashlib
 import os
 import shutil
@@ -3364,3 +3365,99 @@ def oracle_corpus_quantile_sketch():
     return quantile_summary_sql(
         value_col="n_chars", id_col="doc_id", eps=0.05, n_shards=4,
     )
+
+
+WAMP_BUCKETS = 16
+
+
+def q_cdc_write_amplification(spark, sf_dir):
+    """MERGE write amplification, earned from the physical lake: per
+    applied epoch, the logical winner rows (from the commit lineage) vs
+    the PHYSICAL rows the bucket-rewrite strategy wrote (counted from
+    the epoch's parquet footers — metadata only, no data scan).  The
+    oracle restates every number analytically from the spec: rewritten
+    rows(e) = keys first seen ≤ e living in buckets touched at e — so a
+    hash-green row proves the engine's physical write behavior matches
+    the model the bucket-count tuning math assumes.  The lake uses the
+    md5 bucket-hash audit mode (LakeTable.create bucket_hash='md5') so
+    bucket membership is cross-engine-reproducible; amplification is
+    the number that says when n_buckets is too small (every epoch
+    rewrites everything) or too large (tiny files).  maintain is
+    disabled so every epoch's physical files survive for the audit."""
+    import pyarrow.parquet as pq
+
+    chunks = binlog_fixture_dir(spark, sf_dir)
+    lake_dir = tempfile.mkdtemp(prefix="mbs_lake_wamp_")
+    table = LakeTable.create(
+        lake_dir,
+        columns=[
+            ("conv_id", "string"), ("turn_idx", "int"), ("role", "string"),
+            ("text", "string"), ("tool", "string"), ("ts", "timestamp"),
+        ],
+        key_cols=KEY_COLS,
+        n_buckets=WAMP_BUCKETS,
+        bucket_hash="md5",
+    )
+    stats = replay_batch(
+        spark, chunks, table, include=[("app", "transcripts")],
+        files_per_epoch=1, maintain_every=None,
+    )
+    rows = []
+    for idx, ep in enumerate(stats.epochs):
+        changed = sum(v["rows"] for v in ep["lineage"].values())
+        if changed == 0:
+            continue
+        safe = "".join(
+            ch if ch.isalnum() or ch in "-_." else "_"
+            for ch in ep["epoch_id"]
+        )
+        files = sorted(globmod.glob(os.path.join(
+            lake_dir, "data", f"ep={safe}", "bucket=*", "*.parquet"
+        )))
+        written = sum(pq.ParquetFile(f).metadata.num_rows for f in files)
+        rows.append((
+            idx, changed, ep["touched_buckets"], written,
+            round(written / changed, 4),
+        ))
+    return spark.createDataFrame(
+        rows,
+        "epoch int, rows_changed bigint, buckets_touched int,"
+        " rows_written bigint, amp double",
+    )
+
+
+def oracle_cdc_write_amplification():
+    from .functions.hashing import md5_bigint_sql
+
+    b_ek = f"({md5_bigint_sql('e.conv_id')}) % {WAMP_BUCKETS}"
+    b_kb = f"({md5_bigint_sql('conv_id')}) % {WAMP_BUCKETS}"
+    return f"""
+    WITH dedup AS ({spec.dedup_sql('duckdb')}), ch AS (
+      SELECT conv_id, turn_idx,
+             CAST(substr(log_file, 8) AS INT) - 1 AS epoch
+      FROM dedup
+      WHERE schema_name = 'app' AND table_name = 'transcripts'
+    ), ek AS (
+      SELECT DISTINCT epoch, conv_id, turn_idx FROM ch
+    ), kb AS (
+      SELECT conv_id, turn_idx, MIN(epoch) AS fe, {b_kb} AS bucket
+      FROM ek GROUP BY conv_id, turn_idx
+    ), tb AS (
+      SELECT DISTINCT e.epoch, {b_ek} AS bucket FROM ek e
+    ), changed AS (
+      SELECT epoch, CAST(COUNT(*) AS BIGINT) AS rows_changed
+      FROM ek GROUP BY epoch
+    ), touched AS (
+      SELECT epoch, CAST(COUNT(*) AS INT) AS buckets_touched
+      FROM tb GROUP BY epoch
+    ), written AS (
+      SELECT t.epoch, CAST(COUNT(*) AS BIGINT) AS rows_written
+      FROM kb k JOIN tb t ON t.bucket = k.bucket AND k.fe <= t.epoch
+      GROUP BY t.epoch
+    )
+    SELECT c.epoch, c.rows_changed, tc.buckets_touched, w.rows_written,
+           round(w.rows_written / c.rows_changed, 4) AS amp
+    FROM changed c
+    JOIN touched tc USING (epoch)
+    JOIN written w USING (epoch)
+    """

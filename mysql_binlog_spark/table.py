@@ -85,7 +85,12 @@ class LakeTable:
         columns: list[tuple[str, str]],
         key_cols: list[str],
         n_buckets: int = 32,
+        bucket_hash: str = "xxhash64",
     ) -> "LakeTable":
+        """``bucket_hash``: 'xxhash64' (default — JVM-native, the fast
+        path) or 'md5' (cross-engine-reproducible bucketing so an
+        external SQL engine can restate bucket membership exactly — the
+        audit mode write-amplification analysis uses)."""
         os.makedirs(os.path.join(path, "_schema"), exist_ok=True)
         os.makedirs(os.path.join(path, "_commits"), exist_ok=True)
         os.makedirs(os.path.join(path, "data"), exist_ok=True)
@@ -97,6 +102,7 @@ class LakeTable:
                     "columns": columns,
                     "key": key_cols,
                     "n_buckets": n_buckets,
+                    "bucket_hash": bucket_hash,
                 }
             )
         return t
@@ -232,8 +238,14 @@ class LakeTable:
     # ---------------------------------------------------------------- merge
 
     def _bucket_expr(self):
-        n = self.schema_doc()["n_buckets"]
-        return F.pmod(F.xxhash64(F.col(self.key_cols[0])), F.lit(n)).cast("int")
+        doc = self.schema_doc()
+        n = doc["n_buckets"]
+        key = F.col(self.key_cols[0])
+        if doc.get("bucket_hash", "xxhash64") == "md5":
+            from .functions.hashing import md5_bigint
+
+            return F.pmod(md5_bigint(key.cast("string")), F.lit(n)).cast("int")
+        return F.pmod(F.xxhash64(key), F.lit(n)).cast("int")
 
     def merge_into(
         self,

@@ -170,3 +170,47 @@ def test_200_epoch_replay_o1_listings_and_bounded_files(spark, table):
     # commit sequencing stayed gap-free and ordered
     seqs = [os.path.basename(p) for p in table.commits()]
     assert seqs == sorted(seqs) and len(seqs) == len(set(seqs))
+
+
+def test_md5_bucket_hash_is_physical_only(spark):
+    """The md5 bucket-hash audit mode changes file placement, never
+    data: identical epochs into an md5-bucketed and an xxhash64-bucketed
+    lake must serve identical snapshots, and the md5 bucket ids must be
+    reproducible from the documented formula (what lets a SQL engine
+    restate bucket membership in cdc_write_amplification)."""
+    from mysql_binlog_spark.functions.hashing import md5_bigint
+
+    tables = {}
+    for mode in ("xxhash64", "md5"):
+        t = LakeTable.create(
+            tempfile.mkdtemp(prefix=f"mbs_bh_{mode}_"),
+            columns=[("k", "string"), ("v", "int")],
+            key_cols=["k"],
+            n_buckets=4,
+            bucket_hash=mode,
+        )
+        t.merge_into(spark, _updates(spark, 1, ["a", "b", "c", "d"]), "e1")
+        t.merge_into(spark, _updates(spark, 2, ["b", "e"]), "e2")
+        tables[mode] = t
+    snaps = {
+        m: sorted(
+            (r.k, r.v) for r in tables[m].snapshot_df(spark).collect()
+        )
+        for m in tables
+    }
+    assert snaps["md5"] == snaps["xxhash64"]
+    assert snaps["md5"] == [("a", 1), ("b", 2), ("c", 1), ("d", 1), ("e", 2)]
+    # bucket dirs on disk follow the md5 formula exactly
+    expected = {
+        r.b
+        for r in spark.range(1).select(
+            F.explode(F.array(*[F.lit(k) for k in "abcde"])).alias("k")
+        ).select(F.pmod(md5_bigint(F.col("k")), F.lit(4)).alias("b")).collect()
+    }
+    on_disk = {
+        int(d.rsplit("=", 1)[1])
+        for d in glob.glob(
+            os.path.join(tables["md5"].path, "data", "ep=*", "bucket=*")
+        )
+    }
+    assert on_disk == expected
