@@ -3426,6 +3426,71 @@ def q_cdc_write_amplification(spark, sf_dir):
     )
 
 
+def q_cdc_mor_replay(spark, sf_dir):
+    """Merge-on-read replay under the oracle gate: the first two epochs
+    apply copy-on-write (building a base), the rest apply as MOR deltas
+    (merge_into mode='mor' — the write-optimized regime
+    cdc_write_amplification motivates: O(epoch changes) write cost, no
+    bucket rewrite).  The query asserts inline, from parquet footers,
+    that every MOR epoch's physical write amplification is EXACTLY 1.0,
+    then returns the snapshot WITH deltas outstanding — so the
+    hash-green row proves the read-side max_by-over-LSN resolution
+    across base + delta files reproduces the spec's final state
+    bit-for-bit (table.LakeTable.snapshot_df; BENCH/MERGE.md two-regime
+    analysis)."""
+    import pyarrow.parquet as pq
+
+    chunks = binlog_fixture_dir(spark, sf_dir)
+    lake_dir = tempfile.mkdtemp(prefix="mbs_lake_mor_")
+    table = LakeTable.create(
+        lake_dir,
+        columns=[
+            ("conv_id", "string"), ("turn_idx", "int"), ("role", "string"),
+            ("text", "string"), ("tool", "string"), ("ts", "timestamp"),
+        ],
+        key_cols=KEY_COLS,
+        n_buckets=16,
+    )
+    n_chunks = sum(
+        1 for f in os.listdir(chunks)
+        if f.startswith("binlog.") and not f.endswith(".json")
+    )
+    if n_chunks > 2:  # small fixtures (1 chunk) go all-MOR
+        replay_batch(
+            spark, chunks, table, include=[("app", "transcripts")],
+            files_per_epoch=1, stop_after_epochs=2, maintain_every=None,
+        )
+    stats = replay_batch(
+        spark, chunks, table, include=[("app", "transcripts")],
+        files_per_epoch=1, maintain_every=None, merge_mode="mor",
+    )
+    applied_mor = 0
+    for ep in stats.epochs:
+        if ep.get("skipped"):
+            continue
+        applied_mor += 1
+        changed = sum(v["rows"] for v in ep["lineage"].values())
+        safe = "".join(
+            ch if ch.isalnum() or ch in "-_." else "_"
+            for ch in ep["epoch_id"]
+        )
+        files = globmod.glob(os.path.join(
+            lake_dir, "data", f"ep={safe}", "bucket=*", "*.parquet"
+        ))
+        written = sum(pq.ParquetFile(f).metadata.num_rows for f in files)
+        assert written == changed, (
+            f"MOR epoch {ep['epoch_id']} amplified: {written} != {changed}"
+        )
+    assert applied_mor > 0 and table.delta_files(), (
+        "expected outstanding MOR deltas"
+    )
+    return table.snapshot_df(spark).select(*FINAL_COLS)
+
+
+def oracle_cdc_mor_replay():
+    return spec.final_state_sql("duckdb")
+
+
 def oracle_cdc_write_amplification():
     from .functions.hashing import md5_bigint_sql
 

@@ -85,8 +85,13 @@ def replay_batch(
     start_after_gtid: tuple[str, int] | dict[str, int] | None = None,
     maintain_every: int | None = 16,
     pipeline: bool = True,
+    merge_mode: str = "cow",
 ) -> ReplayStats:
     """Batch replay with epoch granularity = ``files_per_epoch`` chunks.
+
+    ``merge_mode='mor'`` applies epochs as merge-on-read deltas
+    (LakeTable.merge_into mode) — O(epoch changes) write cost per epoch;
+    pair with ``maintain_every`` so compaction bounds read fan-in.
 
     ``pipeline=False`` disables the one-deep epoch prefetch (strictly
     serial epochs — deterministic job ordering for debugging and the
@@ -174,7 +179,9 @@ def replay_batch(
                     if pipeline and ti < len(todo)
                     else None
                 )
-                stats.epochs.append(table.merge_into(spark, w, epoch_id))
+                stats.epochs.append(
+                    table.merge_into(spark, w, epoch_id, mode=merge_mode)
+                )
                 w.unpersist(blocking=False)
                 if maintain_every and stats.applied % maintain_every == 0:
                     table.maintain(spark)

@@ -199,6 +199,18 @@ class LakeTable:
                 files.extend(fs)
         return files
 
+    def delta_files(self, buckets: set[int] | None = None) -> list[str]:
+        """Merge-on-read delta files (``merge_into(mode='mor')``) not yet
+        folded into the base by compaction."""
+        last = self.last_commit()
+        if not last:
+            return []
+        files: list[str] = []
+        for b, fs in last.get("delta_buckets", {}).items():
+            if buckets is None or int(b) in buckets:
+                files.extend(fs)
+        return files
+
     def _commit(self, doc: dict) -> None:
         if self._next_seq is None:
             self._next_seq = len(self.commits()) + 1  # one glob per process
@@ -221,16 +233,36 @@ class LakeTable:
 
     def snapshot_df(self, spark: SparkSession, with_lsn: bool = False) -> DataFrame:
         """Live rows only: delete tombstones (retained so that replayed
-        *older* epochs cannot resurrect deleted keys) are filtered out."""
+        *older* epochs cannot resurrect deleted keys) are filtered out.
+
+        With merge-on-read deltas outstanding (``merge_into(mode='mor')``
+        since the last compaction), the read resolves per-key winners
+        across base + delta rows with the SAME max_by-over-LSN reduce the
+        copy-on-write merge uses — read-side merge work traded for the
+        write-side amplification MOR avoids (BENCH/MERGE.md two-regime
+        analysis)."""
         files = self.live_files()
+        deltas = self.delta_files()
         schema = self.ddl(with_lsn=True, with_tombstone=True)
-        if not files:
+        if not files and not deltas:
             return spark.createDataFrame([], self.ddl(with_lsn=with_lsn))
-        df = (
-            spark.read.schema(schema).parquet(*files)
-            .filter(~F.col("_deleted"))
-            .drop("_deleted")
-        )
+        df = spark.read.schema(schema).parquet(*(files + deltas))
+        if deltas:
+            cols = [n for n, _ in self.columns()]
+            payload = F.struct(
+                F.col("_deleted").alias("_deleted"),
+                *[F.col(n).alias(n) for n in cols],
+            )
+            lsn = F.struct(*[F.col(n) for n in LSN_COLS])
+            df = (
+                df.groupBy(*self.key_cols)
+                .agg(F.max_by(payload, lsn).alias("_w"), F.max(lsn).alias("_lsn"))
+                .select(
+                    *[F.col(f"_w.{n}").alias(n) for n in ["_deleted"] + cols],
+                    *[F.col(f"_lsn.{n}").alias(n) for n in LSN_COLS],
+                )
+            )
+        df = df.filter(~F.col("_deleted")).drop("_deleted")
         if not with_lsn:
             df = df.drop(*LSN_COLS)
         return df
@@ -253,11 +285,24 @@ class LakeTable:
         updates: DataFrame,
         epoch_id: str,
         evolve_schema: bool = True,
+        mode: str = "cow",
     ) -> dict:
         """Apply one epoch of per-key winner rows (columns: key + payload +
         ``action`` + LSN columns; ≤1 row per key — run ``last_writer``
         upstream).  Returns commit stats; re-delivered epochs are no-ops.
-        """
+
+        ``mode='cow'`` (default): copy-on-write — rewrite every touched
+        bucket to ≤1 row/key.  Reads stay merge-free; writes amplify by
+        the live rows sharing touched buckets (cdc_write_amplification).
+        ``mode='mor'``: merge-on-read — append the epoch's winners as
+        bucket-partitioned DELTA files without reading the base; write
+        cost is O(epoch changes) regardless of table size, and
+        ``snapshot_df``/``compact`` resolve per-key winners across
+        base + deltas with the same max_by-over-LSN reduce.  The
+        write-optimized regime for uniformly-hot change patterns
+        (BENCH/MERGE.md); compact on a cadence to bound read fan-in.
+        Modes may be mixed — a CoW epoch folds the touched buckets'
+        outstanding deltas into the base it rewrites."""
         if epoch_id in self.committed_epochs():
             return {"epoch_id": epoch_id, "skipped": True}
 
@@ -319,8 +364,19 @@ class LakeTable:
             touched.update(r["buckets"])
         n_buckets = self.schema_doc()["n_buckets"]
 
-        cur_files = self.live_files(touched)
-        if cur_files:
+        if mode == "mor":
+            # append-only delta: the base is never read or rewritten
+            cur_files = []
+        else:
+            # a CoW epoch folds any outstanding deltas of its touched
+            # buckets into the base it rewrites
+            cur_files = self.live_files(touched) + self.delta_files(touched)
+        if mode == "mor":
+            merged = (
+                upd.withColumn("_deleted", F.col("action") == "delete")
+                .drop("action")
+            )
+        elif cur_files:
             cur = (
                 spark.read.schema(self.ddl(with_lsn=True, with_tombstone=True))
                 .parquet(*cur_files)
@@ -379,17 +435,25 @@ class LakeTable:
 
         last = self.last_commit()
         buckets = dict(last["buckets"]) if last else {}
-        for b in range(n_buckets):
-            sb = str(b)
-            if b in touched:
-                buckets[sb] = new_bucket_files.get(sb, [])
+        delta_buckets = dict(last.get("delta_buckets", {})) if last else {}
+        if mode == "mor":
+            for sb, fs in new_bucket_files.items():
+                delta_buckets[sb] = delta_buckets.get(sb, []) + fs
+        else:
+            for b in range(n_buckets):
+                sb = str(b)
+                if b in touched:
+                    buckets[sb] = new_bucket_files.get(sb, [])
+                    delta_buckets.pop(sb, None)  # folded into the base
         upd.unpersist(blocking=False)
         doc = {
             "epoch_id": epoch_id,
             "schema_version": self.schema_doc()["version"],
             "buckets": buckets,
+            "delta_buckets": delta_buckets,
             "lineage": lineage,
             "touched_buckets": sorted(touched),
+            "mode": mode,
             "wall_time": time.time(),
         }
         self._commit(doc)
@@ -408,7 +472,10 @@ class LakeTable:
         long replays.  Always safe: only unreferenced files are touched;
         crash-orphans (data written, manifest never renamed) are collected
         too.  Returns {files_removed, bytes_reclaimed, dirs_removed}."""
-        live = {os.path.realpath(f) for f in self.live_files()}
+        live = {
+            os.path.realpath(f)
+            for f in self.live_files() + self.delta_files()
+        }
         removed = 0
         reclaimed = 0
         for f in globmod.glob(
@@ -448,11 +515,29 @@ class LakeTable:
         after a full replay has drained its source.
         """
         files = self.live_files()
-        if not files:
+        deltas = self.delta_files()
+        if not files and not deltas:
             return {"skipped": True}
         df = spark.read.schema(
             self.ddl(with_lsn=True, with_tombstone=True)
-        ).parquet(*files)
+        ).parquet(*(files + deltas))
+        if deltas:
+            # fold outstanding MOR deltas: resolve per-key winners with
+            # the same reduce snapshot_df uses before rewriting the base
+            cols = [n for n, _ in self.columns()]
+            payload = F.struct(
+                F.col("_deleted").alias("_deleted"),
+                *[F.col(n).alias(n) for n in cols],
+            )
+            lsn = F.struct(*[F.col(n) for n in LSN_COLS])
+            df = (
+                df.groupBy(*self.key_cols)
+                .agg(F.max_by(payload, lsn).alias("_w"), F.max(lsn).alias("_lsn"))
+                .select(
+                    *[F.col(f"_w.{n}").alias(n) for n in ["_deleted"] + cols],
+                    *[F.col(f"_lsn.{n}").alias(n) for n in LSN_COLS],
+                )
+            )
         if purge_tombstones:
             df = df.filter(~F.col("_deleted"))
         df = df.withColumn("bucket", self._bucket_expr())
@@ -477,6 +562,7 @@ class LakeTable:
                 "epoch_id": epoch_id,
                 "schema_version": self.schema_doc()["version"],
                 "buckets": buckets,
+                "delta_buckets": {},  # all outstanding deltas folded
                 "lineage": (last or {}).get("lineage", {}),
                 "touched_buckets": sorted(range(n_buckets)),
                 "compaction": True,
@@ -501,7 +587,14 @@ class LakeTable:
         last = self.last_commit()
         if not last:
             return {"skipped": True}
-        frag = max((len(fs) for fs in last["buckets"].values()), default=0)
+        db = last.get("delta_buckets", {})
+        frag = max(
+            (
+                len(last["buckets"].get(b, [])) + len(db.get(b, []))
+                for b in set(last["buckets"]) | set(db)
+            ),
+            default=0,
+        )
         if frag > max_files_per_bucket:
             return {"compacted": True, **self.compact(spark, vacuum_after=True)}
         return {"compacted": False, "vacuum": self.vacuum()}

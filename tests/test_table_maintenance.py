@@ -214,3 +214,67 @@ def test_md5_bucket_hash_is_physical_only(spark):
         )
     }
     assert on_disk == expected
+
+
+def test_mor_merge_resolution_and_compaction(spark):
+    """Merge-on-read semantics: deltas resolve by LSN at read (update,
+    delete, and re-insert across delta epochs), a CoW epoch folds its
+    touched buckets' deltas into the base, compaction folds everything
+    and clears the delta set, and vacuum never collects live deltas."""
+    t = LakeTable.create(
+        tempfile.mkdtemp(prefix="mbs_mor_"),
+        columns=[("k", "string"), ("v", "int")],
+        key_cols=["k"],
+        n_buckets=4,
+    )
+    # base epoch (CoW), then MOR deltas: update b, delete c, re-insert c
+    t.merge_into(spark, _updates(spark, 1, ["a", "b", "c"]), "e1")
+    t.merge_into(spark, _updates(spark, 2, ["b"]), "e2", mode="mor")
+    t.merge_into(spark, _updates(spark, 3, ["c"], "delete"), "e3", mode="mor")
+    t.merge_into(spark, _updates(spark, 4, ["c"]), "e4", mode="mor")
+
+    def snap():
+        return sorted((r.k, r.v) for r in t.snapshot_df(spark).collect())
+
+    assert snap() == [("a", 1), ("b", 2), ("c", 4)]
+    assert t.delta_files(), "deltas must be outstanding"
+    # vacuum keeps live deltas
+    t.vacuum()
+    assert snap() == [("a", 1), ("b", 2), ("c", 4)]
+    # a CoW epoch folds the touched bucket's deltas
+    t.merge_into(spark, _updates(spark, 5, ["b"]), "e5")
+    last = t.last_commit()
+    from pyspark.sql import functions as FF
+    from mysql_binlog_spark.table import LakeTable as LT  # noqa: F401
+    b_of = {
+        r.k: r.b
+        for r in spark.createDataFrame([("a",), ("b",), ("c",)], "k string")
+        .select("k", t._bucket_expr().alias("b")).collect()
+    }
+    assert str(b_of["b"]) not in last.get("delta_buckets", {}), (
+        "CoW epoch must fold its touched buckets' deltas"
+    )
+    assert snap() == [("a", 1), ("b", 5), ("c", 4)]
+    # compaction folds the rest and clears the delta set
+    t.compact(spark, purge_tombstones=True)
+    assert t.last_commit()["delta_buckets"] == {}
+    assert not t.delta_files()
+    assert snap() == [("a", 1), ("b", 5), ("c", 4)]
+
+
+def test_mor_exactly_once_and_old_epoch_protection(spark):
+    """Re-delivered MOR epochs are no-ops, and a tombstone in a delta
+    still beats an older-LSN row replayed after it (no resurrection)."""
+    t = LakeTable.create(
+        tempfile.mkdtemp(prefix="mbs_mor2_"),
+        columns=[("k", "string"), ("v", "int")],
+        key_cols=["k"],
+        n_buckets=4,
+    )
+    t.merge_into(spark, _updates(spark, 1, ["a", "b"]), "e1", mode="mor")
+    t.merge_into(spark, _updates(spark, 9, ["a"], "delete"), "e9", mode="mor")
+    assert t.merge_into(spark, _updates(spark, 9, ["a"]), "e9")["skipped"]
+    # an OLDER-LSN re-insert of the deleted key loses to the tombstone
+    t.merge_into(spark, _updates(spark, 2, ["a"]), "e2", mode="mor")
+    got = sorted((r.k, r.v) for r in t.snapshot_df(spark).collect())
+    assert got == [("b", 1)]
