@@ -67,9 +67,10 @@ def _apply_epoch(
     include: list | None,
     image_cols: list[str],
     exclude: list | None = None,
+    merge_mode: str = "cow",
 ) -> dict:
     winners = _epoch_winners(table, decoded, include, image_cols, exclude)
-    return table.merge_into(spark, winners, epoch_id)
+    return table.merge_into(spark, winners, epoch_id, mode=merge_mode)
 
 
 def replay_batch(
@@ -212,6 +213,7 @@ def replay_stream(
     start_lsn: tuple[str, int] | None = None,
     start_after_gtid: tuple[str, int] | dict[str, int] | None = None,
     maintain_every: int | None = 16,
+    merge_mode: str = "cow",
 ) -> ReplayStats:
     """Structured Streaming replay over the chunk directory.
 
@@ -219,6 +221,9 @@ def replay_stream(
     and ``foreachBatch`` re-reads the binary content for decode, keeping
     the streaming source small and the decode fully partition-parallel.
     Runs until the directory is drained (availableNow trigger).
+    ``merge_mode='mor'`` applies each micro-batch as merge-on-read
+    deltas — the low-latency ingest shape (tiny triggers no longer pay a
+    bucket rewrite); ``maintain_every`` bounds the read fan-in.
     """
     stats = ReplayStats()
     include_set = set(include) if include is not None else None
@@ -257,7 +262,7 @@ def replay_stream(
         )
         stats.epochs.append(
             _apply_epoch(spark, table, decoded, epoch_id, include, cols,
-                         exclude)
+                         exclude, merge_mode=merge_mode)
         )
         if maintain_every and stats.applied % maintain_every == 0:
             table.maintain(spark)

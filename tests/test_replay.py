@@ -217,3 +217,22 @@ def test_cli_bare_exclude_table_qualifies_against_include_dbs():
     # include path unchanged: bare names qualify against its own dbs
     inc = replay_cli._filter_entries(["app"], ["transcripts", "a.b"])
     assert inc == ["app", ("app", "transcripts"), ("a", "b")]
+
+
+def test_streaming_mor_replay_matches_golden(spark, chunks, golden):
+    """Streaming ingest in merge-on-read mode: tiny triggers append
+    deltas (no bucket rewrite per micro-batch — the low-latency shape),
+    the delta-resolving snapshot matches the golden applier, and a
+    compaction folds everything without changing the answer."""
+    table = new_table()
+    ckpt = tempfile.mkdtemp(prefix="mbs_ckpt_mor_")
+    s1 = replay_stream(
+        spark, chunks, table, ckpt, include=[("app", "transcripts")],
+        max_files_per_trigger=2, maintain_every=None, merge_mode="mor",
+    )
+    assert s1.applied >= 2
+    assert table.delta_files(), "MOR stream must leave deltas outstanding"
+    assert_matches_golden(spark, table, golden)
+    table.compact(spark)
+    assert not table.delta_files()
+    assert_matches_golden(spark, table, golden)
