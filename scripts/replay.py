@@ -58,6 +58,12 @@ def parse_args(argv: list[str] | None = None) -> argparse.Namespace:
     p.add_argument("--binlog-position", type=int,
                    default=int(env("BINLOG_POSITION", "0")))
     p.add_argument("--files-per-epoch", type=int, default=8)
+    p.add_argument("--merge-mode", choices=["cow", "mor"],
+                   default=env("MERGE_MODE", "cow"),
+                   help="cow: rewrite touched buckets per epoch (merge-"
+                        "free reads); mor: append delta files (O(epoch-"
+                        "changes) writes, reads resolve by LSN; compact "
+                        "folds — see BENCH/MERGE.md)")
     p.add_argument("--key", default="conv_id,turn_idx")
     p.add_argument("--n-buckets", type=int, default=64)
     p.add_argument("--master", default=None)
@@ -126,13 +132,13 @@ def main(argv: list[str] | None = None) -> dict:
             spark, a.chunk_dir, table, a.checkpoint, include=include,
             exclude=exclude,
             max_files_per_trigger=a.files_per_epoch, start_lsn=start_lsn,
-            start_after_gtid=start_gtid,
+            start_after_gtid=start_gtid, merge_mode=a.merge_mode,
         )
     else:
         stats = replay_batch(
             spark, a.chunk_dir, table, include=include, exclude=exclude,
             files_per_epoch=a.files_per_epoch, start_lsn=start_lsn,
-            start_after_gtid=start_gtid,
+            start_after_gtid=start_gtid, merge_mode=a.merge_mode,
         )
     summary = {
         "mode": a.mode,
