@@ -1464,3 +1464,27 @@ def test_cms_overestimates_never_under(spark):
     # a wide sketch (w >> distinct tokens) is exact for every token
     wide = cms_heavy_hitters(docs, d=4, w=4096, k=50).collect()
     assert wide and all(r.overest == 0 for r in wide)
+
+
+def test_quantile_summary_bound_property(spark):
+    """Property check over adversarial value distributions (uniform,
+    heavy-dup, two-cluster, strictly increasing): the deterministic rank
+    guarantee must hold for every p on every input — the claim the
+    oracle pins at one distribution, checked across shapes here."""
+    from mysql_binlog_spark.operators.corpus import quantile_summary
+
+    dists = {
+        "uniform": [(i, (i * 37) % 101) for i in range(600)],
+        "heavydup": [(i, 7 if i % 10 else i % 3) for i in range(600)],
+        "twocluster": [(i, 10 if i < 300 else 10_000 + i % 5)
+                       for i in range(600)],
+        "increasing": [(i, i) for i in range(600)],
+    }
+    for name, rows in dists.items():
+        df = spark.createDataFrame(rows, "doc_id long, n_chars long")
+        for r in quantile_summary(
+            df, value_col="n_chars", id_col="doc_id", eps=0.05, n_shards=4
+        ).collect():
+            assert r.within_bound, (name, r)
+            assert r.rank_le >= r.target, (name, r)
+            assert r.rank_lt <= r.target + r.bound, (name, r)

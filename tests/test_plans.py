@@ -362,3 +362,43 @@ def test_winnow_is_shuffle_free_and_single_hash_pass(spark, sf_dir):
          ._jdf.queryExecution().executedPlan().toString())
     assert "Exchange" not in p
     assert p.count("md5") == 1, p.count("md5")
+
+
+def test_mor_snapshot_resolves_with_one_key_shuffle(spark):
+    """With MOR deltas outstanding, snapshot_df must plan exactly one
+    hash exchange on the key (the winner reduce, with map-side partial
+    max_by) — no extra sorts, no single-partition window.  Without
+    deltas the read must stay exchange-free (pure scan + filter)."""
+    import re
+    import tempfile
+
+    from mysql_binlog_spark.table import LakeTable
+
+    def _upd(epoch, keys):
+        rows = [
+            (k, epoch, "insert", "binlog.000001", 1000 * epoch + i, i, 1)
+            for i, k in enumerate(keys)
+        ]
+        return spark.createDataFrame(
+            rows,
+            "k string, v int, action string, log_file string,"
+            " log_pos bigint, batch_seq int, server_id bigint",
+        )
+
+    t = LakeTable.create(
+        tempfile.mkdtemp(prefix="mbs_morplan_"),
+        columns=[("k", "string"), ("v", "int")],
+        key_cols=["k"],
+        n_buckets=4,
+    )
+    t.merge_into(spark, _upd(1, ["a", "b"]), "e1")
+    p_clean = plan(t.snapshot_df(spark))
+    assert "Exchange" not in p_clean, "delta-free read must not shuffle"
+    t.merge_into(spark, _upd(2, ["b", "c"]), "e2", mode="mor")
+    p_mor = plan(t.snapshot_df(spark))
+    # formatted mode: one Exchange node, keyed on the merge key, with the
+    # map-side partial max_by before it (shuffle bounded by |keys|)
+    assert p_mor.count("Arguments: hashpartitioning") == 1, p_mor
+    assert re.search(r"hashpartitioning\(k", p_mor), p_mor
+    assert "partial_max_by" in p_mor, p_mor
+    assert "Window" not in p_mor and "SinglePartition" not in p_mor
