@@ -504,18 +504,27 @@ class LakeTable:
         spark: SparkSession,
         purge_tombstones: bool = False,
         vacuum_after: bool = True,
+        buckets: set[int] | None = None,
     ) -> dict:
-        """Rewrite all live buckets into one epoch (coalesces the
-        many-small-files accumulation of incremental merges).
+        """Rewrite live buckets into one epoch (coalesces the
+        many-small-files accumulation of incremental merges and folds
+        outstanding MOR deltas).
 
-        ``purge_tombstones`` also drops ``_deleted`` rows.  That is only
-        safe once no epoch carrying an LSN older than a tombstone can
-        still be replayed (a resurrected key would no longer find the
-        tombstone to lose against) — the caller asserts that, typically
-        after a full replay has drained its source.
+        ``buckets``: restrict the rewrite to these bucket ids —
+        SELECTIVE compaction, the 100 TB shape: ``maintain`` passes only
+        the fragmented buckets, so a long replay's periodic maintenance
+        rewrites O(fragmented) data, never the whole table.  ``None``
+        compacts everything (the terminal full-optimize pass).
+
+        ``purge_tombstones`` also drops ``_deleted`` rows (of the
+        selected buckets).  That is only safe once no epoch carrying an
+        LSN older than a tombstone can still be replayed (a resurrected
+        key would no longer find the tombstone to lose against) — the
+        caller asserts that, typically after a full replay has drained
+        its source.
         """
-        files = self.live_files()
-        deltas = self.delta_files()
+        files = self.live_files(buckets)
+        deltas = self.delta_files(buckets)
         if not files and not deltas:
             return {"skipped": True}
         df = spark.read.schema(
@@ -544,27 +553,38 @@ class LakeTable:
         n_buckets = self.schema_doc()["n_buckets"]
         if self._next_seq is None:
             self._next_seq = len(self.commits()) + 1
+        sel = (
+            set(range(n_buckets)) if buckets is None else {int(b) for b in buckets}
+        )
         epoch_id = f"compact-{self._next_seq:07d}"
         epoch_dir = os.path.join(self.path, "data", f"ep={epoch_id}")
         (
-            df.repartition(n_buckets, "bucket")
+            df.repartition(max(1, min(len(sel), 200)), "bucket")
             .write.mode("overwrite")
             .partitionBy("bucket")
             .parquet(epoch_dir)
         )
-        buckets: dict[str, list[str]] = {str(b): [] for b in range(n_buckets)}
+        new_bucket_files: dict[str, list[str]] = {}
         for bdir in globmod.glob(os.path.join(epoch_dir, "bucket=*")):
             b = bdir.rsplit("=", 1)[1]
-            buckets[b] = sorted(globmod.glob(os.path.join(bdir, "*.parquet")))
+            new_bucket_files[b] = sorted(
+                globmod.glob(os.path.join(bdir, "*.parquet"))
+            )
         last = self.last_commit()
+        bmap = dict(last["buckets"]) if last else {}
+        dmap = dict(last.get("delta_buckets", {})) if last else {}
+        for b in sel:
+            sb = str(b)
+            bmap[sb] = new_bucket_files.get(sb, [])
+            dmap.pop(sb, None)  # selected buckets' deltas are folded
         self._commit(
             {
                 "epoch_id": epoch_id,
                 "schema_version": self.schema_doc()["version"],
-                "buckets": buckets,
-                "delta_buckets": {},  # all outstanding deltas folded
+                "buckets": bmap,
+                "delta_buckets": dmap,
                 "lineage": (last or {}).get("lineage", {}),
-                "touched_buckets": sorted(range(n_buckets)),
+                "touched_buckets": sorted(sel),
                 "compaction": True,
                 "purged_tombstones": purge_tombstones,
                 "wall_time": time.time(),
@@ -588,13 +608,20 @@ class LakeTable:
         if not last:
             return {"skipped": True}
         db = last.get("delta_buckets", {})
-        frag = max(
-            (
-                len(last["buckets"].get(b, [])) + len(db.get(b, []))
-                for b in set(last["buckets"]) | set(db)
-            ),
-            default=0,
-        )
-        if frag > max_files_per_bucket:
-            return {"compacted": True, **self.compact(spark, vacuum_after=True)}
+        frag_buckets = {
+            int(b)
+            for b in set(last["buckets"]) | set(db)
+            if len(last["buckets"].get(b, [])) + len(db.get(b, []))
+            > max_files_per_bucket
+        }
+        if frag_buckets:
+            # SELECTIVE: rewrite only the fragmented buckets — periodic
+            # maintenance cost is O(fragmented data), never table-sized
+            return {
+                "compacted": True,
+                "compacted_buckets": sorted(frag_buckets),
+                **self.compact(
+                    spark, vacuum_after=True, buckets=frag_buckets
+                ),
+            }
         return {"compacted": False, "vacuum": self.vacuum()}

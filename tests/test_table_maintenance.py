@@ -278,3 +278,48 @@ def test_mor_exactly_once_and_old_epoch_protection(spark):
     t.merge_into(spark, _updates(spark, 2, ["a"]), "e2", mode="mor")
     got = sorted((r.k, r.v) for r in t.snapshot_df(spark).collect())
     assert got == [("b", 1)]
+
+
+def test_selective_compaction_rewrites_only_fragmented_buckets(spark):
+    """maintain() must compact O(fragmented) data, never the table:
+    after one bucket fragments past the threshold, only that bucket is
+    rewritten (its deltas fold, its files coalesce) while the other
+    buckets' base files and outstanding deltas are untouched — and the
+    snapshot answer never changes."""
+    t = LakeTable.create(
+        tempfile.mkdtemp(prefix="mbs_selcmp_"),
+        columns=[("k", "string"), ("v", "int")],
+        key_cols=["k"],
+        n_buckets=4,
+    )
+    t.merge_into(spark, _updates(spark, 1, ["a", "b", "c", "d", "e"]), "e1")
+    b_of = {
+        r.k: r.b
+        for r in spark.createDataFrame(
+            [(k,) for k in "abcde"], "k string"
+        ).select("k", t._bucket_expr().alias("b")).collect()
+    }
+    hot = b_of["a"]
+    cold = [k for k in "bcde" if b_of[k] != hot]
+    assert cold, "fixture needs at least one key outside the hot bucket"
+    # fragment the hot bucket with MOR epochs on 'a'; park one delta on
+    # a cold key's bucket that must survive the selective compact
+    for ep in range(2, 8):
+        t.merge_into(spark, _updates(spark, ep, ["a"]), f"e{ep}", mode="mor")
+    t.merge_into(spark, _updates(spark, 8, [cold[0]]), "e8", mode="mor")
+    pre = sorted((r.k, r.v) for r in t.snapshot_df(spark).collect())
+    pre_base = dict(t.last_commit()["buckets"])
+    res = t.maintain(spark, max_files_per_bucket=3)
+    assert res["compacted"] and res["compacted_buckets"] == [hot], res
+    last = t.last_commit()
+    # hot bucket: coalesced to <=1 file, deltas folded
+    assert len(last["buckets"][str(hot)]) <= 1
+    assert str(hot) not in last["delta_buckets"]
+    # cold buckets: base files byte-identical, parked delta still live
+    for b, fs in pre_base.items():
+        if int(b) != hot:
+            assert last["buckets"][b] == fs
+    assert str(b_of[cold[0]]) in last["delta_buckets"]
+    post = sorted((r.k, r.v) for r in t.snapshot_df(spark).collect())
+    assert post == pre
+    assert ("a", 7) in post and (cold[0], 8) in post
