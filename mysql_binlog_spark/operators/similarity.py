@@ -676,6 +676,28 @@ def pq_rerank_knn(
         corpus, queries, codebooks, k=shortlist,
         id_col=id_col, vec_col=vec_col, round_digits=round_digits,
     ).select("query_id", "neighbor_id")
+    return exact_rerank(
+        corpus, queries, cand, k=k,
+        id_col=id_col, vec_col=vec_col, round_digits=round_digits,
+    )
+
+
+def exact_rerank(
+    corpus: DataFrame,
+    queries: DataFrame,
+    candidates: DataFrame,
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    round_digits: int = 4,
+) -> DataFrame:
+    """Stage-2 exact re-rank shared by the two-stage ANN compositions:
+    the tiny (query_id, neighbor_id) candidate set broadcasts BACK
+    against the full-precision corpus (scan stays shuffle-free, exact
+    cosine computed only for the matches), then the standard per-query
+    top-k window over ≤ Q×S rows."""
+    from pyspark.sql import Window
+
     c = corpus.select(
         F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("nvec")
     )
@@ -683,7 +705,7 @@ def pq_rerank_knn(
         F.col(id_col).alias("query_id"), F.col(vec_col).alias("qvec")
     )
     rescored = (
-        c.join(F.broadcast(cand), "neighbor_id")
+        c.join(F.broadcast(candidates), "neighbor_id")
         .join(F.broadcast(q), "query_id")
         .select(
             "query_id",
@@ -773,4 +795,32 @@ def ivfpq_knn(
     )
     return scored.withColumn("rank", F.row_number().over(w)).filter(
         F.col("rank") <= k
+    )
+
+
+def ivfpq_rerank_knn(
+    corpus: DataFrame,
+    queries: DataFrame,
+    centroids: list[tuple[int, list[float]]],
+    codebooks: list[list[list[float]]],
+    k: int = 10,
+    nprobe: int = 4,
+    shortlist: int = 50,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    round_digits: int = 4,
+) -> DataFrame:
+    """The full production ANN stack (what a FAISS IVFPQ + refine
+    deployment runs): IVF cells prune WHICH candidates are touched, PQ
+    codes prune the BYTES per candidate, ADC picks a top-``shortlist``,
+    and the full-precision vectors re-score only those — recovering the
+    recall the two quantizations compound away (measured in
+    emb_ivfpq_rerank_recall) at O(Q·shortlist) exact work."""
+    cand = ivfpq_knn(
+        corpus, queries, centroids, codebooks, k=shortlist, nprobe=nprobe,
+        id_col=id_col, vec_col=vec_col, round_digits=round_digits,
+    ).select("query_id", "neighbor_id")
+    return exact_rerank(
+        corpus, queries, cand, k=k,
+        id_col=id_col, vec_col=vec_col, round_digits=round_digits,
     )

@@ -86,6 +86,7 @@ def test_no_cartesian_in_any_driver_query(spark, sf_dir):
         "emb_pq_rerank",  # stage 1 is emb_pq_knn's broadcast cross join
         "emb_pq_rerank_recall",  # composes emb_cosine_knn + emb_pq_rerank
         "emb_ivfpq_recall",  # composes emb_cosine_knn's broadcast cross join
+        "emb_ivfpq_rerank_recall",  # composes emb_cosine_knn's cross join
         "emb_ivf_recall",  # composes emb_cosine_knn's broadcast cross join
         "corpus_pmi_bigrams",
         # 1-row broadcast scalar-attach (total-count / total-log join):
