@@ -3508,6 +3508,53 @@ def q_cdc_write_amplification(spark, sf_dir):
     )
 
 
+def q_cdc_quarantine(spark, sf_dir):
+    """Corrupt-chunk quarantine, oracle-gated: copy the fixture log, add
+    one chunk whose final frame's CRC byte is flipped, and run the
+    ``validate_chunks`` pre-flight — per chunk (ok, rows, coarse
+    deterministic reason).  The oracle restates the good chunks' exact
+    row counts from the spec and the corrupt chunk as ('crc', 0 rows).
+    The query also asserts inline that ``read_binlog(on_error='skip')``
+    decodes exactly the good chunks' rows — the chunk is the atomicity
+    unit, so a corrupt log degrades by whole chunks, never by silently
+    partial ones (sources/binlog.validate_chunks / read_binlog)."""
+    from .sources.binlog import validate_chunks
+
+    chunks = binlog_fixture_dir(spark, sf_dir)
+    qdir = tempfile.mkdtemp(prefix="mbs_quarantine_")
+    names = sorted(
+        f for f in os.listdir(chunks)
+        if f.startswith("binlog.") and not f.endswith(".json")
+    )
+    for n in names:
+        shutil.copy(os.path.join(chunks, n), qdir)
+    data = bytearray(open(os.path.join(chunks, names[0]), "rb").read())
+    data[-1] ^= 0xFF  # flip the final frame's stored CRC byte
+    bad = "binlog.000099"
+    with open(os.path.join(qdir, bad), "wb") as f:
+        f.write(bytes(data))
+    paths = [os.path.join(qdir, n) for n in names + [bad]]
+    rep = validate_chunks(spark, paths, verify_crc=True)
+    good_rows = read_binlog(
+        spark, paths, verify_crc=True, on_error="skip"
+    ).count()
+    expect = decoded_binary_df(spark, sf_dir).count()
+    assert good_rows == expect, (good_rows, expect)
+    return rep
+
+
+def oracle_cdc_quarantine():
+    return f"""
+    WITH dedup AS ({spec.dedup_sql('duckdb')})
+    SELECT log_file AS chunk, true AS ok,
+           CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(NULL AS VARCHAR) AS reason
+    FROM dedup GROUP BY log_file
+    UNION ALL
+    SELECT 'binlog.000099', false, 0, 'crc'
+    """
+
+
 def q_cdc_mor_replay(spark, sf_dir):
     """Merge-on-read replay under the oracle gate: the first two epochs
     apply copy-on-write (building a base), the rest apply as MOR deltas

@@ -171,7 +171,8 @@ def _local_path(path: str) -> str:
 
 
 def discover_tables(
-    spark: SparkSession, chunk_glob: str | list[str]
+    spark: SparkSession, chunk_glob: str | list[str],
+    on_error: str = "raise",
 ) -> dict[tuple[str, str], list[tuple[str, str]]]:
     """Cheap first pass: read only TABLE_MAP frames of every chunk and merge
     each table's column sets across schema versions (first-seen order) —
@@ -205,23 +206,32 @@ def discover_tables(
                 local = _local_path(path)
                 idx = local + ".idx.json"
                 seen: dict = {}
-                if os.path.exists(idx):
-                    with open(idx) as f:
-                        frames = _json.load(f)
-                    with open(local, "rb") as fh:
-                        for fr in frames:
-                            if fr["type"] != TABLE_MAP_EVENT:
-                                continue
-                            fh.seek(fr["offset"] + HEADER_LEN)
-                            payload = fh.read(
-                                fr["size"] - HEADER_LEN - CRC_LEN
+                try:
+                    if os.path.exists(idx):
+                        with open(idx) as f:
+                            frames = _json.load(f)
+                        with open(local, "rb") as fh:
+                            for fr in frames:
+                                if fr["type"] != TABLE_MAP_EVENT:
+                                    continue
+                                fh.seek(fr["offset"] + HEADER_LEN)
+                                payload = fh.read(
+                                    fr["size"] - HEADER_LEN - CRC_LEN
+                                )
+                                t = _parse_table_map(memoryview(payload))
+                                seen[(t.schema, t.table)] = t
+                    else:
+                        with open(local, "rb") as fh:
+                            batch = decode_chunk(
+                                fh.read(), include=frozenset()
                             )
-                            t = _parse_table_map(memoryview(payload))
-                            seen[(t.schema, t.table)] = t
-                else:
-                    with open(local, "rb") as fh:
-                        batch = decode_chunk(fh.read(), include=frozenset())
-                    seen = batch.tables_seen
+                        seen = batch.tables_seen
+                except Exception:
+                    # quarantine semantics: an unreadable chunk adds no
+                    # schema; the decode pass will skip (or raise on) it
+                    if on_error != "skip":
+                        raise
+                    seen = {}
                 for (schema, table), t in seen.items():
                     rows.append(
                         {
@@ -280,8 +290,16 @@ def read_binlog(
     task_side_read: bool = True,
     tolerate_truncation: bool = False,
     vectorize: bool = True,
+    on_error: str = "raise",
 ) -> DataFrame:
     """Decode binlog chunks into a flat change-row DataFrame.
+
+    ``on_error``: 'raise' (default — a corrupt chunk fails the job) or
+    'skip' — quarantine semantics: a chunk whose decode raises is
+    dropped WHOLE (chunks are the atomicity unit; partial rows from a
+    corrupt chunk are worse than none) and the rest of the log decodes
+    normally.  Pair with ``validate_chunks`` for the per-chunk report
+    of what was skipped and why.
 
     Output schema: LSN + routing metadata columns (META_COLS) plus
     ``before_*`` / ``after_*`` image columns.  ``image_cols`` defaults to
@@ -301,7 +319,7 @@ def read_binlog(
     value loops automatically).
     """
     if image_cols is None:
-        discovered = discover_tables(spark, chunk_glob)
+        discovered = discover_tables(spark, chunk_glob, on_error=on_error)
         keys = [
             k
             for k in discovered
@@ -396,36 +414,43 @@ def read_binlog(
                         data = fh.read()
                 else:
                     data = contents[row_i].as_py()
-                kinds = (
-                    chunk_vector_kinds(data, include, exclude, col_names)
-                    if vectorize
-                    else None
-                )
-                if kinds is not None:
-                    batch = decode_chunk_wavefront(
-                        data,
-                        image_cols=col_names,
-                        include=include,
-                        exclude=exclude,
-                        start_pos=sp,
-                        verify_crc=verify_crc,
-                        before_mode=before_mode,
-                        tolerate_truncation=tolerate_truncation,
-                        start_after_gtid=start_after_gtid,
+                try:
+                    kinds = (
+                        chunk_vector_kinds(data, include, exclude, col_names)
+                        if vectorize
+                        else None
                     )
-                else:
-                    batch = decode_chunk(
-                        data,
-                        include=include,
-                        exclude=exclude,
-                        start_pos=sp,
-                        verify_crc=verify_crc,
-                        image_cols=col_names,
-                        before_mode=before_mode,
-                        text_as_bytes=True,
-                        tolerate_truncation=tolerate_truncation,
-                        start_after_gtid=start_after_gtid,
-                    )
+                    if kinds is not None:
+                        batch = decode_chunk_wavefront(
+                            data,
+                            image_cols=col_names,
+                            include=include,
+                            exclude=exclude,
+                            start_pos=sp,
+                            verify_crc=verify_crc,
+                            before_mode=before_mode,
+                            tolerate_truncation=tolerate_truncation,
+                            start_after_gtid=start_after_gtid,
+                        )
+                    else:
+                        batch = decode_chunk(
+                            data,
+                            include=include,
+                            exclude=exclude,
+                            start_pos=sp,
+                            verify_crc=verify_crc,
+                            image_cols=col_names,
+                            before_mode=before_mode,
+                            text_as_bytes=True,
+                            tolerate_truncation=tolerate_truncation,
+                            start_after_gtid=start_after_gtid,
+                        )
+                except Exception:
+                    if on_error == "skip":
+                        # quarantine: the chunk is the atomicity unit —
+                        # drop it whole, decode the rest of the log
+                        continue
+                    raise
                 n = len(batch)
                 m = batch.meta_numpy()  # np.repeat expansion, not per-row
                 # String meta columns: encode once per EVENT, then a
@@ -491,3 +516,62 @@ def image_view(df: DataFrame, image_cols: list[str]) -> DataFrame:
         )
     return out.drop(*[f"after_{c}" for c in image_cols],
                     *[f"before_{c}" for c in image_cols])
+
+
+def validate_chunks(
+    spark: SparkSession,
+    chunk_paths: list[str],
+    include: set | None = None,
+    exclude: set | None = None,
+    verify_crc: bool = True,
+) -> DataFrame:
+    """Operational pre-flight / quarantine report: attempt a full decode
+    of every chunk (CRC on) and report per chunk ``(chunk, ok, n_rows,
+    reason)`` — the triage a replay operator runs before (or after)
+    ``read_binlog(on_error='skip')`` to know exactly what was dropped
+    and why.  Reasons are coarse deterministic classes, not message
+    text: 'crc' (checksum mismatch), 'truncated' (frame extends past
+    the file), 'malformed' (anything else the decoder rejects).
+
+    One task per chunk slice; each failure is contained to its row —
+    the report never throws."""
+    import pandas as pd_mod
+
+    paths = sorted(chunk_paths)
+    files = spark.createDataFrame(
+        [(p,) for p in paths], "path string"
+    ).repartition(
+        max(1, min(len(paths), spark.sparkContext.defaultParallelism))
+    )
+
+    def check(batches):
+        from ..wire import decode_chunk as _dc
+
+        for pdf in batches:
+            rows = []
+            for path in pdf["path"]:
+                try:
+                    with open(_local_path(path), "rb") as fh:
+                        data = fh.read()
+                    batch = _dc(
+                        data, include=include, exclude=exclude,
+                        verify_crc=verify_crc, text_as_bytes=True,
+                    )
+                    rows.append(
+                        (os.path.basename(path), True, len(batch), None)
+                    )
+                except Exception as e:  # contained: one row per failure
+                    msg = str(e).lower()
+                    reason = (
+                        "crc" if "crc" in msg
+                        else "truncated" if "truncat" in msg
+                        else "malformed"
+                    )
+                    rows.append((os.path.basename(path), False, 0, reason))
+            yield pd_mod.DataFrame(
+                rows, columns=["chunk", "ok", "n_rows", "reason"]
+            )
+
+    return files.mapInPandas(
+        check, "chunk string, ok boolean, n_rows bigint, reason string"
+    )

@@ -49,6 +49,13 @@ def chunk_table_maps(data: bytes) -> list:
     while off + HEADER_LEN <= total:
         etype = data[off + 4]
         size = u("<I", data, off + 9)[0]
+        if size < HEADER_LEN + CRC_LEN:
+            # size 0 would stall the walk forever; same malformed-frame
+            # contract as the decode kernels' walks
+            raise ValueError(
+                f"malformed frame at offset {off}: header claims {size} "
+                f"bytes (minimum is {HEADER_LEN + CRC_LEN})"
+            )
         if off + size > total:
             break
         if etype == TABLE_MAP_EVENT:

@@ -241,6 +241,13 @@ def decode_chunk_wavefront(
     while off + HEADER_LEN <= total:
         etype = mv[off + 4]
         size = unpack("<I", mv, off + 9)[0]
+        if size < HEADER_LEN + CRC_LEN:
+            # a frame can never be smaller than header+CRC; size 0 would
+            # stall the walk forever — classify as malformed, not a loop
+            raise ValueError(
+                f"malformed frame at offset {off}: header claims {size} "
+                f"bytes (minimum is {HEADER_LEN + CRC_LEN})"
+            )
         if off + size > total:
             if tolerate_truncation:
                 break

@@ -1615,6 +1615,13 @@ def decode_chunk(
         # control frames; ts/server_id are read for row events below
         etype = mv[off + 4]
         size = unpack("<I", mv, off + 9)[0]
+        if size < HEADER_LEN + CRC_LEN:
+            # a frame can never be smaller than header+CRC; size 0 would
+            # stall the walk forever — classify as malformed, not a loop
+            raise ValueError(
+                f"malformed frame at offset {off}: header claims {size} "
+                f"bytes (minimum is {HEADER_LEN + CRC_LEN})"
+            )
         if off + size > total:
             # partial trailing frame: a chunk cut mid-write (the recorded
             # analog of the reference's dropped connection).  Complete

@@ -93,3 +93,43 @@ def test_discover_tables_full_types(spark, typed_chunks):
     assert cols["c_date"] == "date"
     assert cols["c_bin"] == "binary"
     assert cols["c_float"] == "float"
+
+
+def test_validate_chunks_reason_taxonomy(spark, tmp_path):
+    """The quarantine report's coarse reasons are deterministic classes:
+    flipped CRC byte → 'crc', mid-frame cut → 'truncated', garbage →
+    'malformed'; a healthy chunk reports ok with its row count — and
+    read_binlog(on_error='skip') decodes exactly the healthy chunks."""
+    from mysql_binlog_spark import spec
+    from mysql_binlog_spark.fixtures.generator import generate_binlog_chunks
+    from mysql_binlog_spark.sources.binlog import read_binlog, validate_chunks
+
+    sf = os.environ.get("MBS_TEST_SF", "/root/testdata/sf0.001")
+    spark.read.parquet(os.path.join(sf, "events.parquet")) \
+        .createOrReplaceTempView("events")
+    changelog = spark.sql(
+        spec.changelog_sql("spark", with_duplicates=False,
+                           events_per_file=2000)
+    )
+    src = str(tmp_path / "src")
+    os.makedirs(src)
+    generate_binlog_chunks(changelog, src)
+    names = sorted(f for f in os.listdir(src)
+                   if f.startswith("binlog.") and not f.endswith(".json"))
+    good = os.path.join(src, names[0])
+    data = open(good, "rb").read()
+    crc_bad = str(tmp_path / "binlog.000090")
+    open(crc_bad, "wb").write(data[:-1] + bytes([data[-1] ^ 0xFF]))
+    trunc = str(tmp_path / "binlog.000091")
+    open(trunc, "wb").write(data[: len(data) - 7])  # cut inside last frame
+    garbage = str(tmp_path / "binlog.000092")
+    open(garbage, "wb").write(b"\x00" * 64)
+    paths = [good, crc_bad, trunc, garbage]
+    rep = {r.chunk: (r.ok, r.n_rows, r.reason)
+           for r in validate_chunks(spark, paths).collect()}
+    assert rep[names[0]][0] and rep[names[0]][1] > 0
+    assert rep["binlog.000090"] == (False, 0, "crc")
+    assert rep["binlog.000091"] == (False, 0, "truncated")
+    assert rep["binlog.000092"][0] is False  # any coarse class is fine
+    n = read_binlog(spark, paths, verify_crc=True, on_error="skip").count()
+    assert n == rep[names[0]][1]
