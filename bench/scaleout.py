@@ -12,7 +12,8 @@ times decode → dedup → last-writer → lake-MERGE over its slice (one
 epoch, fresh lake).  Aggregate throughput = total events / slowest worker.
 Efficiency = (tp_4 / tp_1) / 4.
 
-Writes BENCH/SCALEOUT.md.  Usage: python bench/scaleout.py
+Writes BENCH/SCALEOUT_LAST_RUN.md (the curated multi-round record
+lives in BENCH/SCALEOUT.md).  Usage: python bench/scaleout.py
 Env: BENCH_AMP/BENCH_EPF (fixture tag, must be generated already by
 bench.py/scaling.py), SCALE_OUT_WORKERS (default 4), CORES_PER (default 8).
 """
@@ -240,7 +241,9 @@ def main() -> None:
         "scaling_efficiency": eff,
     }
     os.makedirs(os.path.join(REPO, "BENCH"), exist_ok=True)
-    with open(os.path.join(REPO, "BENCH", "SCALEOUT.md"), "w") as f:
+    # last-run report only — BENCH/SCALEOUT.md is the curated multi-round
+    # record, maintained by hand; overwriting it cost two restorations
+    with open(os.path.join(REPO, "BENCH", "SCALEOUT_LAST_RUN.md"), "w") as f:
         f.write(
             f"""# SCALEOUT — N vs {WORKERS}N executor-style scale-out
 
