@@ -3256,8 +3256,10 @@ def q_emb_ivfpq_rerank(spark, sf_dir):
     recall@10 at sf0.01: 0.38 → **0.56** — essentially the 0.58 IVF
     cell-recall ceiling, i.e. the re-rank recovers nearly ALL the PQ
     quantization loss inside the probed cells; the residual gap is
-    cell-miss, tunable only by nprobe.  O(Q·S) exact work, corpus scan
-    shuffle-free in every stage
+    cell-miss, and the nprobe sweep proves the knob: 0.56 / 0.68 / 0.76
+    / 0.74 at nprobe 4 / 8 / 12 / 16 (at full probe the S=50 shortlist
+    becomes the binding constraint — 0.74, exactly pq_rerank's number).
+    O(Q·S) exact work, corpus scan shuffle-free in every stage
     (operators/similarity.ivfpq_rerank_knn)."""
     from .operators.similarity import (
         ivf_centroid_ids,
