@@ -131,3 +131,62 @@ def test_multi_table_interleaving(sequence):
     ):
         assert got_tbl == f"t{ti}"
         assert got["v"] == f"t{ti}r{i}"
+
+
+def _tiny_chunk() -> bytes:
+    t = TableSchema(
+        "db", "t",
+        [WireColumn("pk", TYPE_LONG, nullable=False),
+         WireColumn("v", TYPE_VARCHAR, meta=32)],
+        (0,), 9,
+    )
+    w = BinlogWriter()
+    w.write_table_map(0, t)
+    w.write_rows(0, t, "insert", [{"pk": i, "v": f"r{i}"} for i in range(20)])
+    return w.getvalue()
+
+
+def test_frame_walk_terminates_under_byte_corruption():
+    """Robustness property behind the quarantine contract: ANY single
+    corrupted byte in a chunk must make decode_chunk either succeed
+    (corruption landed in slack the CRC-checked walk never trusts...
+    impossible with verify_crc except on ignored bytes) or raise — never
+    hang and never exit the interpreter.  The round-6 size-0-frame
+    infinite loop is exactly this class; each probe runs under a SIGALRM
+    guard so a regression fails fast instead of stalling the suite."""
+    import signal
+
+    from mysql_binlog_spark.wire import decode_chunk
+    from mysql_binlog_spark.sources.wavefront import decode_chunk_wavefront
+
+    data = bytearray(_tiny_chunk())
+    # deterministic probe positions: spread over the whole chunk,
+    # plus the header-adjacent bytes of the first frames
+    positions = sorted(
+        {7 * i % len(data) for i in range(60)}
+        | {4, 5, 9, 10, 11, 12, 13, 23, 24, 25}
+    )
+
+    def _alarm(_s, _f):  # pragma: no cover - only fires on regression
+        raise RuntimeError("frame walk hung on corrupted input")
+
+    old = signal.signal(signal.SIGALRM, _alarm)
+    try:
+        for pos in positions:
+            for fn in (
+                lambda d: decode_chunk(d, verify_crc=True),
+                lambda d: decode_chunk_wavefront(
+                    d, image_cols=["pk", "v"], verify_crc=True
+                ),
+            ):
+                bad = bytes(data[:pos]) + bytes([data[pos] ^ 0xFF]) \
+                    + bytes(data[pos + 1:])
+                signal.alarm(5)
+                try:
+                    fn(bad)
+                except Exception:
+                    pass  # raising is the expected outcome
+                finally:
+                    signal.alarm(0)
+    finally:
+        signal.signal(signal.SIGALRM, old)
