@@ -87,12 +87,21 @@ def replay_batch(
     maintain_every: int | None = 16,
     pipeline: bool = True,
     merge_mode: str = "cow",
+    on_error: str = "raise",
+    verify_crc: bool = False,
 ) -> ReplayStats:
     """Batch replay with epoch granularity = ``files_per_epoch`` chunks.
 
     ``merge_mode='mor'`` applies epochs as merge-on-read deltas
     (LakeTable.merge_into mode) — O(epoch changes) write cost per epoch;
     pair with ``maintain_every`` so compaction bounds read fan-in.
+
+    ``on_error='skip'`` — quarantine posture for long replays: a corrupt
+    chunk is dropped whole by the decode source instead of killing the
+    replay; pair with ``verify_crc=True`` (corruption that doesn't
+    break framing is only detectable by checksum) and run
+    ``sources.binlog.validate_chunks`` for the report of what was
+    dropped and why.
 
     ``pipeline=False`` disables the one-deep epoch prefetch (strictly
     serial epochs — deterministic job ordering for debugging and the
@@ -147,6 +156,7 @@ def replay_batch(
             exclude=exclude_set, start_lsn=start_lsn,
             start_after_gtid=start_after_gtid,
             before_mode="delete_only",  # apply never reads update befores
+            on_error=on_error, verify_crc=verify_crc,
         )
         cols = (
             [n for n, _ in image_cols]
@@ -214,6 +224,8 @@ def replay_stream(
     start_after_gtid: tuple[str, int] | dict[str, int] | None = None,
     maintain_every: int | None = 16,
     merge_mode: str = "cow",
+    on_error: str = "raise",
+    verify_crc: bool = False,
 ) -> ReplayStats:
     """Structured Streaming replay over the chunk directory.
 
@@ -253,6 +265,7 @@ def replay_stream(
             exclude=exclude_set, start_lsn=start_lsn,
             start_after_gtid=start_after_gtid,
             before_mode="delete_only",  # apply never reads update befores
+            on_error=on_error, verify_crc=verify_crc,
         )
         cols = (
             [n for n, _ in image_cols]

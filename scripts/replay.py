@@ -58,6 +58,16 @@ def parse_args(argv: list[str] | None = None) -> argparse.Namespace:
     p.add_argument("--binlog-position", type=int,
                    default=int(env("BINLOG_POSITION", "0")))
     p.add_argument("--files-per-epoch", type=int, default=8)
+    p.add_argument("--on-error", choices=["raise", "skip"],
+                   default=env("ON_ERROR", "raise"),
+                   help="skip: quarantine posture -- drop corrupt chunks "
+                        "whole instead of failing the replay (pair with "
+                        "--verify-crc; see validate_chunks for the report)")
+    p.add_argument("--verify-crc", action="store_true",
+                   default=env("VERIFY_CRC", "") == "1",
+                   help="checksum every frame during decode (corruption "
+                        "that doesn't break framing is only detectable "
+                        "by CRC)")
     p.add_argument("--merge-mode", choices=["cow", "mor"],
                    default=env("MERGE_MODE", "cow"),
                    help="cow: rewrite touched buckets per epoch (merge-"
@@ -133,12 +143,14 @@ def main(argv: list[str] | None = None) -> dict:
             exclude=exclude,
             max_files_per_trigger=a.files_per_epoch, start_lsn=start_lsn,
             start_after_gtid=start_gtid, merge_mode=a.merge_mode,
+            on_error=a.on_error, verify_crc=a.verify_crc,
         )
     else:
         stats = replay_batch(
             spark, a.chunk_dir, table, include=include, exclude=exclude,
             files_per_epoch=a.files_per_epoch, start_lsn=start_lsn,
             start_after_gtid=start_gtid, merge_mode=a.merge_mode,
+            on_error=a.on_error, verify_crc=a.verify_crc,
         )
     summary = {
         "mode": a.mode,

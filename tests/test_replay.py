@@ -236,3 +236,43 @@ def test_streaming_mor_replay_matches_golden(spark, chunks, golden):
     table.compact(spark)
     assert not table.delta_files()
     assert_matches_golden(spark, table, golden)
+
+
+def test_batch_replay_quarantines_corrupt_chunk(spark, chunks, golden):
+    """A corrupt chunk mid-log must not kill a long replay: with
+    on_error='skip' the replay completes and the final state equals a
+    replay over only the healthy chunks (the corrupt chunk's changes are
+    lost by design — whole-chunk atomicity — and validate_chunks is the
+    report that says so)."""
+    import shutil as _sh
+
+    qdir = tempfile.mkdtemp(prefix="mbs_replay_q_")
+    names = sorted(f for f in os.listdir(chunks)
+                   if f.startswith("binlog.") and not f.endswith(".json"))
+    for n in names:
+        _sh.copy(os.path.join(chunks, n), qdir)
+    # corrupt the MIDDLE chunk's final CRC byte
+    victim = names[len(names) // 2]
+    vp = os.path.join(qdir, victim)
+    data = bytearray(open(vp, "rb").read())
+    data[-1] ^= 0xFF
+    open(vp, "wb").write(bytes(data))
+
+    table = new_table()
+    stats = replay_batch(
+        spark, qdir, table, include=[("app", "transcripts")],
+        files_per_epoch=2, on_error="skip", verify_crc=True,
+    )
+    assert stats.applied > 0
+    # reference: replay the healthy chunks only (original dir, victim
+    # excluded via an explicit chunk list staged in a clean dir)
+    refdir = tempfile.mkdtemp(prefix="mbs_replay_ref_")
+    for n in names:
+        if n != victim:
+            _sh.copy(os.path.join(chunks, n), refdir)
+    ref = new_table()
+    replay_batch(spark, refdir, ref, include=[("app", "transcripts")],
+                 files_per_epoch=2)
+    got = snapshot_pdf(spark, table)
+    want = snapshot_pdf(spark, ref)
+    assert got.equals(want)
