@@ -101,7 +101,12 @@ def replay_batch(
     replay; pair with ``verify_crc=True`` (corruption that doesn't
     break framing is only detectable by checksum) and run
     ``sources.binlog.validate_chunks`` for the report of what was
-    dropped and why.
+    dropped and why.  Backfill after repair: the quarantined chunk's
+    epoch is already committed, so re-running skips it — replay the
+    repaired chunk from its own directory instead (fresh epoch id;
+    last-writer-wins by LSN makes the late merge order-independent, so
+    the table converges to the full-replay state —
+    test_backfill_repaired_chunk_after_quarantine).
 
     ``pipeline=False`` disables the one-deep epoch prefetch (strictly
     serial epochs — deterministic job ordering for debugging and the

@@ -276,3 +276,38 @@ def test_batch_replay_quarantines_corrupt_chunk(spark, chunks, golden):
     got = snapshot_pdf(spark, table)
     want = snapshot_pdf(spark, ref)
     assert got.equals(want)
+
+
+def test_backfill_repaired_chunk_after_quarantine(spark, chunks, golden):
+    """The quarantine pitfall and its answer: a chunk quarantined inside
+    epoch 'batch-A-B' leaves that epoch COMMITTED without the chunk's
+    rows, so re-running after repairing the file skips the epoch
+    (exactly-once) and the repaired data would never land.  The fix is
+    structural, not special-cased: last-writer-wins by LSN makes merges
+    order-independent, so replaying JUST the repaired chunk from its own
+    directory applies as a fresh epoch id and the table converges to the
+    full-replay state."""
+    import shutil as _sh
+
+    qdir = tempfile.mkdtemp(prefix="mbs_bf_q_")
+    names = sorted(f for f in os.listdir(chunks)
+                   if f.startswith("binlog.") and not f.endswith(".json"))
+    for n in names:
+        _sh.copy(os.path.join(chunks, n), qdir)
+    victim = names[len(names) // 2]
+    vp = os.path.join(qdir, victim)
+    data = bytearray(open(vp, "rb").read())
+    data[-1] ^= 0xFF
+    open(vp, "wb").write(bytes(data))
+
+    table = new_table()
+    replay_batch(spark, qdir, table, include=[("app", "transcripts")],
+                 files_per_epoch=2, on_error="skip", verify_crc=True)
+    # repair arrives: the original healthy chunk, staged alone
+    bfdir = tempfile.mkdtemp(prefix="mbs_bf_fix_")
+    _sh.copy(os.path.join(chunks, victim), bfdir)
+    s2 = replay_batch(spark, bfdir, table,
+                      include=[("app", "transcripts")],
+                      files_per_epoch=1, verify_crc=True)
+    assert s2.applied == 1  # fresh epoch id -> applies, not skipped
+    assert_matches_golden(spark, table, golden)  # converged to full state
