@@ -2876,6 +2876,14 @@ def oracle_doc_ngram_containment():
     """
 
 
+# Residual encoding (classic IVFADC quantizes r = x − centroid) is
+# deliberately NOT used here, by measurement not doctrine: this corpus's
+# Lloyd cluster-means have norm ≈0.33 vs unit vectors, so residuals keep
+# ≈94% of the vector norm (√(1−0.33²)) — the residual codebook would see
+# nearly the same geometry and recover ~nothing, while the oracle SQL
+# would grow a per-row centroid subtraction.  On clustered real
+# embeddings (centroid norms near 1) residual encoding is the first
+# upgrade to make, in ivfpq_knn's encode step.
 # M=16 subdim-4 subspaces × 16 codes: 16 B/vector vs 256 B raw (16×).
 # Swept at sf0.01 against exact top-10: (M=4,K=8) 0.14, (8,16) 0.12,
 # (16,16) 0.46 — near-uniform unit vectors are PQ's hardest case
