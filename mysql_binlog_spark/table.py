@@ -241,13 +241,18 @@ class LakeTable:
         copy-on-write merge uses — read-side merge work traded for the
         write-side amplification MOR avoids (BENCH/MERGE.md two-regime
         analysis)."""
-        files = self.live_files()
+        last = self.last_commit()
         deltas = self.delta_files()
         schema = self.ddl(with_lsn=True, with_tombstone=True)
-        if not files and not deltas:
+        if last is None:
             return spark.createDataFrame([], self.ddl(with_lsn=with_lsn))
-        df = spark.read.schema(schema).parquet(*(files + deltas))
         if deltas:
+            # resolve ONLY the delta-touched buckets (keys never cross
+            # buckets, so untouched buckets are already ≤1 row/key and
+            # scan merge-free) — the resolve shuffle costs O(touched
+            # data), mirroring selective compaction's discipline
+            touched = {int(b) for b in last.get("delta_buckets", {})}
+            tfiles = self.live_files(touched) + deltas
             cols = [n for n, _ in self.columns()]
             payload = F.struct(
                 F.col("_deleted").alias("_deleted"),
@@ -255,13 +260,25 @@ class LakeTable:
             )
             lsn = F.struct(*[F.col(n) for n in LSN_COLS])
             df = (
-                df.groupBy(*self.key_cols)
+                spark.read.schema(schema).parquet(*tfiles)
+                .groupBy(*self.key_cols)
                 .agg(F.max_by(payload, lsn).alias("_w"), F.max(lsn).alias("_lsn"))
                 .select(
                     *[F.col(f"_w.{n}").alias(n) for n in ["_deleted"] + cols],
                     *[F.col(f"_lsn.{n}").alias(n) for n in LSN_COLS],
                 )
             )
+            n_buckets = self.schema_doc()["n_buckets"]
+            ufiles = self.live_files(set(range(n_buckets)) - touched)
+            if ufiles:
+                df = df.unionByName(
+                    spark.read.schema(schema).parquet(*ufiles)
+                )
+        else:
+            files = self.live_files()
+            if not files:
+                return spark.createDataFrame([], self.ddl(with_lsn=with_lsn))
+            df = spark.read.schema(schema).parquet(*files)
         df = df.filter(~F.col("_deleted")).drop("_deleted")
         if not with_lsn:
             df = df.drop(*LSN_COLS)
