@@ -3518,6 +3518,54 @@ def q_cdc_write_amplification(spark, sf_dir):
     )
 
 
+def q_cdc_lake_time_travel(spark, sf_dir):
+    """Manifest-level VERSION AS OF — the lake-side dual of
+    cdc_time_travel's changelog reconstruction: every commit manifest is
+    a complete snapshot description, so ``snapshot_df(at_commit=1)``
+    reads the table exactly as it stood after the first epoch even
+    though later epochs have since rewritten its buckets (files survive
+    until vacuum — the Iceberg/Delta retention contract).  The oracle
+    restates epoch 1's state from the spec; a hash-green row proves
+    historical manifests replay bit-exact (table.LakeTable.commit_at /
+    snapshot_df)."""
+    chunks = binlog_fixture_dir(spark, sf_dir)
+    lake_dir = tempfile.mkdtemp(prefix="mbs_lake_tt_")
+    table = LakeTable.create(
+        lake_dir,
+        columns=[
+            ("conv_id", "string"), ("turn_idx", "int"), ("role", "string"),
+            ("text", "string"), ("tool", "string"), ("ts", "timestamp"),
+        ],
+        key_cols=KEY_COLS,
+        n_buckets=16,
+    )
+    replay_batch(
+        spark, chunks, table, include=[("app", "transcripts")],
+        files_per_epoch=1, maintain_every=None,
+    )
+    return table.snapshot_df(spark, at_commit=1).select(*FINAL_COLS)
+
+
+def oracle_cdc_lake_time_travel():
+    return f"""
+    WITH dedup AS ({spec.dedup_sql('duckdb')}),
+    upto AS (
+      SELECT * FROM dedup
+      WHERE schema_name = 'app' AND table_name = 'transcripts'
+        AND log_file = 'binlog.000001'
+    ),
+    ranked AS (
+      SELECT u.*,
+             ROW_NUMBER() OVER (
+               PARTITION BY conv_id, turn_idx
+               ORDER BY log_file DESC, log_pos DESC, server_id DESC) AS rn
+      FROM upto u
+    )
+    SELECT conv_id, turn_idx, role, text, tool, tool_version, ts
+    FROM ranked WHERE rn = 1 AND action <> 'delete'
+    """
+
+
 def q_cdc_quarantine(spark, sf_dir):
     """Corrupt-chunk quarantine, oracle-gated: copy the fixture log, add
     one chunk whose final frame's CRC byte is flipped, and run the

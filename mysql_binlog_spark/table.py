@@ -167,6 +167,17 @@ class LakeTable:
             self._last_commit_cache = json.load(f)
         return self._last_commit_cache
 
+    def commit_at(self, seq: int) -> dict:
+        """Manifest of commit ``seq`` (1-based) — the VERSION AS OF
+        handle.  Valid as long as the files it references survive
+        (``vacuum`` collects files unreferenced by the CURRENT manifest,
+        so historical versions are readable until the next vacuum passes
+        over their superseded files — the same retention contract as
+        Iceberg/Delta time travel)."""
+        p = os.path.join(self.path, "_commits", f"c{seq:07d}.json")
+        with open(p) as f:
+            return json.load(f)
+
     def committed_epochs(self) -> set[str]:
         """Set of applied epoch ids — one O(1) log read per process, then
         cached (kept in sync by ``_commit``)."""
@@ -231,7 +242,22 @@ class LakeTable:
 
     # ---------------------------------------------------------------- reads
 
-    def snapshot_df(self, spark: SparkSession, with_lsn: bool = False) -> DataFrame:
+    @staticmethod
+    def _doc_files(
+        doc: dict, kind: str, buckets: set[int] | None = None
+    ) -> list[str]:
+        files: list[str] = []
+        for b, fs in doc.get(kind, {}).items():
+            if buckets is None or int(b) in buckets:
+                files.extend(fs)
+        return files
+
+    def snapshot_df(
+        self,
+        spark: SparkSession,
+        with_lsn: bool = False,
+        at_commit: int | None = None,
+    ) -> DataFrame:
         """Live rows only: delete tombstones (retained so that replayed
         *older* epochs cannot resurrect deleted keys) are filtered out.
 
@@ -240,9 +266,19 @@ class LakeTable:
         across base + delta rows with the SAME max_by-over-LSN reduce the
         copy-on-write merge uses — read-side merge work traded for the
         write-side amplification MOR avoids (BENCH/MERGE.md two-regime
-        analysis)."""
-        last = self.last_commit()
-        deltas = self.delta_files()
+        analysis).
+
+        ``at_commit``: serve the table AS OF commit seq (1-based) —
+        manifest-level time travel: every commit is a complete snapshot
+        description (buckets + outstanding deltas), so reading an older
+        manifest reads the older table, valid until ``vacuum`` collects
+        its superseded files (the Iceberg/Delta retention contract)."""
+        last = (
+            self.commit_at(at_commit)
+            if at_commit is not None
+            else self.last_commit()
+        )
+        deltas = self._doc_files(last, "delta_buckets") if last else []
         schema = self.ddl(with_lsn=True, with_tombstone=True)
         if last is None:
             return spark.createDataFrame([], self.ddl(with_lsn=with_lsn))
@@ -252,7 +288,7 @@ class LakeTable:
             # scan merge-free) — the resolve shuffle costs O(touched
             # data), mirroring selective compaction's discipline
             touched = {int(b) for b in last.get("delta_buckets", {})}
-            tfiles = self.live_files(touched) + deltas
+            tfiles = self._doc_files(last, "buckets", touched) + deltas
             cols = [n for n, _ in self.columns()]
             payload = F.struct(
                 F.col("_deleted").alias("_deleted"),
@@ -269,13 +305,15 @@ class LakeTable:
                 )
             )
             n_buckets = self.schema_doc()["n_buckets"]
-            ufiles = self.live_files(set(range(n_buckets)) - touched)
+            ufiles = self._doc_files(
+                last, "buckets", set(range(n_buckets)) - touched
+            )
             if ufiles:
                 df = df.unionByName(
                     spark.read.schema(schema).parquet(*ufiles)
                 )
         else:
-            files = self.live_files()
+            files = self._doc_files(last, "buckets")
             if not files:
                 return spark.createDataFrame([], self.ddl(with_lsn=with_lsn))
             df = spark.read.schema(schema).parquet(*files)

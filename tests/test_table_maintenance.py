@@ -323,3 +323,28 @@ def test_selective_compaction_rewrites_only_fragmented_buckets(spark):
     post = sorted((r.k, r.v) for r in t.snapshot_df(spark).collect())
     assert post == pre
     assert ("a", 7) in post and (cold[0], 8) in post
+
+
+def test_manifest_time_travel_reads_every_version(spark):
+    """snapshot_df(at_commit=k) serves the exact table state as of each
+    commit — including a version with MOR deltas outstanding — until
+    vacuum collects superseded files; after vacuum, the CURRENT version
+    still reads (its files are protected) while historical manifests may
+    reference collected files (the documented retention contract)."""
+    t = LakeTable.create(
+        tempfile.mkdtemp(prefix="mbs_tt_"),
+        columns=[("k", "string"), ("v", "int")],
+        key_cols=["k"],
+        n_buckets=4,
+    )
+    t.merge_into(spark, _updates(spark, 1, ["a", "b"]), "e1")
+    t.merge_into(spark, _updates(spark, 2, ["b", "c"]), "e2")
+    t.merge_into(spark, _updates(spark, 3, ["a"], "delete"), "e3", mode="mor")
+
+    def snap(**kw):
+        return sorted((r.k, r.v) for r in t.snapshot_df(spark, **kw).collect())
+
+    assert snap(at_commit=1) == [("a", 1), ("b", 1)]
+    assert snap(at_commit=2) == [("a", 1), ("b", 2), ("c", 2)]
+    assert snap(at_commit=3) == [("b", 2), ("c", 2)]  # MOR delta resolved
+    assert snap() == snap(at_commit=3)
