@@ -54,9 +54,15 @@ def minhash_signatures(
     keeps multi-referenced non-trivial expressions in their own project,
     so the plan never duplicates the md5 pass k times)."""
     from ..functions.hashing import _mh_params, _mix_hasher, md5_bigint
+    from .partitioning import spread
 
+    # spread (round 7): a single-file corpus scans as ONE task, putting
+    # the whole per-shingle md5 pass on one core; no-op on inputs that
+    # already have >= defaultParallelism partitions (guide §2)
     sh = word_shingles(F.col(text_col), shingle_n)
-    based = df.select(F.col(id_col), sh.alias("shingles")).withColumn(
+    based = spread(df.select(F.col(id_col), F.col(text_col))).select(
+        F.col(id_col), sh.alias("shingles")
+    ).withColumn(
         "_mh_base", F.transform(F.col("shingles"), md5_bigint)
     )
     mixes = [
@@ -125,12 +131,18 @@ def jaccard_verify(
     (BENCH/DEDUP.md: 100k pairs per 1M docs), so a LEFT SEMI join prunes
     the shingle computation to the touched documents before the
     pair joins."""
+    from .partitioning import spread
+
     ids = (
         candidates.select(F.col("doc_a").alias(id_col))
         .union(candidates.select(F.col("doc_b").alias(id_col)))
         .distinct()
     )
-    sh = docs.join(ids, id_col, "left_semi").select(
+    # spread (round 7): the verify-side shingle recompute inherits the
+    # corpus scan's partitioning — one task for a single-file corpus
+    sh = spread(docs.select(F.col(id_col), F.col(text_col))).join(
+        ids, id_col, "left_semi"
+    ).select(
         F.col(id_col), word_shingles(F.col(text_col), shingle_n).alias("s")
     )
     a = sh.alias("a")
@@ -203,7 +215,9 @@ def jaccard_pairs_exact(
     # shingle set at the 100 TB shape would pin O(corpus) arrays in
     # executor memory for a one-action pipeline; recomputing the narrow
     # map work per reused exchange is the cheaper, leak-free trade.
-    sh = df.select(
+    from .partitioning import spread
+
+    sh = spread(df.select(F.col(id_col), F.col(text_col))).select(
         F.col(id_col), word_shingles(F.col(text_col), shingle_n).alias("s")
     )
     ex = jaccard_prefix_tokens(sh, id_col, threshold)

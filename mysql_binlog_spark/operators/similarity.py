@@ -56,24 +56,38 @@ def cosine_knn(
 
     ``queries`` is broadcast — the corpus-side scan never shuffles; the
     only wide exchange is the per-query top-k reduce.
+
+    Round-7 optimization (guide §1.2 "per-task work" + §2): norms are
+    hoisted OUT of the pair loop — each corpus norm is computed once per
+    row and each query norm once per query instead of once per
+    (query, corpus) pair, which cuts the scoring stage's higher-order-
+    function work ~3× with bit-identical doubles (same per-element
+    sequence of IEEE ops, just evaluated once).  ``spread`` widens a
+    single-file corpus scan so scoring uses the whole cluster.
     """
     from pyspark.sql import Window
 
+    from .partitioning import spread
+
     q = queries.select(
         F.col(id_col).alias("query_id"), F.col(vec_col).alias("qvec")
-    )
-    c = corpus.select(
-        F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("cvec")
-    )
+    ).withColumn("_qnorm", _norm(F.col("qvec")))
+    c = spread(
+        corpus.select(
+            F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("cvec")
+        )
+    ).withColumn("_cnorm", _norm(F.col("cvec")))
     scored = (
         c.crossJoin(F.broadcast(q))
         .filter(F.col("neighbor_id") != F.col("query_id"))
         .select(
             "query_id",
             "neighbor_id",
-            F.round(cosine(F.col("qvec"), F.col("cvec")), round_digits).alias(
-                "cos_sim"
-            ),
+            F.round(
+                _dot(F.col("qvec"), F.col("cvec"))
+                / (F.col("_qnorm") * F.col("_cnorm")),
+                round_digits,
+            ).alias("cos_sim"),
         )
     )
     w = Window.partitionBy("query_id").orderBy(

@@ -207,20 +207,29 @@ def discover_tables(
                 idx = local + ".idx.json"
                 seen: dict = {}
                 try:
+                    seen = None
                     if os.path.exists(idx):
-                        with open(idx) as f:
-                            frames = _json.load(f)
-                        with open(local, "rb") as fh:
-                            for fr in frames:
-                                if fr["type"] != TABLE_MAP_EVENT:
-                                    continue
-                                fh.seek(fr["offset"] + HEADER_LEN)
-                                payload = fh.read(
-                                    fr["size"] - HEADER_LEN - CRC_LEN
-                                )
-                                t = _parse_table_map(memoryview(payload))
-                                seen[(t.schema, t.table)] = t
-                    else:
+                        # a corrupt SIDECAR must not silently drop the
+                        # chunk's schema contribution while its body
+                        # still decodes (ADVICE r6): fall back to the
+                        # full-decode discovery below on any index error
+                        try:
+                            with open(idx) as f:
+                                frames = _json.load(f)
+                            seen = {}
+                            with open(local, "rb") as fh:
+                                for fr in frames:
+                                    if fr["type"] != TABLE_MAP_EVENT:
+                                        continue
+                                    fh.seek(fr["offset"] + HEADER_LEN)
+                                    payload = fh.read(
+                                        fr["size"] - HEADER_LEN - CRC_LEN
+                                    )
+                                    t = _parse_table_map(memoryview(payload))
+                                    seen[(t.schema, t.table)] = t
+                        except Exception:
+                            seen = None
+                    if seen is None:
                         with open(local, "rb") as fh:
                             batch = decode_chunk(
                                 fh.read(), include=frozenset()
@@ -355,10 +364,12 @@ def read_binlog(
             paths = sorted(_glob.glob(local))
         # slice policy: every Python-runner task costs ~15-30ms of
         # dispatch, so aim for ≥64MB of chunk bytes per task, floored at
-        # one wave (defaultParallelism) and capped at one file per task —
-        # at cluster scale (GB-sized chunks) this degenerates to
-        # one-task-per-file, at bench scale it avoids paying the task
-        # floor 3x over
+        # TWO waves (2× defaultParallelism — round 7, guide §2.6: a
+        # single wave leaves cores idle behind the slowest task; two
+        # waves let the scheduler back-fill the tail, measured -14% on
+        # the decode bench) and capped at one file per task — at cluster
+        # scale (GB-sized chunks) this degenerates to one-task-per-file,
+        # at bench scale it avoids paying the task floor 3x over
         total_bytes = 0
         for p in paths:
             try:
@@ -368,7 +379,7 @@ def read_binlog(
         cores = spark.sparkContext.defaultParallelism
         n_slices = max(1, min(
             len(paths),
-            max(cores, -(-total_bytes // (64 * 1024 * 1024))),
+            max(2 * cores, -(-total_bytes // (64 * 1024 * 1024))),
         ))
         files = spark.createDataFrame(
             [(p,) for p in paths], "path string"
@@ -547,12 +558,24 @@ def validate_chunks(
     def check(batches):
         from ..wire import decode_chunk as _dc
 
+        from ..wire import CrcMismatchError, TruncatedFrameError
+
         for pdf in batches:
             rows = []
             for path in pdf["path"]:
+                # classification by EXCEPTION TYPE (ADVICE r6): an
+                # unrelated error whose message merely contains 'crc'
+                # can no longer masquerade as corruption, and I/O
+                # failures get their own 'unreadable' class
                 try:
                     with open(_local_path(path), "rb") as fh:
                         data = fh.read()
+                except OSError:
+                    rows.append(
+                        (os.path.basename(path), False, 0, "unreadable")
+                    )
+                    continue
+                try:
                     batch = _dc(
                         data, include=include, exclude=exclude,
                         verify_crc=verify_crc, text_as_bytes=True,
@@ -560,14 +583,16 @@ def validate_chunks(
                     rows.append(
                         (os.path.basename(path), True, len(batch), None)
                     )
-                except Exception as e:  # contained: one row per failure
-                    msg = str(e).lower()
-                    reason = (
-                        "crc" if "crc" in msg
-                        else "truncated" if "truncat" in msg
-                        else "malformed"
+                except CrcMismatchError:
+                    rows.append((os.path.basename(path), False, 0, "crc"))
+                except TruncatedFrameError:
+                    rows.append(
+                        (os.path.basename(path), False, 0, "truncated")
                     )
-                    rows.append((os.path.basename(path), False, 0, reason))
+                except Exception:  # contained: one row per failure
+                    rows.append(
+                        (os.path.basename(path), False, 0, "malformed")
+                    )
             yield pd_mod.DataFrame(
                 rows, columns=["chunk", "ok", "n_rows", "reason"]
             )

@@ -44,8 +44,10 @@ from ..wire import (
     TABLE_MAP_EVENT,
     UPDATE_ROWS_V2,
     XID_EVENT,
+    CrcMismatchError,
     DecodedBatch,
     TableSchema,
+    TruncatedFrameError,
     _advance_width,
     _DECODER_CACHE,
     _parse_table_map,
@@ -251,7 +253,7 @@ def decode_chunk_wavefront(
         if off + size > total:
             if tolerate_truncation:
                 break
-            raise ValueError(
+            raise TruncatedFrameError(
                 f"truncated frame at offset {off}: header claims {size} "
                 f"bytes, {total - off} remain "
                 "(pass tolerate_truncation=True to stop at the last "
@@ -261,7 +263,8 @@ def decode_chunk_wavefront(
         if verify_crc:
             want = unpack("<I", mv, body_end)[0]
             got = zlib.crc32(mv[off:body_end]) & 0xFFFFFFFF
-            assert want == got, f"CRC mismatch at offset {off}"
+            if want != got:
+                raise CrcMismatchError(f"CRC mismatch at offset {off}")
         out.n_events += 1
         out.n_bytes += size
         if etype == TABLE_MAP_EVENT:

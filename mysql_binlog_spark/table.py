@@ -278,6 +278,23 @@ class LakeTable:
             if at_commit is not None
             else self.last_commit()
         )
+        if at_commit is not None and last is not None:
+            # retention guard (ADVICE r6): a vacuum after commit k may
+            # have collected files only version k references — fail with
+            # the retention story, not an opaque parquet path error
+            for f in (
+                self._doc_files(last, "buckets")
+                + self._doc_files(last, "delta_buckets")
+            ):
+                if not os.path.exists(f):
+                    raise ValueError(
+                        f"time-travel version {at_commit} has been "
+                        f"retired: data file {f!r} was removed by a "
+                        "later vacuum/compaction (the Iceberg/Delta "
+                        "retention contract — historical versions are "
+                        "readable only until maintenance collects their "
+                        "superseded files)"
+                    )
         deltas = self._doc_files(last, "delta_buckets") if last else []
         schema = self.ddl(with_lsn=True, with_tombstone=True)
         if last is None:

@@ -41,6 +41,17 @@ MAGIC = b"\xfebin"
 HEADER_LEN = 19
 CRC_LEN = 4
 
+
+class CrcMismatchError(AssertionError):
+    """Frame checksum mismatch (ADVICE r6: typed so quarantine reports
+    classify on exception type, not message substrings).  Subclasses
+    AssertionError to preserve the long-standing decode contract."""
+
+
+class TruncatedFrameError(ValueError):
+    """Frame extends past the end of the chunk (cut mid-write).
+    Subclasses ValueError to preserve the decode contract."""
+
 # event type codes (public binlog v4 numbering)
 FORMAT_DESCRIPTION_EVENT = 0x0F
 ROTATE_EVENT = 0x04
@@ -1507,7 +1518,14 @@ def normalize_gtid_resume(
     SHOW MASTER STATUS rendering — used to silently match nothing)."""
     if spec is None:
         return None
-    if isinstance(spec, tuple):
+    if isinstance(spec, (tuple, list)):
+        # a 2-element list is what JSON config deserializes the legacy
+        # (sid, gno) pair to (ADVICE r6) — accept both sequence shapes
+        if len(spec) != 2:
+            raise ValueError(
+                "GTID resume sequence must be (sid, gno); got "
+                f"{len(spec)} elements"
+            )
         spec = {spec[0]: spec[1]}
     out: dict[str, int] = {}
     for sid, gno in spec.items():
@@ -1629,7 +1647,7 @@ def decode_chunk(
             # this offset after the writer finishes / reconnects.
             if tolerate_truncation:
                 break
-            raise ValueError(
+            raise TruncatedFrameError(
                 f"truncated frame at offset {off}: header claims {size} "
                 f"bytes, {total - off} remain "
                 "(pass tolerate_truncation=True to stop at the last "
@@ -1639,7 +1657,8 @@ def decode_chunk(
         if verify_crc:
             want = unpack("<I", mv, body_end)[0]
             got = zlib.crc32(mv[off:body_end]) & 0xFFFFFFFF
-            assert want == got, f"CRC mismatch at offset {off}"
+            if want != got:
+                raise CrcMismatchError(f"CRC mismatch at offset {off}")
         out.n_events += 1
         out.n_bytes += size
         if etype == TABLE_MAP_EVENT:
