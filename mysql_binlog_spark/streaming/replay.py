@@ -151,10 +151,17 @@ def replay_batch(
         plan.append((epoch_id, group, epoch_id in done))
     todo = [(eid, g) for eid, g, skipped in plan if not skipped]
 
-    def prepare(group):
-        """Materialize the epoch's winners (decode → filter → image →
-        last_writer) into cache — every bit of it independent of table
-        state, so it can run while the PREVIOUS epoch merges/commits."""
+    def prepare(group, materialize: bool = True):
+        """Build the epoch's winners plan (decode → filter → image →
+        last_writer) — every bit of it independent of table state.
+
+        ``materialize=True`` (the PREFETCHED epoch) persists + counts so
+        the work runs while the PREVIOUS epoch merges/commits.
+        ``materialize=False`` (round 7): an epoch consumed inline with
+        nothing to overlap returns the LAZY plan — merge_into's fused
+        single-pass path (MOR / initial load) then runs decode → winners
+        → write as ONE job instead of paying a full cache
+        materialization first."""
         paths = [os.path.join(chunk_dir, f) for f in group]
         decoded = read_binlog(
             spark, paths, image_cols=image_cols, include=include_set,
@@ -169,8 +176,10 @@ def replay_batch(
             else [f.name[len("after_"):] for f in decoded.schema.fields
                   if f.name.startswith("after_")]
         )
-        w = _epoch_winners(table, decoded, include, cols, exclude).persist()
-        w.count()
+        w = _epoch_winners(table, decoded, include, cols, exclude)
+        if materialize:
+            w = w.persist()
+            w.count()
         return w
 
     # One-deep epoch pipeline (round-5 width fix): while epoch N's merge
@@ -188,7 +197,14 @@ def replay_batch(
                         {"epoch_id": epoch_id, "skipped": True}
                     )
                     continue
-                w = fut.result() if fut is not None else prepare(group)
+                # an inline-prepared epoch (nothing running concurrently
+                # to overlap with) stays lazy so merge_into can fuse
+                # decode → winners → write into one job
+                w = (
+                    fut.result()
+                    if fut is not None
+                    else prepare(group, materialize=False)
+                )
                 ti += 1
                 fut = (
                     pool.submit(prepare, todo[ti][1])

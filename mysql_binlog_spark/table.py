@@ -402,6 +402,67 @@ class LakeTable:
             *[F.col(n).cast(t).alias(n) for n, t in LSN_FIELDS],
             F.col("action"),
         ).withColumn("bucket", self._bucket_expr())
+        n_buckets = self.schema_doc()["n_buckets"]
+
+        # FUSED single-pass path (round 7, guide §1.2 "remove passes"):
+        # MOR epochs and initial loads never read the base, so the epoch
+        # needs ONE job — decode → winners → bucketed write — and both
+        # lineage and the touched-bucket set are aggregated from the
+        # WRITTEN parquet afterwards (a 1-epoch scan, ~10x smaller than
+        # re-running the update plan).  This removes the upd persist (a
+        # full extra materialization of the winners) and the separate
+        # lineage job over the update plan.  The CoW-with-base path
+        # below still needs `touched` BEFORE it can plan the rewrite, so
+        # it keeps the persist + upfront lineage collect.
+        has_base = bool(self.live_files() or self.delta_files())
+        if mode == "mor" or not has_base:
+            merged = (
+                upd.withColumn("_deleted", F.col("action") == "delete")
+                .drop("action")
+            )
+            epoch_dir = self._write_epoch(
+                merged, epoch_id, max(1, min(n_buckets, 200))
+            )
+            if globmod.glob(os.path.join(epoch_dir, "bucket=*")):
+                written = (
+                    spark.read.schema(
+                        self.ddl(with_lsn=True, with_tombstone=True)
+                        + ", bucket int"
+                    )
+                    .option("basePath", epoch_dir)
+                    .parquet(os.path.join(epoch_dir, "bucket=*"))
+                )
+                lineage_rows = (
+                    written.groupBy("log_file")
+                    .agg(
+                        F.min("log_pos").alias("min_pos"),
+                        F.max("log_pos").alias("max_pos"),
+                        F.count(F.lit(1)).alias("rows"),
+                        F.sum(
+                            F.when(F.col("_deleted"), 1).otherwise(0)
+                        ).alias("deletes"),
+                        F.collect_set("bucket").alias("buckets"),
+                    )
+                    .collect()
+                )
+            else:  # empty epoch: nothing written, nothing touched
+                lineage_rows = []
+            lineage = {
+                r["log_file"]: {
+                    "min_pos": r["min_pos"],
+                    "max_pos": r["max_pos"],
+                    "rows": r["rows"],
+                    "deletes": r["deletes"],
+                }
+                for r in lineage_rows
+            }
+            touched = set()
+            for r in lineage_rows:
+                touched.update(r["buckets"])
+            return self._finish_commit(
+                epoch_dir, epoch_id, mode, touched, lineage, n_buckets
+            )
+
         # the updates plan (decode → dedup → winners) is consumed three
         # times below (touched buckets, lineage, merge write) — persist it
         # or the whole upstream recomputes each time
@@ -434,21 +495,11 @@ class LakeTable:
         touched: set[int] = set()
         for r in lineage_rows:
             touched.update(r["buckets"])
-        n_buckets = self.schema_doc()["n_buckets"]
 
-        if mode == "mor":
-            # append-only delta: the base is never read or rewritten
-            cur_files = []
-        else:
-            # a CoW epoch folds any outstanding deltas of its touched
-            # buckets into the base it rewrites
-            cur_files = self.live_files(touched) + self.delta_files(touched)
-        if mode == "mor":
-            merged = (
-                upd.withColumn("_deleted", F.col("action") == "delete")
-                .drop("action")
-            )
-        elif cur_files:
+        # a CoW epoch folds any outstanding deltas of its touched
+        # buckets into the base it rewrites
+        cur_files = self.live_files(touched) + self.delta_files(touched)
+        if cur_files:
             cur = (
                 spark.read.schema(self.ddl(with_lsn=True, with_tombstone=True))
                 .parquet(*cur_files)
@@ -487,17 +538,39 @@ class LakeTable:
                 .drop("action")
             )
 
+        epoch_dir = self._write_epoch(
+            merged, epoch_id, max(1, min(len(touched), 200))
+        )
+        upd.unpersist(blocking=False)
+        return self._finish_commit(
+            epoch_dir, epoch_id, mode, touched, lineage, n_buckets
+        )
+
+    def _write_epoch(self, merged, epoch_id: str, n_parts: int) -> str:
+        """Write one epoch's merged rows bucket-partitioned; returns the
+        epoch directory."""
         safe_epoch = "".join(
             ch if ch.isalnum() or ch in "-_." else "_" for ch in epoch_id
         )
         epoch_dir = os.path.join(self.path, "data", f"ep={safe_epoch}")
         (
-            merged.repartition(max(1, min(len(touched), 200)), "bucket")
+            merged.repartition(n_parts, "bucket")
             .write.mode("overwrite")
             .partitionBy("bucket")
             .parquet(epoch_dir)
         )
+        return epoch_dir
 
+    def _finish_commit(
+        self,
+        epoch_dir: str,
+        epoch_id: str,
+        mode: str,
+        touched: set[int],
+        lineage: dict,
+        n_buckets: int,
+    ) -> dict:
+        """Fold the written epoch files into the manifest and commit."""
         new_bucket_files: dict[str, list[str]] = {}
         for bdir in globmod.glob(os.path.join(epoch_dir, "bucket=*")):
             b = bdir.rsplit("=", 1)[1]
@@ -517,7 +590,6 @@ class LakeTable:
                 if b in touched:
                     buckets[sb] = new_bucket_files.get(sb, [])
                     delta_buckets.pop(sb, None)  # folded into the base
-        upd.unpersist(blocking=False)
         doc = {
             "epoch_id": epoch_id,
             "schema_version": self.schema_doc()["version"],
