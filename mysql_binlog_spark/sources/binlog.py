@@ -364,12 +364,13 @@ def read_binlog(
             paths = sorted(_glob.glob(local))
         # slice policy: every Python-runner task costs ~15-30ms of
         # dispatch, so aim for ≥64MB of chunk bytes per task, floored at
-        # TWO waves (2× defaultParallelism — round 7, guide §2.6: a
-        # single wave leaves cores idle behind the slowest task; two
-        # waves let the scheduler back-fill the tail, measured -14% on
-        # the decode bench) and capped at one file per task — at cluster
-        # scale (GB-sized chunks) this degenerates to one-task-per-file,
-        # at bench scale it avoids paying the task floor 3x over
+        # one wave (defaultParallelism) and capped at one file per task —
+        # at cluster scale (GB-sized chunks) this degenerates to
+        # one-task-per-file, at bench scale it avoids paying the task
+        # floor 3x over.  (Round 7 note: a 2-wave floor was measured and
+        # REJECTED — interleaved quiet-box A/B put one wave at 1.98s vs
+        # 2.32s for two waves on the 1200-chunk decode; extra waves only
+        # helped under external load, where the freed cores mask noise.)
         total_bytes = 0
         for p in paths:
             try:
@@ -379,7 +380,7 @@ def read_binlog(
         cores = spark.sparkContext.defaultParallelism
         n_slices = max(1, min(
             len(paths),
-            max(2 * cores, -(-total_bytes // (64 * 1024 * 1024))),
+            max(cores, -(-total_bytes // (64 * 1024 * 1024))),
         ))
         files = spark.createDataFrame(
             [(p,) for p in paths], "path string"
@@ -405,8 +406,8 @@ def read_binlog(
         # straight into pa.array() — no pandas object Series in between.
         import numpy as np
 
-        from .vector import chunk_vector_kinds, materialize_column
-        from .wavefront import decode_chunk_wavefront
+        from .vector import materialize_column
+        from .wavefront import decode_chunk_vectorized
 
         for rb in it:
             paths = rb.column(rb.schema.get_field_index("path")).to_pylist()
@@ -426,13 +427,8 @@ def read_binlog(
                 else:
                     data = contents[row_i].as_py()
                 try:
-                    kinds = (
-                        chunk_vector_kinds(data, include, exclude, col_names)
-                        if vectorize
-                        else None
-                    )
-                    if kinds is not None:
-                        batch = decode_chunk_wavefront(
+                    batch, kinds = (
+                        decode_chunk_vectorized(
                             data,
                             image_cols=col_names,
                             include=include,
@@ -443,7 +439,10 @@ def read_binlog(
                             tolerate_truncation=tolerate_truncation,
                             start_after_gtid=start_after_gtid,
                         )
-                    else:
+                        if vectorize
+                        else (None, None)
+                    )
+                    if batch is None:
                         batch = decode_chunk(
                             data,
                             include=include,

@@ -43,6 +43,7 @@ from ..wire import (
     MAGIC,
     TABLE_MAP_EVENT,
     UPDATE_ROWS_V2,
+    WRITE_ROWS_V2,
     XID_EVENT,
     CrcMismatchError,
     DecodedBatch,
@@ -344,6 +345,19 @@ def decode_chunk_wavefront(
             start_after_gtid=start_after_gtid,
         )
 
+    return _finish_wavefront(np_buf, out, groups, n_included, before_mode)
+
+
+def _finish_wavefront(
+    np_buf: np.ndarray,
+    out: DecodedBatch,
+    groups: dict,
+    n_included: int,
+    before_mode: str,
+) -> DecodedBatch:
+    """Shared row-decode tail: run the compiled wavefront kernels over the
+    collected (table, etype) groups and scatter the per-iteration
+    descriptor vectors into row-order columns."""
     n_slots = len(out.columns)
     counts = np.zeros(n_included, dtype=np.int64)
     results = []
@@ -390,3 +404,305 @@ def decode_chunk_wavefront(
     out.ev_cnt = counts.tolist()
     out.n_rows = total_rows
     return out
+
+
+# ---------------------------------------------------- single-walk fast path
+
+def _schema_sig(t: TableSchema) -> tuple:
+    return (
+        t.schema, t.table,
+        tuple(
+            (c.name, c.ctype, c.meta, c.nullable, c.signed, c.values,
+             c.charset)
+            for c in t.columns
+        ),
+    )
+
+
+def _kinds_from_maps(
+    maps: list, include, exclude, col_names: list[str], data_len: int
+) -> dict | None:
+    """chunk_vector_kinds over ALREADY-PARSED table maps — the decision
+    logic without its own frame walk (round 7: the kinds pre-scan used to
+    re-walk every frame header, ~20% of kernel wall)."""
+    from ..wire import offset_scannable, vector_kind
+
+    if data_len >= 2**31:
+        return None  # int32 offset materialization limit (vector.py)
+    kinds: dict[str, tuple] = {}
+    stored = set(col_names)
+    for t in maps:
+        if not table_admitted(t.schema, t.table, include, exclude):
+            continue
+        if not offset_scannable(t, stored):
+            return None
+        for c in t.columns:
+            if c.name not in stored:
+                continue
+            k = vector_kind(c)
+            prev = kinds.get(c.name)
+            if prev is not None and prev != k:
+                return None  # conflicting layouts → value loops
+            kinds[c.name] = k
+    return kinds
+
+
+_U32 = struct.Struct("<I").unpack_from
+
+
+def _fast_scan(
+    data: bytes,
+    mv: memoryview,
+    np_buf: np.ndarray,
+    out: DecodedBatch,
+    include,
+    exclude,
+    tolerate_truncation: bool,
+):
+    """Vectorized frame classification (round 7, guide §1.2 per-task
+    work): the sequential walk is reduced to the irreducible size-chain
+    (ONE unpack per frame); event typing, table-id resolution, GTID
+    attribution, bitmap validation and per-event metadata all become
+    numpy gathers over the collected offset vector.  Returns
+    (groups, n_included, maps) with ``out``'s event metadata filled, or
+    None when the chunk needs the general walk (mid-chunk table_id
+    remap with a different schema, ≥251-column tables, a row event
+    preceding its TABLE_MAP)."""
+    total = len(data)
+    offs_l: list[int] = []
+    append = offs_l.append
+    u32 = _U32
+    pos = 4
+    min_size = HEADER_LEN + CRC_LEN
+    while pos + HEADER_LEN <= total:
+        size = u32(data, pos + 9)[0]
+        if size < min_size:
+            raise ValueError(
+                f"malformed frame at offset {pos}: header claims {size} "
+                f"bytes (minimum is {min_size})"
+            )
+        if pos + size > total:
+            if tolerate_truncation:
+                break
+            raise TruncatedFrameError(
+                f"truncated frame at offset {pos}: header claims {size} "
+                f"bytes, {total - pos} remain "
+                "(pass tolerate_truncation=True to stop at the last "
+                "complete frame)"
+            )
+        append(pos)
+        pos += size
+
+    offs = np.asarray(offs_l, np.int64)
+    out.n_events = len(offs)
+    if not len(offs):
+        out.n_bytes = 0
+        return {}, 0, []
+    sizes = np_buf[offs + 9].astype(np.int64)
+    for k in (10, 11, 12):
+        sizes |= np_buf[offs + k].astype(np.int64) << (8 * (k - 9))
+    out.n_bytes = int(sizes.sum())
+    etypes = np_buf[offs + 4]
+
+    # table maps, in order (few per chunk)
+    maps: list[TableSchema] = []
+    tm_by_id: dict[int, TableSchema] = {}
+    tm_first_off: dict[int, int] = {}
+    for i in np.nonzero(etypes == TABLE_MAP_EVENT)[0].tolist():
+        o = int(offs[i])
+        t = _parse_table_map(mv[o + HEADER_LEN : o + int(sizes[i]) - CRC_LEN])
+        maps.append(t)
+        out.tables_seen[(t.schema, t.table)] = t
+        prev = tm_by_id.get(t.table_id)
+        if prev is None:
+            tm_by_id[t.table_id] = t
+            tm_first_off[t.table_id] = o
+        elif _schema_sig(prev) != _schema_sig(t):
+            return None  # mid-chunk remap of one table_id → general walk
+
+    row_mask = (
+        (etypes == WRITE_ROWS_V2)
+        | (etypes == UPDATE_ROWS_V2)
+        | (etypes == DELETE_ROWS_V2)
+    )
+    ridx = np.nonzero(row_mask)[0]
+    if not len(ridx):
+        return {}, 0, maps
+    roffs = offs[ridx]
+    rsizes = sizes[ridx]
+    retypes = etypes[ridx]
+    tid = np_buf[roffs + HEADER_LEN].astype(np.int64)
+    for k in range(1, 6):
+        tid |= np_buf[roffs + HEADER_LEN + k].astype(np.int64) << (8 * k)
+
+    keep = np.ones(len(ridx), bool)
+    table_of: dict[int, TableSchema] = {}
+    for u in np.unique(tid).tolist():
+        t = tm_by_id.get(u)
+        if t is None:
+            raise ValueError(f"row event for unknown table id {u}")
+        first_row = int(roffs[tid == u][0])
+        if first_row < tm_first_off[u]:
+            return None  # row before its TABLE_MAP → general walk
+        if table_admitted(t.schema, t.table, include, exclude):
+            table_of[u] = t
+        else:
+            keep &= tid != u
+    roffs, rsizes, retypes, tid = (
+        roffs[keep], rsizes[keep], retypes[keep], tid[keep]
+    )
+    n_included = len(roffs)
+    if not n_included:
+        return {}, 0, maps
+
+    # GTID attribution: a row's txn tag is the last GTID frame before it,
+    # unless an XID frame intervened (clears the tag) — two searchsorteds
+    goffs = offs[etypes == GTID_EVENT]
+    xoffs = offs[etypes == XID_EVENT]
+    if len(goffs):
+        gstr: list[str] = []
+        for o in goffs.tolist():
+            p0 = o + HEADER_LEN
+            gno = struct.unpack_from("<q", data, p0 + 17)[0]
+            gstr.append(format_gtid(bytes(mv[p0 + 1 : p0 + 17]), gno))
+        gi = np.searchsorted(goffs, roffs, side="right") - 1
+        xi = np.searchsorted(xoffs, roffs, side="right") - 1
+        last_g = np.where(gi >= 0, goffs[np.clip(gi, 0, None)], -1)
+        last_x = np.where(xi >= 0, xoffs[np.clip(xi, 0, None)], -2)
+        has_g = (gi >= 0) & (last_g > last_x)
+        gil = gi.tolist()
+        out.ev_gtid = [
+            gstr[g] if h else None for g, h in zip(gil, has_g.tolist())
+        ]
+    else:
+        out.ev_gtid = [None] * n_included
+
+    out.ev_pos = roffs.tolist()
+    srv = np_buf[roffs + 5].astype(np.int64)
+    for k in (6, 7, 8):
+        srv |= np_buf[roffs + k].astype(np.int64) << (8 * (k - 5))
+    out.ev_server = srv.tolist()
+    ts = np_buf[roffs].astype(np.int64)
+    for k in (1, 2, 3):
+        ts |= np_buf[roffs + k].astype(np.int64) << (8 * k)
+    out.ev_ts = ts.tolist()
+
+    # per-(table, etype) groups + constant-string metadata fills
+    scode = np.zeros(n_included, np.int32)
+    names: list[tuple[str, str, str]] = []
+    groups: dict = {}
+    for u, t in table_of.items():
+        cc = len(t.columns)
+        if cc >= 251:
+            return None  # multi-byte lenenc column count → general walk
+        nbb = (cc + 7) // 8
+        full = bytes([0xFF] * (nbb - 1)) + bytes(
+            [(1 << (cc - 8 * (nbb - 1))) - 1]
+        )
+        full_np = np.frombuffer(full, np.uint8)
+        um = tid == u
+        for et in (WRITE_ROWS_V2, UPDATE_ROWS_V2, DELETE_ROWS_V2):
+            m = um & (retypes == et)
+            ev_idx = np.nonzero(m)[0]
+            if not len(ev_idx):
+                continue
+            goffs_g = roffs[ev_idx]
+            # lenenc column count (1 byte, validated) + FULL bitmaps
+            assert (
+                np_buf[goffs_g + HEADER_LEN + 10] == cc
+            ).all(), "row event column count mismatch"
+            n_bm = 2 if et == UPDATE_ROWS_V2 else 1
+            bm = np_buf[
+                goffs_g[:, None]
+                + (HEADER_LEN + 11)
+                + np.arange(n_bm * nbb)
+            ]
+            if not (bm == np.tile(full_np, n_bm)).all():
+                raise ValueError(
+                    f"partial row image in {t.schema}.{t.table} "
+                    "(binlog_row_image != FULL is not supported)"
+                )
+            starts = goffs_g + (HEADER_LEN + 11) + n_bm * nbb
+            ends = goffs_g + rsizes[ev_idx] - CRC_LEN
+            groups[(id(t), et)] = [t, et, ev_idx, starts, ends]
+            scode[ev_idx] = len(names)
+            names.append((t.schema, t.table, ACTION_BY_EVENT[et]))
+    sc = scode.tolist()
+    out.ev_schema = [names[c][0] for c in sc]
+    out.ev_table = [names[c][1] for c in sc]
+    out.ev_action = [names[c][2] for c in sc]
+    return groups, n_included, maps
+
+
+def decode_chunk_vectorized(
+    data: bytes,
+    image_cols: list[str],
+    include: set[tuple[str, str]] | None = None,
+    exclude: set[tuple[str, str]] | None = None,
+    start_pos: int = 0,
+    verify_crc: bool = False,
+    before_mode: str = "full",
+    tolerate_truncation: bool = False,
+    start_after_gtid: tuple[str, int] | dict[str, int] | None = None,
+) -> tuple[DecodedBatch | None, dict | None]:
+    """ONE-walk decode entry for read_binlog: frame scan, vectorization
+    decision and row decode share a single pass (round 7 — previously
+    ``chunk_vector_kinds`` walked every frame header and the wavefront
+    walk re-walked them all again).  Returns ``(batch, kinds)``;
+    ``(None, None)`` means the chunk's columns need the python-value
+    loops (caller runs ``decode_chunk`` in python mode).
+
+    Chunks needing sequential semantics (start_pos skip, GTID resume,
+    CRC verify) take the general wavefront walk — correctness identical,
+    just without the single-pass fusion."""
+    from ..wire import decode_chunk
+    from .vector import chunk_table_maps
+
+    fast = start_pos == 0 and start_after_gtid is None and not verify_crc
+
+    def general():
+        kinds = _kinds_from_maps(
+            chunk_table_maps(data), include, exclude, image_cols,
+            len(data),
+        )
+        if kinds is None:
+            return None, None
+        return (
+            decode_chunk_wavefront(
+                data, image_cols=image_cols, include=include,
+                exclude=exclude, start_pos=start_pos,
+                verify_crc=verify_crc, before_mode=before_mode,
+                tolerate_truncation=tolerate_truncation,
+                start_after_gtid=start_after_gtid,
+            ),
+            kinds,
+        )
+
+    if not fast:
+        return general()
+    assert before_mode in ("full", "delete_only", "none")
+    mv = memoryview(data)
+    assert bytes(mv[:4]) == MAGIC, "bad binlog magic"
+    np_buf = np.frombuffer(data, dtype=np.uint8)
+    out = DecodedBatch(image_cols, value_mode="offsets")
+    res = _fast_scan(
+        data, mv, np_buf, out, include, exclude, tolerate_truncation
+    )
+    if res is None:
+        return general()
+    groups, n_included, maps = res
+    kinds = _kinds_from_maps(maps, include, exclude, image_cols, len(data))
+    if kinds is None:
+        return None, None
+    if n_included < MIN_WAVEFRONT_EVENTS:
+        return (
+            decode_chunk(
+                data, include=include, exclude=exclude,
+                start_pos=start_pos, verify_crc=verify_crc,
+                image_cols=image_cols, before_mode=before_mode,
+                tolerate_truncation=tolerate_truncation,
+                value_mode="offsets", start_after_gtid=start_after_gtid,
+            ),
+            kinds,
+        )
+    return _finish_wavefront(np_buf, out, groups, n_included, before_mode), kinds

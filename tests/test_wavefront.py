@@ -308,3 +308,106 @@ def test_wavefront_random_schema_parity(col_spec, seed):
             if c.charset == CHARSET_BINARY:
                 want = [None if v is None else bytes(v) for v in want]
             assert got == want, (side, c.name, got[:4], want[:4])
+
+
+# ------------------------------------------------ single-walk fast path (r7)
+
+
+def build_gtid_chunk(n_txns: int = 8, rows_per_event: int = 6) -> bytes:
+    """GTID/XID-framed multi-table chunk: txn i = GTID, two row events
+    (alternating tables/actions), XID — plus one row event BEFORE any
+    GTID frame (must decode with gtid=None)."""
+    w = BinlogWriter()
+    w.write_table_map(0, T1)
+    w.write_table_map(0, T2)
+    w.write_rows(0, T1, "insert", [_t1_row(j) for j in range(rows_per_event)])
+    sid_a = bytes(range(16))
+    sid_b = bytes(range(16, 32))
+    k = rows_per_event
+    for i in range(n_txns):
+        w.write_gtid(i, sid_a if i % 2 == 0 else sid_b, 100 + i)
+        for e in range(2):
+            tab, mk = (T1, _t1_row) if (i + e) % 2 == 0 else (T2, _t2_row)
+            rows = [mk(k + j) for j in range(rows_per_event)]
+            if (i + e) % 3 == 2:
+                w.write_rows(i, tab, "update", rows,
+                             [mk(k + j + 500) for j in range(rows_per_event)])
+            elif (i + e) % 3 == 1:
+                w.write_rows(i, tab, "delete", rows)
+            else:
+                w.write_rows(i, tab, "insert", rows)
+            k += rows_per_event
+        w.write_xid(i, 9000 + i)
+    return w.getvalue()
+
+
+def _assert_batches_equal(a, b):
+    assert a.n_rows == b.n_rows and a.n_events == b.n_events
+    assert a.n_bytes == b.n_bytes
+    assert list(a.ev_pos) == list(b.ev_pos)
+    assert list(a.ev_server) == list(b.ev_server)
+    assert list(a.ev_ts) == list(b.ev_ts)
+    assert list(a.ev_schema) == list(b.ev_schema)
+    assert list(a.ev_table) == list(b.ev_table)
+    assert list(a.ev_action) == list(b.ev_action)
+    assert list(a.ev_gtid) == list(b.ev_gtid)
+    assert list(a.ev_cnt) == list(b.ev_cnt)
+    for side in ("before_cols", "after_cols"):
+        for x, y in zip(getattr(a, side), getattr(b, side)):
+            assert (np.asarray(x) == np.asarray(y)).all()
+
+
+def test_fast_scan_parity_with_general_walk():
+    """decode_chunk_vectorized's single-walk fast path must be
+    batch-identical to the general wavefront walk on a GTID/XID-framed
+    multi-table chunk, for every before_mode and filter shape —
+    including the pre-GTID row event (gtid=None) and the kinds map."""
+    from mysql_binlog_spark.sources.wavefront import decode_chunk_vectorized
+
+    data = build_gtid_chunk()
+    for before_mode in ("full", "delete_only", "none"):
+        for include in (None, {("app", "transcripts")}, {("app", "wide")}):
+            fast, kinds = decode_chunk_vectorized(
+                data, UNION, include=include, before_mode=before_mode
+            )
+            assert kinds == chunk_vector_kinds(data, include, None, UNION)
+            ref = decode_chunk_wavefront(
+                data, image_cols=UNION, include=include,
+                before_mode=before_mode
+            )
+            _assert_batches_equal(fast, ref)
+    # some rows precede any GTID frame; the rest carry their txn's tag
+    fast, _ = decode_chunk_vectorized(data, UNION)
+    assert fast.ev_gtid[0] is None and any(g for g in fast.ev_gtid)
+
+
+def test_fast_scan_delegates_sequential_semantics():
+    """start_pos / CRC verify / GTID resume take the general walk — same
+    batch either way, so the fast path's eligibility gate loses nothing."""
+    from mysql_binlog_spark.sources.wavefront import decode_chunk_vectorized
+
+    data = build_gtid_chunk()
+    mid = len(data) // 2
+    for kw in (
+        {"start_pos": mid},
+        {"verify_crc": True},
+        {"start_after_gtid": ("00010203-0405-0607-0809-0a0b0c0d0e0f", 103)},
+    ):
+        fast, kinds = decode_chunk_vectorized(data, UNION, **kw)
+        ref = decode_chunk_wavefront(data, image_cols=UNION, **kw)
+        assert kinds is not None
+        _assert_batches_equal(fast, ref)
+
+
+def test_fast_scan_truncation_and_malformed():
+    from mysql_binlog_spark.sources.wavefront import decode_chunk_vectorized
+    from mysql_binlog_spark.wire import TruncatedFrameError
+
+    data = build_gtid_chunk()
+    cut = data[: len(data) - 5]
+    with pytest.raises(TruncatedFrameError):
+        decode_chunk_vectorized(cut, UNION)
+    fast, _ = decode_chunk_vectorized(cut, UNION, tolerate_truncation=True)
+    ref = decode_chunk_wavefront(cut, image_cols=UNION,
+                                 tolerate_truncation=True)
+    _assert_batches_equal(fast, ref)
