@@ -26,6 +26,8 @@ def spread(df: DataFrame, min_parallelism: int | None = None) -> DataFrame:
     immediately before an expression-heavy map stage whose input may be
     a small single-file scan; a no-op (zero plan change) on inputs that
     already have enough partitions."""
+    if df.isStreaming:  # partition introspection needs a batch plan
+        return df
     spark = df.sparkSession
     par = min_parallelism or spark.sparkContext.defaultParallelism
     # .rdd only plans (no job); cheap for the scan-shaped inputs this

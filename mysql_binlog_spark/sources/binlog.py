@@ -471,7 +471,11 @@ def read_binlog(
                 codes = pa.array(m["codes"], pa.int64())
                 take = lambda vals: pa.array(vals, pa.string()).take(codes)  # noqa: E731
                 arrays = [
-                    pa.array([name] * n, pa.string()),
+                    # constant column via C-side take (a [name]*n python
+                    # list costs ~1.4ms/chunk; this is ~0.04ms)
+                    pa.array([name], pa.string()).take(
+                        pa.array(np.zeros(n, np.int64))
+                    ),
                     pa.array(m["log_pos"], pa.int64()),
                     pa.array(m["server_id"], pa.int64()),
                     pa.array(m["ts_us"], pa.timestamp("us")),

@@ -84,6 +84,24 @@ w = _epoch_winners(t, dec3, [("app", "transcripts")],
                    [n for n, _ in IMAGE_COLS])
 save("apply_winners", w)
 
+# the fused single-pass epoch write input (round 7): winners normalized to
+# the table schema + bucket + tombstone flag — the exact DataFrame
+# merge_into's fused path writes (partitionBy bucket) in ONE job
+cols6 = t.columns()
+upd = w
+for nm, ty in cols6:
+    if nm not in upd.columns:
+        upd = upd.withColumn(nm, F.lit(None).cast(ty))
+from mysql_binlog_spark.table import LSN_FIELDS  # noqa: E402
+
+upd = upd.select(
+    *[F.col(nm).cast(ty).alias(nm) for nm, ty in cols6],
+    *[F.col(nm).cast(ty).alias(nm) for nm, ty in LSN_FIELDS],
+    F.col("action"),
+).withColumn("bucket", t._bucket_expr())
+merged = upd.withColumn("_deleted", F.col("action") == "delete").drop("action")
+save("apply_fused_write", merged.repartition(64, "bucket"))
+
 # q4 salted_last_writer
 spark.read.parquet(os.path.join(SF_DIR, "events.parquet")) \
     .createOrReplaceTempView("events")
