@@ -170,6 +170,40 @@ def _local_path(path: str) -> str:
     return path
 
 
+def _paths_df(spark: SparkSession, paths: list[str], n_slices: int) -> DataFrame:
+    """Path list → an ``n_slices``-partition DataFrame with NO exchange
+    and NO Python scan (guide §4 + §2).  The tuple-list
+    ``createDataFrame`` builds a pickled Python RDD whose scan blocks
+    every task on a Python-worker round trip, and the
+    ``repartition(n_slices)`` that followed it added a whole extra
+    stage — together ~0.25s of wall per decode query at bench scale
+    (32-task stage floor on local[32]).  Instead: ``range`` natively
+    creates ``n_slices`` partitions of contiguous ids and
+    ``element_at`` over a constant-folded array literal maps id→path
+    inside the SAME stage as the decode, so the whole decode job is one
+    fused stage + the final agg.  Paths are interleaved so task t gets
+    paths[t::n] — the same even spread the old RoundRobin exchange
+    produced."""
+    if not paths:
+        return spark.createDataFrame([], "path string")
+    n_slices = max(1, min(n_slices, len(paths)))
+    # round-robin interleave, then contiguous range blocks ≈ paths[t::n]
+    order = [p for i in range(n_slices) for p in paths[i::n_slices]]
+    sep = "\x1f"
+    if any(sep in p for p in order):  # pathological path names: the slow
+        return spark.createDataFrame(  # but general construction
+            pd.DataFrame({"path": pd.Series(order, dtype="object")})
+        ).repartition(n_slices)
+    # ONE py4j literal (per-element F.lit costs ~0.4ms × |paths| of
+    # driver round trips); ConstantFolding collapses the split to an
+    # array literal once at optimize time
+    arr = F.split(F.lit(sep.join(order)), sep)
+    return (
+        spark.range(0, len(order), 1, n_slices)
+        .select(F.element_at(arr, (F.col("id") + 1).cast("int")).alias("path"))
+    )
+
+
 def discover_tables(
     spark: SparkSession, chunk_glob: str | list[str],
     on_error: str = "raise",
@@ -195,9 +229,7 @@ def discover_tables(
         paths = sorted(_glob.glob(_local_path(chunk_glob)))
     n_slices = max(1, min(len(paths),
                           spark.sparkContext.defaultParallelism))
-    files = spark.createDataFrame(
-        [(p,) for p in paths], "path string"
-    ).repartition(n_slices)
+    files = _paths_df(spark, paths, n_slices)
 
     def scan(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         rows = []
@@ -382,9 +414,7 @@ def read_binlog(
             len(paths),
             max(cores, -(-total_bytes // (64 * 1024 * 1024))),
         ))
-        files = spark.createDataFrame(
-            [(p,) for p in paths], "path string"
-        ).repartition(n_slices)
+        files = _paths_df(spark, paths, n_slices)
     else:
         files = _load_binary(spark, chunk_glob)
     if start_lsn is not None:
@@ -552,10 +582,9 @@ def validate_chunks(
     import pandas as pd_mod
 
     paths = sorted(chunk_paths)
-    files = spark.createDataFrame(
-        [(p,) for p in paths], "path string"
-    ).repartition(
-        max(1, min(len(paths), spark.sparkContext.defaultParallelism))
+    files = _paths_df(
+        spark, paths,
+        max(1, min(len(paths), spark.sparkContext.defaultParallelism)),
     )
 
     def check(batches):
