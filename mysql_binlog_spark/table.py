@@ -423,17 +423,23 @@ class LakeTable:
             epoch_dir = self._write_epoch(
                 merged, epoch_id, max(1, min(n_buckets, 200))
             )
-            if globmod.glob(os.path.join(epoch_dir, "bucket=*")):
-                written = (
-                    spark.read.schema(
-                        self.ddl(with_lsn=True, with_tombstone=True)
-                        + ", bucket int"
-                    )
-                    .option("basePath", epoch_dir)
-                    .parquet(os.path.join(epoch_dir, "bucket=*"))
-                )
+            # touched buckets = the partition dirs the write produced; the
+            # lineage scan reads the LEAF files directly (no partition
+            # discovery) and only the 3 columns it aggregates — the
+            # narrowest possible read-back of the written epoch
+            bucket_dirs = globmod.glob(os.path.join(epoch_dir, "bucket=*"))
+            touched = {int(d.rsplit("=", 1)[1]) for d in bucket_dirs}
+            epoch_files = [
+                f for d in bucket_dirs
+                for f in globmod.glob(os.path.join(d, "*.parquet"))
+            ]
+            if epoch_files:
                 lineage_rows = (
-                    written.groupBy("log_file")
+                    spark.read.schema(
+                        "log_file string, log_pos bigint, _deleted boolean"
+                    )
+                    .parquet(*epoch_files)
+                    .groupBy("log_file")
                     .agg(
                         F.min("log_pos").alias("min_pos"),
                         F.max("log_pos").alias("max_pos"),
@@ -441,7 +447,6 @@ class LakeTable:
                         F.sum(
                             F.when(F.col("_deleted"), 1).otherwise(0)
                         ).alias("deletes"),
-                        F.collect_set("bucket").alias("buckets"),
                     )
                     .collect()
                 )
@@ -456,9 +461,6 @@ class LakeTable:
                 }
                 for r in lineage_rows
             }
-            touched = set()
-            for r in lineage_rows:
-                touched.update(r["buckets"])
             return self._finish_commit(
                 epoch_dir, epoch_id, mode, touched, lineage, n_buckets
             )
