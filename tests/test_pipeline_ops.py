@@ -1488,3 +1488,36 @@ def test_quantile_summary_bound_property(spark):
             assert r.within_bound, (name, r)
             assert r.rank_le >= r.target, (name, r)
             assert r.rank_lt <= r.target + r.bound, (name, r)
+
+
+def test_dedup_lsn_distinct_matches_key_dedup(spark):
+    """Round-7 optimization: the default dedup_lsn path is whole-row
+    distinct() (hash aggregation) instead of dropDuplicates(LSN subset)
+    (a SortAggregate pair).  On re-delivery-shaped input — duplicates
+    are exact copies, the documented invariant — the two must agree
+    exactly, and explicit lsn_cols must keep subset semantics."""
+    from pyspark.sql import functions as F
+
+    from mysql_binlog_spark.operators.apply import dedup_lsn
+
+    rows = [
+        ("binlog.000001", 100, 0, 1, "insert", "a"),
+        ("binlog.000001", 100, 0, 1, "insert", "a"),  # exact re-delivery
+        ("binlog.000001", 228, 0, 1, "update", "b"),
+        ("binlog.000002", 100, 0, 1, "update", "c"),  # same pos, new file
+        ("binlog.000002", 100, 1, 1, "update", "d"),  # differs in batch_seq
+    ]
+    df = spark.createDataFrame(
+        rows,
+        "log_file string, log_pos long, batch_seq int, server_id long, "
+        "action string, text string",
+    )
+    got = sorted(map(tuple, dedup_lsn(df).collect()))
+    want = sorted(map(tuple, df.dropDuplicates(
+        ["log_file", "log_pos", "batch_seq", "server_id"]).collect()))
+    assert got == want and len(got) == 4
+    # hash-based plan: the default path must not fall back to sort aggs
+    plan = dedup_lsn(df)._jdf.queryExecution().executedPlan().toString()
+    assert "SortAggregate" not in plan
+    # explicit lsn_cols keeps key-subset dedup (one survivor per key)
+    assert dedup_lsn(df, ["log_file", "log_pos"]).count() == 3
