@@ -155,6 +155,12 @@ META_COLS = [
     ("gtid", "string"),  # enclosing txn GTID; NULL on GTID-less logs
 ]
 
+# Meta columns a consumer may ask read_binlog(null_cols=...) to emit as
+# all-NULL (schema unchanged): none of these participates in LSN
+# ordering, filtering, or the apply merge — nulling anything else would
+# silently corrupt results, so the option is allowlisted.
+NULLABLE_META = frozenset({"event_ts", "schema_name", "table_name", "gtid"})
+
 
 def _load_binary(spark: SparkSession, paths: str | list[str]) -> DataFrame:
     if isinstance(paths, str):
@@ -332,6 +338,7 @@ def read_binlog(
     tolerate_truncation: bool = False,
     vectorize: bool = True,
     on_error: str = "raise",
+    null_cols: frozenset[str] | set[str] | None = None,
 ) -> DataFrame:
     """Decode binlog chunks into a flat change-row DataFrame.
 
@@ -358,7 +365,25 @@ def read_binlog(
     per chunk from a TABLE_MAP pre-scan; chunks with decimal / rendered
     temporal / ENUM / latin1 / FLOAT columns fall back to the compiled
     value loops automatically).
+
+    ``null_cols``: emit these metadata columns as all-NULL instead of
+    their decoded values — the output SCHEMA is unchanged, only the
+    values are dropped.  For consumers that provably never read them
+    (the apply/replay path), this skips building + Arrow-IPC-shipping +
+    JVM-converting ~300 MB of repeated strings per 5.8 M events (gtid
+    alone is ~40 chars/row; guide §4 — pass only the columns the
+    function needs across the Python boundary).  Restricted to
+    ``NULLABLE_META`` so LSN/action/routing correctness can't be
+    clobbered by mistake.
     """
+    if null_cols:
+        bad = set(null_cols) - NULLABLE_META
+        if bad:
+            raise ValueError(
+                f"null_cols must be a subset of {sorted(NULLABLE_META)}; "
+                f"got extra {sorted(bad)}"
+            )
+    nulled = frozenset(null_cols or ())
     if image_cols is None:
         discovered = discover_tables(spark, chunk_glob, on_error=on_error)
         keys = [
@@ -500,6 +525,13 @@ def read_binlog(
                 # r5 decode_binary regression).
                 codes = pa.array(m["codes"], pa.int64())
                 take = lambda vals: pa.array(vals, pa.string()).take(codes)  # noqa: E731
+                # null_cols meta columns skip the build AND the Arrow
+                # IPC + JVM row-conversion downstream (validity bitmap
+                # only) — the apply path nulls event_ts/schema_name/
+                # table_name/gtid it never reads (guide §4)
+                nstr = lambda name_, mk: (  # noqa: E731
+                    pa.nulls(n, pa.string()) if name_ in nulled else mk()
+                )
                 arrays = [
                     # constant column via C-side take (a [name]*n python
                     # list costs ~1.4ms/chunk; this is ~0.04ms)
@@ -508,12 +540,14 @@ def read_binlog(
                     ),
                     pa.array(m["log_pos"], pa.int64()),
                     pa.array(m["server_id"], pa.int64()),
-                    pa.array(m["ts_us"], pa.timestamp("us")),
-                    take(m["ev_schema"]),
-                    take(m["ev_table"]),
+                    (pa.nulls(n, pa.timestamp("us"))
+                     if "event_ts" in nulled
+                     else pa.array(m["ts_us"], pa.timestamp("us"))),
+                    nstr("schema_name", lambda: take(m["ev_schema"])),
+                    nstr("table_name", lambda: take(m["ev_table"])),
                     take(m["ev_action"]),
                     pa.array(m["batch_seq"], pa.int32()),
-                    take(m["ev_gtid"]),
+                    nstr("gtid", lambda: take(m["ev_gtid"])),
                 ]
                 names = [n_ for n_, _ in META_COLS]
                 if kinds is not None:

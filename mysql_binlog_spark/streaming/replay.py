@@ -23,9 +23,15 @@ from dataclasses import dataclass, field
 from pyspark.sql import SparkSession
 from pyspark.sql import functions as F
 
-from ..operators.apply import filter_tables, last_writer
+from ..operators.apply import last_writer
 from ..sources.binlog import image_view, read_binlog
 from ..table import LakeTable
+
+# Meta columns the apply path provably never reads (winners carry only
+# key + payload + LSN + action; lineage reads log_file/log_pos):
+# read_binlog emits them as all-NULL — same schema, ~300 MB less Arrow
+# IPC + JVM row conversion per 5.8 M events (guide §4).
+_PRUNED_META = frozenset({"event_ts", "schema_name", "table_name", "gtid"})
 
 
 @dataclass
@@ -44,10 +50,15 @@ def _epoch_winners(
     image_cols: list[str],
     exclude: list | None = None,
 ):
-    """The table-state-INDEPENDENT half of an epoch: decode → filter →
-    image → per-key winners.  Safe to run ahead of the previous epoch's
-    merge/commit (see replay_batch's one-deep pipeline)."""
-    df = filter_tables(decoded, include=include, exclude=exclude)
+    """The table-state-INDEPENDENT half of an epoch: decode (which
+    already applied the include/exclude filter IN-KERNEL — both replay
+    drivers build ``decoded`` with the same sets, so a second
+    ``filter_tables`` here would only re-test schema_name/table_name on
+    rows the kernel already admitted; round 7 removes it, which also
+    lets the decode null those columns, see ``read_binlog(null_cols)``)
+    → image → per-key winners.  Safe to run ahead of the previous
+    epoch's merge/commit (see replay_batch's one-deep pipeline)."""
+    df = decoded
     # NB: no dedup_lsn stage here — exact re-deliveries share both LSN and
     # payload, so max_by in last_writer picks an identical row either way;
     # an explicit dropDuplicates would only add a second full-width shuffle.
@@ -169,6 +180,7 @@ def replay_batch(
             start_after_gtid=start_after_gtid,
             before_mode="delete_only",  # apply never reads update befores
             on_error=on_error, verify_crc=verify_crc,
+            null_cols=_PRUNED_META,  # apply never reads these either
         )
         cols = (
             [n for n, _ in image_cols]
@@ -287,6 +299,7 @@ def replay_stream(
             start_after_gtid=start_after_gtid,
             before_mode="delete_only",  # apply never reads update befores
             on_error=on_error, verify_crc=verify_crc,
+            null_cols=_PRUNED_META,  # apply never reads these either
         )
         cols = (
             [n for n, _ in image_cols]

@@ -311,3 +311,30 @@ def test_backfill_repaired_chunk_after_quarantine(spark, chunks, golden):
                       files_per_epoch=1, verify_crc=True)
     assert s2.applied == 1  # fresh epoch id -> applies, not skipped
     assert_matches_golden(spark, table, golden)  # converged to full state
+
+
+def test_null_cols_emission_contract(spark, chunks):
+    """read_binlog(null_cols=...) nulls EXACTLY the allowlisted meta
+    columns and leaves every other column bit-identical with the same
+    schema — the apply-path Arrow-traffic optimization must not perturb
+    LSN / action / images.  Non-allowlisted names are rejected."""
+    from mysql_binlog_spark.sources.binlog import NULLABLE_META
+
+    glob = os.path.join(chunks, "binlog.*[0-9]")
+    inc = {("app", "transcripts")}
+    full = read_binlog(spark, glob, include=inc)
+    pruned = read_binlog(spark, glob, include=inc, null_cols=NULLABLE_META)
+    assert full.schema == pruned.schema
+    counts = pruned.select(
+        [F.count(F.col(c)).alias(c) for c in sorted(NULLABLE_META)]
+    ).collect()[0]
+    for c in NULLABLE_META:
+        assert counts[c] == 0, f"{c} not nulled"
+    keep = [c for c in full.columns if c not in NULLABLE_META]
+    a, b = full.select(keep), pruned.select(keep)
+    assert a.count() == b.count()
+    assert a.exceptAll(b).count() == 0
+    assert b.exceptAll(a).count() == 0
+    with pytest.raises(ValueError, match="null_cols"):
+        read_binlog(spark, glob, include=inc,
+                    null_cols=frozenset({"log_pos"}))
